@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Capability target: the execution environment of the reference
+  * artifact (`/root/reference` ExecutionEnvironment.java) — but
+  * realized as a tuned Catalyst/Tungsten `SparkSession`, not a custom
+  * runtime. All the reference's hand-built optimizer decisions
+  * (join-strategy selection, partial aggregation, ship strategies —
+  * SURVEY.md §4.1) are delegated to Catalyst + AQE here.
+  *
+  * Scale posture: these settings are the local[N] test shape of a
+  * cluster config. On a 1000-executor cluster the same code runs with
+  * `spark.sql.shuffle.partitions` sized to ~2-3× total cores and AQE
+  * coalescing down; nothing in the library hard-codes local paths or
+  * partition counts.
+  */
+object GraftSession {
+
+  /** Default local parallelism: read from SPARK_GRAFT_CPUS, else all cores. */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
+
+  def local(appName: String = "graft", cpus: String = defaultCpus): SparkSession = {
+    val spark = builder(appName, s"local[$cpus]",
+      shufflePartitions = if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Base builder with the engine's standard conf; master left to caller
+    * for cluster deployment. */
+  def builder(appName: String, master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata `events.ts` is parquet TIMESTAMP(NANOS): read as
+      // epoch-nanos LongType (Spark has no nanos timestamp)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY.md §2.2-§2.5) re-expressed as
+  * declarative DataFrame plans, mirroring the reference's DataSet API
+  * coverage (`/root/reference` flink-java DataSet.java): projection,
+  * filter, distinct, union, grouped/global aggregation, all join
+  * flavors, cross, min/maxBy, first-n, sort/limit.
+  *
+  * Scale notes embedded per query. Every query takes (spark, sfDir)
+  * and returns a DataFrame whose schema matches the paired DuckDB
+  * oracle in [[graft.SparkEntry.oracleSql]] column-for-column.
+  * Outputs are deterministically ordered; aggregated doubles are
+  * rounded to 2 decimals (the reference's own 0.01 tolerance policy,
+  * TestMatrixMultiplication.java:88) so hash comparison is stable
+  * across summation orders.
+  */
+object Relational {
+
+  /** TPC-H Q1 analogue (reference example relational/TPCHQuery3.java
+    * family): scan → filter (pushed to parquet) → hash aggregate with
+    * partial (map-side) agg → tiny sorted output. At 100 TB: single
+    * shuffle on (returnflag, linestatus), ~6 groups — partial agg
+    * collapses virtually all traffic.
+    */
+  def q01Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1997-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2)                          AS sum_qty,
+      |  round(sum(l_extendedprice), 2)                     AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+      |  round(avg(l_quantity), 2)                          AS avg_qty,
+      |  round(avg(l_discount), 4)                          AS avg_disc,
+      |  count(*)                                           AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Global (ungrouped) aggregation — the reference's AllReduce path
+    * (AllReduceDriver.java, IoT.java:62-80 global MIN/MAX/SUM/AVG).
+    * Spark computes this as partial agg per partition + single-row
+    * final merge: no shuffle of data, only of 1-row partials.
+    */
+  def q02GlobalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      round(min(col("value")), 2).as("min_v"),
+      round(max(col("value")), 2).as("max_v"),
+      round(sum(col("value")), 2).as("sum_v"),
+      round(avg(col("value")), 2).as("avg_v"),
+      count(lit(1)).as("cnt"))
+
+  val q02Sql: String =
+    """SELECT round(min(value),2) AS min_v, round(max(value),2) AS max_v,
+      |  round(sum(value),2) AS sum_v, round(avg(value),2) AS avg_v,
+      |  count(*) AS cnt
+      |FROM events""".stripMargin
+
+  /** TPC-H Q3 analogue (reference relational/TPCHQuery3.java:108-163):
+    * 3-way join with pre-join filters. customer is small → Catalyst
+    * broadcasts it; orders⋈lineitem shuffles on orderkey. At 100 TB,
+    * AQE turns the post-filter orders side into a broadcast when it
+    * fits; otherwise sort-merge with both sides partitioned once.
+    */
+  def q03Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        round(col("revenue"), 2).as("revenue"),
+        col("o_orderdate").cast("timestamp").cast("long").as("o_orderdate_epoch"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Projection + filter (MapDriver / FilterDescriptor surface,
+    * DataSet.java:213,306): both the predicate and the 3-column
+    * read-schema reach the parquet scan (PushedFilters / ReadSchema),
+    * so at 100 TB only matching row-groups and 3 columns are read.
+    */
+  def q04FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // net_price left unrounded on purpose: a single IEEE multiply is
+  // bit-identical across engines, while round() half-way tie-breaking
+  // is not (prices land exactly on .005 boundaries).
+  val q04Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** distinct (DataSet.java:631): shuffle-dedup on the projected key.
+    * At scale: partial distinct per partition before shuffle (Spark
+    * plans HashAggregate(partial)→Exchange→HashAggregate(final)).
+    */
+  def q05Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  val q05Sql: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** union (DataSet.java:1276 — bag union, no dedup) of two filtered
+    * projections, then aggregate. Union is a zero-shuffle operator in
+    * Spark; partitions concatenate.
+    */
+  def q06Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey"), lit("hi").as("band"), col("o_totalprice").as("price"))
+    val lo = o.filter(col("o_totalprice") < 10000)
+      .select(col("o_custkey"), lit("lo").as("band"), col("o_totalprice").as("price"))
+    hi.union(lo)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+      .orderBy(col("band"))
+  }
+
+  val q06Sql: String =
+    """SELECT band, count(*) AS n, round(sum(price),2) AS total FROM (
+      |  SELECT o_custkey, 'hi' AS band, o_totalprice AS price FROM orders WHERE o_totalprice > 200000
+      |  UNION ALL
+      |  SELECT o_custkey, 'lo' AS band, o_totalprice AS price FROM orders WHERE o_totalprice < 10000
+      |) GROUP BY band ORDER BY band""".stripMargin
+
+  /** Outer join (DataSet.java:876-1006): customers with their order
+    * stats, keeping order-less customers (NULL-filled). Broadcast the
+    * aggregated per-customer stats if small; at 100 TB both sides
+    * shuffle on custkey once.
+    */
+  def q07OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(spend, 0.0)  AS spend
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi + anti join (absent from the reference DataSet API, present
+    * in its Table layer — SURVEY §2.4): customers WITH at least one
+    * high-value order (semi) and nations with NO supplier (anti).
+    * left_semi/left_anti avoid materializing the right side's columns.
+    */
+  def q08SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q08Sql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q09AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val recentSales = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+    Tables.part(spark, dir)
+      .join(recentSales, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q09Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey
+      |                    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Cross join (DataSet.java:1091 cross/crossWithTiny/crossWithHuge):
+    * region × nation — tiny×small, planned as BroadcastNestedLoopJoin.
+    * Never cross big×big; the reference's tiny/huge hints map to
+    * Spark's broadcast side selection.
+    */
+  def q10Cross(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+      .select(col("r_regionkey"), col("n_nationkey"),
+        (col("n_regionkey") === col("r_regionkey")).cast("int").as("same_region"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  val q10Sql: String =
+    """SELECT r_regionkey, n_nationkey,
+      |  CAST(n_regionkey = r_regionkey AS INT) AS same_region
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** min_by/max_by element selection (UnsortedGrouping.java:231-253
+    * minBy/maxBy): per nation, the supplier with the highest account
+    * balance. Single hash-agg, no window/sort needed.
+    */
+  def q11MaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(max_by(col("s_name"), col("s_acctbal")).as("best_supp"),
+        round(max(col("s_acctbal")), 2).as("best_bal"),
+        min_by(col("s_name"), col("s_acctbal")).as("worst_supp"))
+      .orderBy(col("s_nationkey"))
+
+  val q11Sql: String =
+    """SELECT s_nationkey,
+      |  max_by(s_name, s_acctbal) AS best_supp,
+      |  round(max(s_acctbal), 2)  AS best_bal,
+      |  min_by(s_name, s_acctbal) AS worst_supp
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** first-n per group (UnsortedGrouping.java:212 first(n) after
+    * sortGroup): top-3 orders per customer by price via window
+    * row_number — one shuffle on the partition key, ranking streams
+    * within each partition.
+    */
+  def q12FirstN(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Global sort + limit (sortPartition/first — SURVEY §2.5; Spark's
+    * orderBy is a superset of Flink's partition-local sort). TakeOrdered
+    * at the physical layer: no full global sort materialized for the
+    * limit.
+    */
+  def q13TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(25)
+
+  val q13Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 25""".stripMargin
+
+  /** TPC-H Q10 analogue (reference relational/TPCHQuery10.java):
+    * 4-way join + group agg, returned-items revenue per customer and
+    * nation. nation broadcast; lineitem filter pushed down.
+    */
+  def q14Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val q14Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01Pricing _),
+    "q02_global_agg" -> (q02GlobalAgg _),
+    "q03_shipping_priority" -> (q03Shipping _),
+    "q04_filter_project" -> (q04FilterProject _),
+    "q05_distinct" -> (q05Distinct _),
+    "q06_union" -> (q06Union _),
+    "q07_outer_join" -> (q07OuterJoin _),
+    "q08_semi_join" -> (q08SemiJoin _),
+    "q09_anti_join" -> (q09AntiJoin _),
+    "q10_cross" -> (q10Cross _),
+    "q11_min_max_by" -> (q11MaxBy _),
+    "q12_first_n_per_group" -> (q12FirstN _),
+    "q13_top_k" -> (q13TopK _),
+    "q14_returned_revenue" -> (q14Returns _))
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_global_agg" -> q02Sql,
+    "q03_shipping_priority" -> q03Sql,
+    "q04_filter_project" -> q04Sql,
+    "q05_distinct" -> q05Sql,
+    "q06_union" -> q06Sql,
+    "q07_outer_join" -> q07Sql,
+    "q08_semi_join" -> q08Sql,
+    "q09_anti_join" -> q09Sql,
+    "q10_cross" -> q10Sql,
+    "q11_min_max_by" -> q11Sql,
+    "q12_first_n_per_group" -> q12Sql,
+    "q13_top_k" -> q13Sql,
+    "q14_returned_revenue" -> q14Sql)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one per suite, lazy). */
+trait SparkSpec { self: AnyFunSuite =>
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = graft.engine.GraftSession.local("graft-test", "4")
+    s
+  }
+}
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle-declared query has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all queries run non-empty on sf0.001") {
+    val allowEmpty = Set("q09_anti_join") // anti-join may legitimately be empty at tiny SF
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(allowEmpty(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q01 aggregates match a hand computation") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational.q01Pricing(spark, sf)
+    val total = got.agg(sum("count_order")).head.getLong(0)
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1997-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q03 plan broadcasts the customer side") {
+    val plan = graft.operators.Relational.q03Shipping(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("q04 pushes filters to the parquet scan") {
+    val plan = graft.operators.Relational.q04FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)") || plan.contains("GreaterThanOrEqual(l_quantity"))
+  }
+}
