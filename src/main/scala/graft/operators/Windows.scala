@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-time window aggregation surface (SURVEY.md §2.6 — the
+  * reference's windowing assigners under
+  * `/root/reference` flink-streaming-java windowing/assigners/ and the
+  * IoT benchmark's 5-minute bucketing, SparkWorks.java:312-346):
+  * tumbling, sliding and session windows on the `events` table, plus
+  * the declarative two-phase outlier pipeline (IoT.java:124-153).
+  *
+  * These are the BATCH forms; graft.streaming runs the same plans as
+  * Structured Streaming queries. `events.ts` arrives as epoch-nanos
+  * LongType (TESTDATA parquet is TIMESTAMP(NANOS)); we convert with
+  * integer arithmetic (`div`) so bucket boundaries are exact.
+  */
+object Windows {
+
+  /** events with a proper TimestampType `ts_us` column (micros). */
+  private def eventsTs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 5-minute windows per event_type — the IoT per-window
+    * MIN/MAX/SUM/AVG/COUNT pipeline. One shuffle on (window, type);
+    * partial aggregation collapses each partition to ≤ one row per
+    * (window, type) before the exchange, so 100 TB of events shuffles
+    * only #windows × #types rows per partition.
+    */
+  def q18Tumbling(spark: SparkSession, dir: String): DataFrame =
+    eventsTs(spark, dir)
+      .groupBy(window(col("ts_us"), "5 minutes"), col("event_type"))
+      // avg computed as exact-cents / count: `value` is cent-precise, so
+      // round(sum(value*100)) is an exact integer and the single division
+      // is bit-identical across engines — unlike round(avg(...), 2), which
+      // hits .005 ties on tiny windows where Spark (HALF_UP on decimal
+      // string) and DuckDB (binary double) disagree.
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        round(sum(col("value")), 2).as("sum_v"),
+        (round(sum(col("value") * 100), 0) / (count(lit(1)) * lit(100.0))).as("avg_v"))
+      .select(col("window.start").cast("long").as("w_start"), col("event_type"),
+        col("n"), col("min_v"), col("max_v"), col("sum_v"), col("avg_v"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q18Sql: String =
+    """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start, event_type,
+      |  count(*) AS n,
+      |  min(value) AS min_v,
+      |  max(value) AS max_v,
+      |  round(sum(value), 2) AS sum_v,
+      |  round(sum(value * 100), 0) / (count(*) * 100.0) AS avg_v
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Sliding windows: 10-minute length, 5-minute slide, per
+    * event_type. Spark expands each event into length/slide = 2
+    * window replicas before the aggregation — the same fan-out the
+    * oracle materializes explicitly.
+    */
+  def q19Sliding(spark: SparkSession, dir: String): DataFrame =
+    eventsTs(spark, dir)
+      .groupBy(window(col("ts_us"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("window.start").cast("long").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q19Sql: String =
+    """SELECT ((epoch_us(ts) // 300000000) - k) * 300 AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Session windows (EventTimeSessionWindows, 30-minute gap) per
+    * user: a new session starts when the gap since the previous event
+    * of that user is ≥ 30 min. Spark's session_window merges windows
+    * whose [ts, ts+gap) ranges overlap — identical semantics.
+    */
+  def q20Session(spark: SparkSession, dir: String): DataFrame =
+    eventsTs(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_v"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("sess_start"),
+        col("n_events"), col("sum_v"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val q20Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, value, epoch_us(ts) AS t_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, value, t_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, min(t_us) // 1000000 AS sess_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+      |FROM sessions
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  /** Declarative two-phase outlier detection — the 100 TB-safe form
+    * of [[Typed.q17GroupReduceOutliers]] (same oracle): per-user
+    * stats via one hash-agg, broadcast the tiny stats table back onto
+    * the stream, filter. No group buffering, no window sort.
+    */
+  def q21OutliersJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+    val stats = ev.groupBy(col("user_id").as("s_uid"))
+      .agg(avg(col("value")).as("mu"),
+        when(count(lit(1)) < 2, lit(0.0)).otherwise(stddev_samp(col("value"))).as("sigma"))
+    ev.join(broadcast(stats), col("user_id") === col("s_uid"))
+      .filter(abs(col("value") - col("mu")) > lit(2) * col("sigma"))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_window_tumbling" -> (q18Tumbling _),
+    "q19_window_sliding" -> (q19Sliding _),
+    "q20_session_window" -> (q20Session _),
+    "q21_outliers_join" -> (q21OutliersJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "q18_window_tumbling" -> q18Sql,
+    "q19_window_sliding" -> q19Sql,
+    "q20_session_window" -> q20Sql,
+    "q21_outliers_join" -> Typed.q17Sql)
+}
