@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.analytics.Iterative
 import graft.operators.{Relational, Typed, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,8 +20,8 @@ object SparkEntry {
     Relational.q01Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Typed.queries ++ Windows.queries
+    Relational.queries ++ Typed.queries ++ Windows.queries ++ Iterative.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Typed.oracles ++ Windows.oracles
+    Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles
 }

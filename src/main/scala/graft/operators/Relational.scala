@@ -213,10 +213,10 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   def q09AntiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val recentSales = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+    val bulkSales = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
     Tables.part(spark, dir)
-      .join(recentSales, col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(bulkSales, col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
       .orderBy(col("p_partkey"))
   }
@@ -225,7 +225,7 @@ object Relational {
     """SELECT p_partkey, p_name FROM part
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem
       |                  WHERE l_partkey = p_partkey
-      |                    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |                    AND l_quantity >= 45)
       |ORDER BY p_partkey""".stripMargin
 
   /** Cross join (DataSet.java:1091 cross/crossWithTiny/crossWithHuge):
