@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Iterative
 import graft.operators.{Relational, Typed, Windows}
+import graft.pipeline.Dedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +21,10 @@ object SparkEntry {
     Relational.q01Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Typed.queries ++ Windows.queries ++ Iterative.queries
+    Relational.queries ++ Typed.queries ++ Windows.queries ++ Iterative.queries ++
+      Dedup.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles
+    Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles ++
+      Dedup.oracles
 }

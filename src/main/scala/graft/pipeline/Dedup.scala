@@ -1,0 +1,307 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Deduplication operator suite for large-scale training-data
+  * pipelines, over the `documents` and `embeddings` tables: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, exact n-gram Jaccard
+  * (inverted index), and embedding-cosine near-dup.
+  *
+  * These extend the reference's operator surface (its closest
+  * relative is `distinct`, `/root/reference` flink-java
+  * DataSet.java:631) with the sketch-based forms a 100 TB corpus
+  * needs: every operator here avoids the quadratic cross-join — the
+  * shuffle key is a short hash (16-byte md5, a band signature, an LSH
+  * bucket), never the document text, and candidate generation is
+  * bucket-local.
+  *
+  * All hashes are md5-derived integers ([[graft.functions.Portable]])
+  * so the DuckDB oracles reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- q28
+  /** Exact dedup: group by content hash, keep the smallest doc_id as
+    * canonical. Shuffles 8-byte hashes + ids only, never text; partial
+    * (map-side) agg collapses per-partition copies first. At 100 TB
+    * this is THE first pass of every corpus pipeline.
+    */
+  def q28ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val q28Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------------------- shared
+  /** (doc_id, hp): distinct 3-word-shingle hashes per document,
+    * reduced mod P. The base relation for minhash and Jaccard. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+
+  private def shingleHashesSql: String =
+    s"""SELECT doc_id, ${h60Sql("sh")} % $P AS hp
+       |FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql("text")})) AS sh
+       |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** MinHash + LSH near-dup pairs: 16 minhashes per doc (one shuffle:
+    * groupBy doc_id with 16 min() partials), banded 4×4; docs sharing
+    * any band bucket become candidates (self-join on the 8-byte band
+    * key — bucket-local, never all-pairs); candidates are verified
+    * with exact Jaccard ≥ 0.8 over shingle sets.
+    *
+    * Scale: for s ≥ 0.8, P[share a band] = 1−(1−s⁴)⁴ ≥ 0.93; the
+    * shuffle volume is O(docs × 4 band keys). Verification joins only
+    * candidate pairs. Skewed buckets (boilerplate docs) are the known
+    * hazard — AQE skew-join handles moderate skew; a df-cap on
+    * pathological buckets is the 100 TB escape hatch.
+    */
+  val MinhashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  def q29MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val minCols = (0 until MinhashK).map(i =>
+      min((lit(hashA(i)) * col("hp") + lit(hashB(i))) % P).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.hp") === col("sb.hp"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("za.sz") + col("zb.sz") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q29Sql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min((${hashA(i)}*hp + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
+    val bandRows = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shingleHashesSql),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |          FROM cands c
+       |          JOIN sh sa ON c.doc_a = sa.doc_id
+       |          JOIN sh sb ON c.doc_b = sb.doc_id AND sa.hp = sb.hp
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id
+       |WHERE round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** SimHash fingerprints: 48-bit signature per document. Per word
+    * occurrence, each of the 48 hash bits votes ±1; signature bit j is
+    * 1 iff the vote sum is positive. One explode + one hash-agg with
+    * 48 packed sum() partials — a single shuffle of 48 ints per
+    * (partition, doc).
+    */
+  val SimhashBits = 48
+
+  def q30SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), h60(col("w")).as("hw"))
+    val voteCols = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("hw"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val votes = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val packed = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), packed.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  private def simhashCteSql: String = {
+    val sums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN (hw >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n  ")
+    val pack = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""words AS (SELECT doc_id, ${h60Sql("w")} AS hw
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |votes AS (SELECT doc_id, $sums FROM words GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $pack AS simhash FROM votes)""".stripMargin
+  }
+
+  val q30Sql: String =
+    s"""WITH $simhashCteSql
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** SimHash near-dup pairs via bit-banding: the 48-bit signature
+    * splits into 6 bytes; docs sharing any byte-band join as
+    * candidates; pairs with Hamming distance ≤ 5 are emitted. By
+    * pigeonhole, d ≤ 5 over 6 bands forces ≥ 1 equal band, so the
+    * banded join finds EXACTLY the pairs a quadratic scan would —
+    * with shuffle volume O(docs × 6 bytes).
+    */
+  val HammingMax = 5
+
+  def q31SimHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q30SimHash(spark, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("key", expr("shiftright(simhash, 8 * band) & 255"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q31Sql: String =
+    s"""WITH $simhashCteSql,
+       |bands AS (SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS key
+       |          FROM sig CROSS JOIN (SELECT unnest(range(6)) AS band)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                 x.simhash AS ha, y.simhash AS hb
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+       |FROM pairs WHERE bit_count(xor(ha, hb)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Exact n-gram Jaccard via inverted index: explode distinct
+    * shingles, self-join on the shingle hash (posting-list join),
+    * count intersections per pair, filter ≥ 0.8. No sketch error, but
+    * cost is Σ df(shingle)² — at 100 TB this needs the standard
+    * df-cap (drop shingles appearing in > N docs: they only ever
+    * connect boilerplate) which we note rather than apply at test SF.
+    */
+  def q32NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.hp") === col("b.hp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("za.sz") + col("zb.sz") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q32Sql: String =
+    s"""WITH sh AS ($shingleHashesSql),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.hp = b.hp AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id
+       |WHERE round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Embedding-cosine near-dup pairs, exact: all-pairs cosine over the
+    * embeddings table with the dot product as one sequential-fold
+    * codegen expression. Exact is right at catalog scale (≤ ~10⁵
+    * vectors after blocking); the 100 TB path is the LSH-bucketed
+    * variant in [[Similarity.q35AnnLsh]], which bounds candidates per
+    * bucket. Threshold 0.45 reflects this corpus (random vectors, max
+    * cosine ≈ 0.51).
+    */
+  val CosineThreshold = 0.45
+
+  def q33EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"),
+        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    ev.as("a").join(ev.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q33Sql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_sum(list_transform(range(64),
+       |    k -> CAST(a.embedding[k+1] AS DOUBLE) * CAST(b.embedding[k+1] AS DOUBLE)))
+       |    / (a.nrm * b.nrm), 4) AS cosine
+       |FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+       |WHERE list_sum(list_transform(range(64),
+       |    k -> CAST(a.embedding[k+1] AS DOUBLE) * CAST(b.embedding[k+1] AS DOUBLE)))
+       |    / (a.nrm * b.nrm) >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_dedup_exact" -> (q28ExactDedup _),
+    "q29_dedup_minhash_lsh" -> (q29MinhashLsh _),
+    "q30_simhash" -> (q30SimHash _),
+    "q31_simhash_pairs" -> (q31SimHashPairs _),
+    "q32_ngram_jaccard" -> (q32NgramJaccard _),
+    "q33_embedding_cosine" -> (q33EmbeddingCosine _))
+
+  def oracles: Map[String, String] = Map(
+    "q28_dedup_exact" -> q28Sql,
+    "q29_dedup_minhash_lsh" -> q29Sql,
+    "q30_simhash" -> q30Sql,
+    "q31_simhash_pairs" -> q31Sql,
+    "q32_ngram_jaccard" -> q32Sql,
+    "q33_embedding_cosine" -> q33Sql)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  test("exact dedup keeps one canonical id per distinct text") {
+    val kept = Dedup.q28ExactDedup(spark, sf)
+    val distinctTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").distinct().count()
+    assert(kept.count() == distinctTexts)
+    assert(kept.agg(sum("n_copies")).head.getLong(0) ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("minhash LSH finds the same pairs as exact n-gram jaccard") {
+    // LSH at s>=0.8 has >=93% per-pair recall; on the planted corpus
+    // (all true pairs ~0.98) it should find every exact pair.
+    val lsh = Dedup.q29MinhashLsh(spark, sf).select("doc_a", "doc_b").collect().toSet
+    val exact = Dedup.q32NgramJaccard(spark, sf).select("doc_a", "doc_b").collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("near-dup pairs have near-identical simhash fingerprints") {
+    val sig = Dedup.q30SimHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.q29MinhashLsh(spark, sf).collect()
+    pairs.foreach { p =>
+      val d = java.lang.Long.bitCount(sig(p.getLong(0)) ^ sig(p.getLong(1)))
+      assert(d <= 10, s"pair ${p.getLong(0)},${p.getLong(1)} hamming $d")
+    }
+  }
+
+  test("simhash banding catches every pair within the hamming bound") {
+    // pigeonhole guarantee: banded result == quadratic scan result
+    val sig = Dedup.q30SimHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- sig; (idb, hb) <- sig if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Dedup.HammingMax
+    } yield (ida, idb, d)).toSet
+    val banded = Dedup.q31SimHashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val rows = Dedup.q33EmbeddingCosine(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= Dedup.CosineThreshold))
+  }
+}
