@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Iterative
 import graft.operators.{Relational, Typed, Windows}
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Typed.queries ++ Windows.queries ++ Iterative.queries ++
-      Dedup.queries
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles ++
-      Dedup.oracles
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, dim 64): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH-bucketed variant as the
+  * scale path.
+  *
+  * The dot product is a single `zip_with`+`aggregate` codegen
+  * expression (sequential fold — deterministic and oracle-matchable);
+  * hyperplane components are generated from integer arithmetic so
+  * both engines derive bit-identical planes (no FP literals shipped).
+  */
+object Similarity {
+
+  val Dim = 64
+  val NQueries = 4
+  val TopK = 10
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+
+  // ---------------------------------------------------------------- q34
+  /** Brute-force cosine top-k: queries (vec_id < 4) broadcast against
+    * every candidate, rank per query, keep 10. Ranking uses the
+    * 4-decimal-rounded cosine with vec_id tie-break so rank order is
+    * stable across engines. At scale this is the per-partition
+    * "score + TakeOrdered" pattern: candidates never shuffle — only
+    * k rows per partition reach the final top-k.
+    */
+  def q34AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withNorm(Tables.embeddings(spark, dir))
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = ev.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q34Sql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |    round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(c.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))
+       |      / (c.nrm * q.nrm), 4) AS cosine
+       |  FROM ev c CROSS JOIN ev q
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** LSH-bucketed ANN: 4 random hyperplanes → 16 sign buckets; a
+    * query only scores candidates in its own bucket. Plane components
+    * come from an integer LCG ((j·64+k+1)·2654435761 mod 1000003,
+    * scaled to [−0.5, 0.5)) evaluated identically in both engines.
+    *
+    * Scale: bucketing turns the O(N) scan per query into O(N/2^planes)
+    * with one equi-join shuffle on the bucket id; recall is tuned by
+    * plane count and multi-probe (flip one sign bit) — documented,
+    * not applied at test SF. This is the 100 TB path for
+    * [[Dedup.q33EmbeddingCosine]] too.
+    */
+  val Planes = 4
+
+  private def planeVec(j: Int): Seq[Double] =
+    (0 until Dim).map(k => ((j * Dim + k + 1) * 2654435761L % 1000003L) / 1000003.0 - 0.5)
+
+  private def bucketCol: Column =
+    (0 until Planes).map { j =>
+      val p = array(planeVec(j).map(lit): _*)
+      when(dot(col("embedding"), p) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketCol)
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val scored = ev.join(broadcast(q), col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q35Sql: String =
+    s"""WITH ev0 AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id, embedding, nrm,
+       |  ${(0 until Planes).map(j =>
+            s"""(CASE WHEN list_sum(list_transform(range($Dim),
+               |    k -> CAST(embedding[k+1] AS DOUBLE) *
+               |         ((($j*$Dim + k + 1) * 2654435761) % 1000003 / 1000003.0 - 0.5))) > 0
+               |    THEN ${1 << j} ELSE 0 END)""".stripMargin).mkString(" +\n  ")} AS bucket
+       |  FROM ev0),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |    round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(c.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))
+       |      / (c.nrm * q.nrm), 4) AS cosine
+       |  FROM ev c JOIN ev q ON c.bucket = q.bucket
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_ann_bruteforce" -> (q34AnnBruteForce _),
+    "q35_ann_lsh" -> (q35AnnLsh _))
+
+  def oracles: Map[String, String] = Map(
+    "q34_ann_bruteforce" -> q34Sql,
+    "q35_ann_lsh" -> q35Sql)
+}

@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation over the
+  * `documents` table: language identification (stopword-profile
+  * heuristic), quality scoring (length/lexical-diversity/stopword
+  * ratios), token counting (whitespace + regex sub-token), and
+  * document fingerprinting (bottom-k sketch of character n-gram
+  * hashes).
+  *
+  * Everything is a narrow per-row projection — no shuffle at all
+  * except optional final ordering — so these run at scan speed on any
+  * corpus size; the expressions stay inside whole-stage codegen (no
+  * UDFs).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- q36
+  /** Language ID: count stopword hits per language profile, predict
+    * the best-scoring language with a fixed priority order on ties.
+    * (On this synthetic corpus every language shares one vocabulary,
+    * so the interesting property is determinism, not accuracy.)
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "est"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2", "you3"))
+
+  private def hitCount(words: Column, profile: Seq[String]): Column =
+    size(filter(words, w => array_contains(array(profile.map(lit): _*), w)))
+
+  def q36LangId(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir).select(
+      (Seq(col("doc_id"), col("lang")) ++
+        Profiles.map { case (l, p) => hitCount(words, p).as(s"s_$l") }): _*)
+    // argmax with first-wins tie-break in profile order (de,en,es,fr,zh)
+    val langs = Profiles.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((l, _), rest) =>
+      val others = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(others, lit(l)).otherwise(rest)
+    }
+    scored.select(col("doc_id"), pred.as("lang_pred"),
+        (pred === col("lang")).cast("int").as("is_correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q36Sql: String = {
+    val langs = Profiles.map(_._1)
+    val scores = Profiles.map { case (l, p) =>
+      val arr = p.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(str_split(text, ' '), w -> list_contains($arr, w))) AS s_$l"
+    }.mkString(",\n  ")
+    val pred = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", "\n    ", s" ELSE '${langs.last}' END")
+    s"""WITH scored AS (SELECT doc_id, lang,
+       |  $scores
+       |  FROM documents)
+       |SELECT doc_id, $pred AS lang_pred,
+       |  CAST(($pred) = lang AS INT) AS is_correct
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Quality scoring: word count, type/token ratio (lexical
+    * diversity), English-stopword ratio, mean word length — combined
+    * into one bounded score. All ratios are exact rational arithmetic
+    * over integer counts (single IEEE division each), so no rounding
+    * tolerance is needed until the final blend.
+    */
+  def q37Quality(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val en = Profiles.toMap.apply("en")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      (size(array_distinct(words)) / size(words).cast("double")).as("ttr"),
+      (size(filter(words, w => array_contains(array(en.map(lit): _*), w)))
+        / size(words).cast("double")).as("stop_ratio"),
+      ((length(col("text")) - size(words) + 1) / size(words).cast("double")).as("avg_word_len"))
+      .withColumn("quality",
+        round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("avg_word_len") / lit(8.0), lit(1.0)), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String = {
+    val en = Profiles.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  len(w) AS n_words,
+       |  len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS ttr,
+       |  len(list_filter(w, x -> list_contains($en, x))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       |  (length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE) AS avg_word_len,
+       |  round(0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+       |      + 0.3 * (1.0 - len(list_filter(w, x -> list_contains($en, x))) / CAST(len(w) AS DOUBLE))
+       |      + 0.3 * least(((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE)) / 8.0, 1.0), 6) AS quality
+       |FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Token counting: whitespace tokens and a BPE-ish sub-token count
+    * (letter runs, digit runs, single other chars) via
+    * regexp_extract_all — the standard "how many tokens is this
+    * corpus" pre-pass, one narrow projection.
+    */
+  def q38TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("sub_tokens"),
+      length(col("text")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("sub_tokens").cast("double"), 6))
+      .orderBy(col("doc_id"))
+
+  val q38Sql: String =
+    """SELECT doc_id,
+      |  len(str_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS sub_tokens,
+      |  length(text) AS n_chars,
+      |  round(length(text) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 6) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Document fingerprinting: bottom-4 sketch over character 8-gram
+    * hashes — a compact order-independent signature whose pairwise
+    * overlap estimates containment (the winnowing/MOSS family). One
+    * projection; the sketch (4 longs) is what ships to any
+    * downstream join, never the text.
+    */
+  val GramLen = 8
+  val SketchK = 4
+
+  def q39Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      slice(array_sort(array_distinct(transform(
+        expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> substr(text, i, $GramLen))"),
+        g => h60(g)))), 1, SketchK).as("sketch"))
+      .orderBy(col("doc_id"))
+
+  val q39Sql: String =
+    s"""SELECT doc_id,
+       |  (list_sort(list_distinct([${h60Sql("text[i:i+" + (GramLen - 1) + "]")}
+       |    for i in range(1, length(text) - ${GramLen - 2})])))[1:$SketchK] AS sketch
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_langid" -> (q36LangId _),
+    "q37_quality_score" -> (q37Quality _),
+    "q38_token_count" -> (q38TokenCount _),
+    "q39_fingerprint" -> (q39Fingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "q36_langid" -> q36Sql,
+    "q37_quality_score" -> q37Sql,
+    "q38_token_count" -> q38Sql,
+    "q39_fingerprint" -> q39Sql)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  test("brute-force ANN returns k ranked neighbors per query") {
+    val rows = Similarity.q34AnnBruteForce(spark, sf).collect()
+    assert(rows.length == Similarity.NQueries * Similarity.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to Similarity.TopK))
+      // cosine non-increasing with rank
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results are a subset-ranking of brute-force candidates") {
+    val brute = Similarity.q34AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.q35AnnLsh(spark, sf).collect()
+    // every LSH hit scores identically to the exact computation
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("langid predictions cover profiled languages deterministically") {
+    val rows = TextAnalysis.q36LangId(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    val langs = TextAnalysis.Profiles.map(_._1).toSet
+    assert(rows.forall(r => langs.contains(r.getString(1))))
+  }
+
+  test("quality score is bounded to (0, 1]") {
+    val qs = TextAnalysis.q37Quality(spark, sf).select("quality").collect().map(_.getDouble(0))
+    assert(qs.forall(q => q > 0 && q <= 1.0))
+  }
+
+  test("sub-token count at least matches whitespace token count") {
+    val rows = TextAnalysis.q38TokenCount(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(2) >= r.getInt(1)))
+  }
+
+  test("fingerprint sketches are sorted bottom-k and collide for near-dups") {
+    val fps = TextAnalysis.q39Fingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fps.values.foreach { s =>
+      assert(s.length == TextAnalysis.SketchK)
+      assert(s == s.sorted)
+    }
+  }
+
+  test("media pipeline: payload bytes equal text length (ascii corpus)") {
+    val bad = Multimodal.mediaCatalog(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet"), "doc_id")
+      .filter(expr("length(payload) <> length(text)"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("media features are computed per partition without shuffle") {
+    val df = Multimodal.q40MediaFeatures(spark, sf)
+    val beforeSort = Multimodal.mediaCatalog(spark, sf)
+    assert(beforeSort.rdd.getNumPartitions >= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    // only the final orderBy exchanges; the extract stage is narrow
+    assert(plan.split("Exchange").length <= 2)
+    val r = df.filter(col("doc_id") === 0).head()
+    assert(r.getInt(4) > 0 && r.getLong(5) > 0)
+  }
+
+  test("jvm h60 matches the in-plan portable h60") {
+    val fromPlan = spark.range(1)
+      .select(graft.functions.Portable.h60(lit("hello graft"))).head.getLong(0)
+    assert(fromPlan == Multimodal.h60jvm("hello graft"))
+  }
+}
