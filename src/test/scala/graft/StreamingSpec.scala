@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  private def feed(evs: Seq[Ev]): MemoryStream[Ev] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    ms
+  }
+
+  test("streaming tumbling agg matches the batch plan on the same data") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, ts(0), 1, "a", 10.0), Ev(2, ts(2), 1, "a", 20.0),
+      Ev(3, ts(6), 1, "a", 5.0), Ev(4, ts(7), 2, "b", 7.0),
+      Ev(5, ts(40), 1, "a", 1.0)) // watermark pusher
+    val ms = feed(evs)
+    val q = Streams.tumbling(ms.toDF()).writeStream
+      .format("memory").queryName("tumb").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumb")
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch reference on the same rows (windows closed by the watermark)
+    val batch = evs.toDF().filter(col("event_id") < 5)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    val evs = Seq(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0),
+      Ev(2, ts(2), 1, "a", 2.0))
+    val ms = feed(evs)
+    val q = Streams.dedup(ms.toDF()).writeStream
+      .format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dd").count() == 2)
+  }
+
+  test("count windows emit exactly every `size` events per key") {
+    import spark.implicits._
+    val evs = (1 to 7).map(i => Ev(i, ts(i), 1, "a", i.toDouble)) ++
+      (1 to 3).map(i => Ev(100 + i, ts(i), 2, "b", 1.0))
+    val ms = feed(evs)
+    val q = Streams.countWindow(ms.toDS(), 3).writeStream
+      .format("memory").queryName("cw").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // user 1: windows (1,2,3)=6 and (4,5,6)=15; 7th stays buffered.
+    // user 2: (1,2,3)=3.
+    assert(rows == Set((1L, 0L, 3L, 6.0), (1L, 1L, 3L, 15.0), (2L, 0L, 3L, 3.0)))
+  }
+
+  test("count window state carries across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.countWindow(ms.toDS(), 3).writeStream
+      .format("memory").queryName("cw2").outputMode(OutputMode.Append()).start()
+    ms.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("cw2").count() == 0) // window still open
+    ms.addData(Ev(3, ts(3), 1, "a", 3.0))
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("cw2").head()
+    assert((r.getLong(0), r.getLong(2), r.getDouble(3)) == (1L, 3L, 6.0))
+  }
+
+  test("file-stream source processes the events table end-to-end") {
+    val table = Streams.runTumblingOnce(spark, sf, "file_tumb")
+    val batch = graft.operators.Windows.q18Tumbling(spark, sf).count()
+    // append mode emits only watermark-closed windows; all but the
+    // final windows close, so the stream sees nearly all of them
+    assert(table.count() > 0.9 * batch)
+  }
+
+  test("session stream merges gap-overlapping events") {
+    val evs = Seq(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 2.0), // one session
+      Ev(3, ts(60), 1, "a", 3.0), // new session
+      Ev(4, ts(180), 1, "a", 0.0)) // watermark pusher
+    val ms = feed(evs)
+    val q = Streams.session(ms.toDF()).writeStream
+      .format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    // schema: (user_id, session_window, n_events, sum_v)
+    val done = spark.table("sess").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(done.toSet == Set((2L, 3.0), (1L, 3.0)))
+  }
+}
