@@ -66,7 +66,10 @@ object Iterative {
     * — lexicographic, so ties break to the lowest cid on both engines.
     */
   def q23KMeans(spark: SparkSession, dir: String): DataFrame = {
+    // cache the working set: every superstep (plus the final
+    // assignment) re-scans it — memory-resident like MLlib's kmeans
     val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cidExpr(cs: Array[Double]): Column =
       array_min(array(cs.zipWithIndex.map { case (c, i) =>
         struct(abs(col("value") - lit(c)).as("d"), lit(i).as("cid"))
@@ -126,6 +129,7 @@ object Iterative {
       (col("l_discount") * 10.0).as("x2"),
       (col("l_extendedprice") / 100000.0).as("x3"),
       when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lr = 2.0
     def z(w: Array[Double]): Column =
       lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")

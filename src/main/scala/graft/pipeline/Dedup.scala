@@ -44,11 +44,16 @@ object Dedup {
 
   // ------------------------------------------------------------- shared
   /** (doc_id, hp): distinct 3-word-shingle hashes per document,
-    * reduced mod P. The base relation for minhash and Jaccard. */
+    * reduced mod P. The base relation for minhash and Jaccard —
+    * persisted because each consumer reads it 2-4× (signature agg,
+    * sizes, both sides of the posting-list self-join) and the
+    * interpreted shingle lambda is the dominant cost of recomputing.
+    */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
       .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def shingleHashesSql: String =
     s"""SELECT doc_id, ${h60Sql("sh")} % $P AS hp
@@ -74,8 +79,10 @@ object Dedup {
 
   def q29MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(spark, dir)
+    // one hash-agg pass yields both the 16 minhashes and the set size
     val minCols = (0 until MinhashK).map(i =>
-      min((lit(hashA(i)) * col("hp") + lit(hashB(i))) % P).as(s"m$i"))
+      min((lit(hashA(i)) * col("hp") + lit(hashB(i))) % P).as(s"m$i")) :+
+      count(lit(1)).as("sz")
     val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -88,7 +95,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = sig.select(col("doc_id"), col("sz"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.hp") === col("sb.hp"))
@@ -250,27 +257,40 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q33
-  /** Embedding-cosine near-dup pairs, exact: all-pairs cosine over the
-    * embeddings table with the dot product as one sequential-fold
-    * codegen expression. Exact is right at catalog scale (≤ ~10⁵
-    * vectors after blocking); the 100 TB path is the LSH-bucketed
-    * variant in [[Similarity.q35AnnLsh]], which bounds candidates per
-    * bucket. Threshold 0.45 reflects this corpus (random vectors, max
-    * cosine ≈ 0.51).
+  /** Embedding-cosine near-dup pairs, exact: all-pairs cosine as a
+    * block-nested-loop — partitions stream the table once against a
+    * broadcast catalog block, dot products in a primitive JVM kernel
+    * (same fold order as the oracle's list_sum, so bit-identical).
+    * Exact is right at catalog-block scale (≤ ~10⁵ vectors); the
+    * 100 TB path is the LSH-bucketed variant in
+    * [[Similarity.q35AnnLsh]], which bounds candidates per bucket.
+    * Threshold 0.45 reflects this corpus (random vectors, max cosine
+    * ≈ 0.51).
     */
   val CosineThreshold = 0.45
 
   def q33EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"),
-        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
-    ev.as("a").join(ev.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (aggregate(zip_with(col("a.embedding"), col("b.embedding"),
-          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .filter(col("cosine") >= CosineThreshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // block nested loop: each partition's rows scan one broadcast
+    // catalog block with a primitive-array kernel (interpreted
+    // zip_with/aggregate lambdas are ~100× slower per pair); only
+    // pairs (a < b) above threshold are emitted
+    val block = Similarity.broadcastVecs(spark, emb)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cat = block.value
+        it.flatMap { case (id, e) =>
+          val a = Similarity.mkVec(id, e)
+          cat.iterator.filter(_.id > id).flatMap { b =>
+            val c = Similarity.dotJvm(a.v, b.v) / (a.norm * b.norm)
+            if (c >= CosineThreshold) Iterator((a.id, b.id, Similarity.round4(c)))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "cosine")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -31,6 +31,47 @@ object Similarity {
       sqrt(aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
 
+  // -------------------------------------------------- dense-vector kernel
+  /** One catalog vector in primitive form: id, float→double components,
+    * L2 norm — the unit the JVM kernel loops over. */
+  private[pipeline] case class Vec(id: Long, v: Array[Double], norm: Double)
+
+  /** Sum order matches DuckDB's list_sum fold (ascending k), so kernel
+    * cosines are bit-identical to the oracle's. */
+  private[pipeline] def mkVec(id: Long, e: Seq[Float]): Vec = {
+    val v = new Array[Double](e.length)
+    var n = 0.0
+    var k = 0
+    while (k < v.length) { v(k) = e(k).toDouble; n += v(k) * v(k); k += 1 }
+    Vec(id, v, math.sqrt(n))
+  }
+
+  private[pipeline] def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var k = 0
+    while (k < a.length) { s += a(k) * b(k); k += 1 }
+    s
+  }
+
+  private[pipeline] def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Collect-and-broadcast one side of a vector join. Interpreted
+    * higher-order expressions (`aggregate`/`zip_with` never enter
+    * whole-stage codegen) cost ~100× a primitive loop, so dense
+    * all-pairs math runs as a mapPartitions kernel against a
+    * broadcast block instead. At 100 TB the broadcast side is one
+    * bounded catalog BLOCK (~10⁵ vectors ≈ 50 MB); an outer driver
+    * loop over blocks covers an unbounded catalog — same kernel.
+    */
+  private[pipeline] def broadcastVecs(spark: SparkSession, df: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Array[Vec]] = {
+    val vecs = df.select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    spark.sparkContext.broadcast(vecs)
+  }
+
   // ---------------------------------------------------------------- q34
   /** Brute-force cosine top-k: queries (vec_id < 4) broadcast against
     * every candidate, rank per query, keep 10. Ranking uses the
@@ -40,13 +81,21 @@ object Similarity {
     * k rows per partition reach the final top-k.
     */
   def q34AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val ev = withNorm(Tables.embeddings(spark, dir))
-    val q = ev.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val scored = ev.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cosine"))
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qs = broadcastVecs(spark, emb.filter(col("vec_id") < NQueries))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val queries = qs.value
+        it.flatMap { case (id, e) =>
+          val c = mkVec(id, e)
+          queries.iterator.filter(_.id != id).map { q =>
+            (q.id, c.id, round4(dotJvm(c.v, q.v) / (c.norm * q.norm)))
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "cosine")
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
