@@ -31,20 +31,20 @@ object Iterative {
     * for A = embeddings[0,32), B = embeddings[32,64). The reference
     * broadcasts matrix B to every worker and dot-products row-wise;
     * here B is a Spark `broadcast` side of a nested-loop join and the
-    * dot product is a single codegen'd `zip_with`+`aggregate`
-    * expression (sequential fold ⇒ deterministic sum order). At
-    * 100 TB: A streams, B stays a broadcast — no shuffle at all.
+    * dot product is the native codegen expression
+    * [[graft.plans.DotProduct]] (ascending-index fold ⇒ deterministic
+    * sum order). At 100 TB: A streams, B stays a broadcast — no
+    * shuffle at all.
     */
   def q22MatMul(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val a = emb.filter(col("vec_id") < 32).select(col("vec_id").as("i"), col("embedding").as("ea"))
     val b = emb.filter(col("vec_id") >= 32 && col("vec_id") < 64)
       .select(col("vec_id").as("j"), col("embedding").as("eb"))
     a.crossJoin(broadcast(b))
       .select(col("i"), col("j"),
-        round(aggregate(
-          zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v), 4).as("dot"))
+        round(call_function("graft_dot", col("ea"), col("eb")), 4).as("dot"))
       .orderBy(col("i"), col("j"))
   }
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partitioning / physical-distribution surface (SURVEY.md §2.5 —
+  * `/root/reference` flink-java DataSet.java:1292-1465:
+  * partitionByHash, partitionByRange (sampled), partitionCustom,
+  * rebalance, sortPartition).
+  *
+  * In Spark these are plan properties, not data transforms — they
+  * exist to position data for a later stateful op or a partitioned
+  * write. The library exposes them with the scale guidance inline;
+  * PartitioningSpec asserts the resulting physical properties
+  * (outputPartitioning, exchange count) rather than row content,
+  * which they do not change.
+  */
+object Partitioning {
+
+  /** partitionByHash (DataSet.java:1292): co-locate rows by key —
+    * position a hot join/agg key once, reuse across stages. */
+  def byHash(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartition(n, keys: _*)
+
+  /** partitionByRange + sampling rewrite (DataSet.java:1332,
+    * RangePartitionRewriter.java): Spark samples boundaries the same
+    * way; combined with sortWithinPartitions this is the
+    * write-sorted-buckets pattern for downstream merge scans. */
+  def byRange(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(n, keys: _*)
+
+  /** partitionCustom (DataSet.java:1375): custom routing = hash
+    * partition on a computed routing expression. */
+  def custom(df: DataFrame, n: Int, route: Column): DataFrame =
+    df.repartition(n, route)
+
+  /** rebalance (DataSet.java:1420): round-robin to break skew before
+    * an expensive narrow stage. */
+  def rebalance(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n)
+
+  /** sortPartition (DataSet.java:1436) — partition-local sort, NOT a
+    * global sort: no range exchange, each partition sorts
+    * independently (Flink's DataSet API has no global sort at all;
+    * Spark's orderBy is a superset). */
+  def sortPartition(df: DataFrame, keys: Column*): DataFrame =
+    df.sortWithinPartitions(keys: _*)
+
+  /** The composed idiom: range-partition + local sort = globally
+    * ordered bucket files (what the reference's
+    * partitionByRange+sortPartition chains achieve), e.g. for a
+    * sorted parquet layout consumed by merge joins. */
+  def sortedBuckets(df: DataFrame, n: Int, key: Column): DataFrame =
+    sortPartition(byRange(df, n, key), key)
+}

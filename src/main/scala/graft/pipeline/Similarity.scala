@@ -145,14 +145,22 @@ object Similarity {
     }.reduce(_ + _)
 
   def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ev = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketCol)
+    graft.plans.Functions.register(spark)
+    // norms + candidate scoring run on the native codegen graft_dot
+    // (plane dots keep the fold expression: planes are double literals,
+    // and casting them to float would diverge from the oracle)
+    val ev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nrm"))
+      .withColumn("bucket", bucketCol)
     val q = ev.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
     val scored = ev.join(broadcast(q), col("bucket") === col("qb"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cosine"))
+        round(call_function("graft_dot", col("embedding"), col("qe"))
+          / (col("nrm") * col("qn")), 4).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

@@ -95,6 +95,39 @@ object Streams {
       }
   }
 
+  /** Interval join (reference KeyedStream.intervalJoin,
+    * KeyedStream.java:425): each left event joins right events of the
+    * same user within [0, +5 minutes) of its timestamp. Watermarks on
+    * BOTH sides plus the time-range condition let the state store
+    * evict rows once the range can no longer match — the required
+    * shape for unbounded stream-stream joins.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    // rename BEFORE watermarking: aliasing afterwards would mint new
+    // attributes without the watermark metadata and the time-range
+    // join would never emit
+    val l = left
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", "10 minutes")
+    val r = right
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", "10 minutes")
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr("INTERVAL 5 MINUTES") &&
+        col("l_id") =!= col("r_id"))
+  }
+
+  /** Broadcast-state pattern (reference BroadcastConnectedStream): a
+    * slow-changing dimension joined onto the stream — in Spark a plain
+    * stream-static join; the static side broadcasts into every
+    * micro-batch. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left_outer")
+
   /** Streaming top-level demo: tumbling agg of the events file stream
     * written to an in-memory sink; returns the query result table
     * after processing everything available (used by specs/smoke, not

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Partitioning
+import graft.sources.{Formats, Tables}
+
+class FormatsSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  test("csv sink/source roundtrip preserves rows with explicit schema") {
+    val dir = tmp("csv")
+    val orig = Tables.nation(spark, sf).orderBy("n_nationkey")
+    Formats.writeCsv(orig, dir, delimiter = "|", header = true)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType), StructField("n_comment", StringType)))
+    val back = Formats.readCsv(spark, dir, schema, delimiter = "|", header = true)
+    assert(back.count() == orig.count())
+    assert(back.agg(sum("n_regionkey")).head.getLong(0) ==
+      orig.agg(sum("n_regionkey")).head.getLong(0))
+  }
+
+  test("text sink/source roundtrip") {
+    val dir = tmp("text")
+    import spark.implicits._
+    val lines = Tables.documents(spark, sf).select("text").as[String]
+    Formats.writeText(lines, dir)
+    assert(Formats.readText(spark, dir).count() == lines.count())
+  }
+
+  test("parquet stage roundtrip (the reference's binary stage format)") {
+    val dir = tmp("pq")
+    val orig = Tables.orders(spark, sf)
+    Formats.writeParquet(orig, dir)
+    val back = Formats.readParquet(spark, dir)
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+  }
+
+  test("collection sources and sequence") {
+    import spark.implicits._
+    assert(Formats.fromElements(spark, Seq((1, "a"), (2, "b"))).count() == 2)
+    assert(Formats.sequence(spark, 1, 100).agg(sum("id")).head.getLong(0) == 5050)
+  }
+
+  test("hash partition positions rows by key with one exchange") {
+    val df = Partitioning.byHash(Tables.orders(spark, sf), 8, col("o_custkey"))
+    assert(df.rdd.getNumPartitions == 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"))
+    // a groupBy on the same key reuses the partitioning: no second exchange
+    val agg = df.groupBy("o_custkey").count()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.split("Exchange").length == 2, s"extra exchange in:\n$aggPlan")
+  }
+
+  test("range partition + local sort yields globally sorted buckets") {
+    val df = Partitioning.sortedBuckets(Tables.orders(spark, sf), 4, col("o_orderkey"))
+    assert(df.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    import spark.implicits._
+    val perPart = df.select(col("o_orderkey"))
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq))
+      .collect().filter(_.nonEmpty)
+    // each partition locally sorted
+    perPart.foreach(p => assert(p == p.sorted))
+    // and partition key-ranges do not overlap (global order across buckets)
+    val ranges = perPart.map(p => (p.head, p.last)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
+  test("rebalance evens out partition sizes") {
+    val skewed = Tables.lineitem(spark, sf).repartition(1)
+    val even = Partitioning.rebalance(skewed, 8)
+    import spark.implicits._
+    val sizes = even.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.length == 8)
+    assert(sizes.max - sizes.min <= math.max(2, sizes.max / 4))
+  }
+}

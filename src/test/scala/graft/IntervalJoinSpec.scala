@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
+
+  // keep event times far from epoch 0: a streaming query's initial
+  // watermark is 0, and near-epoch rows can be dropped as late
+  private val base = 1700000000000L
+  private def ts(min: Int): Timestamp = new Timestamp(base + min * 60000L)
+
+  test("stream-stream interval join matches events within [0, 5min) per user") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    l.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 2.0), Ev(3, ts(0), 2, "a", 3.0))
+    r.addData(Ev(11, ts(2), 1, "b", 1.5), // joins event 1 (within 5min, same user)
+      Ev(12, ts(8), 1, "b", 2.5), // joins nothing (1: too late, 2: too early)
+      Ev(13, ts(30), 3, "b", 9.9)) // different user
+    val q = Streams.intervalJoin(l.toDF(), r.toDF()).writeStream
+      .format("memory").queryName("ij").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("ij").select("l_id", "r_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L)))
+  }
+
+  test("stream enrich with a broadcast static dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    s.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 2, "a", 2.0), Ev(3, ts(2), 9, "a", 3.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrich(s.toDF(), dim).writeStream
+      .format("memory").queryName("enr").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enr").select("event_id", "tier").collect()
+      .map(row => (row.getLong(0), Option(row.getString(1)))).toSet
+    assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+  }
+}
