@@ -52,4 +52,25 @@ object Partitioning {
     * sorted parquet layout consumed by merge joins. */
   def sortedBuckets(df: DataFrame, n: Int, key: Column): DataFrame =
     sortPartition(byRange(df, n, key), key)
+
+  /** Salted equi-join for skewed keys: the big side gets a random-ish
+    * but DETERMINISTIC salt (hash of the whole row modulo `salts`),
+    * the small side is replicated once per salt value, and the join
+    * key becomes (key, salt) — a hot key's rows now spread over
+    * `salts` reducers instead of one. This is the manual fallback for
+    * skew beyond what AQE's skew-join split handles (AQE only splits
+    * sort-merge partitions; salting also fixes skewed shuffled-hash
+    * and aggregate-feeding joins).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(salts)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated,
+        saltedBig(key) === replicated(key) &&
+          saltedBig("__salt") === replicated("__salt"), joinType)
+      .drop(replicated(key)).drop("__salt")
+  }
 }

@@ -128,6 +128,17 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left_outer")
 
+  /** foreachBatch sink (the reference's side-output / multi-sink
+    * answer, SURVEY.md §2.6): each micro-batch lands as a batch
+    * DataFrame with its batch id, so one stream can feed several
+    * batch writers transactionally-enough (idempotent by batchId). */
+  def toForeachBatch(df: DataFrame, name: String)(
+      handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(handle)
+      .start()
+
   /** Streaming top-level demo: tumbling agg of the events file stream
     * written to an in-memory sink; returns the query result table
     * after processing everything available (used by specs/smoke, not

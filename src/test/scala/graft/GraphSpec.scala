@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Graph
+import graft.operators.Partitioning
+import graft.sources.Tables
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  test("pagerank mass stays near node count under damping") {
+    val full = Graph.q41PageRank(spark, sf)
+    val top = full.collect()
+    assert(top.length == 20)
+    assert(top.forall(_.getDouble(1) > 0.15)) // every node keeps the base rank
+    // descending rank order with node tie-break
+    val ranks = top.map(r => (r.getDouble(1), r.getLong(0)))
+    ranks.sliding(2).foreach {
+      case Array((r1, n1), (r2, n2)) => assert(r1 > r2 || (r1 == r2 && n1 < n2))
+      case _ =>
+    }
+  }
+
+  test("delta-iteration CC converges to one component like fixed supersteps") {
+    val conv = Graph.connectedComponentsConverged(spark, sf)
+    val labels = conv.select("label").distinct().collect().map(_.getLong(0))
+    // lineitem connects every part and supplier at this SF: one component,
+    // labelled by the smallest node id
+    assert(labels.length == 1)
+    val minNode = conv.agg(min("node")).head.getLong(0)
+    assert(labels.head == minNode)
+    assert(conv.count() ==
+      Graph.q42ConnectedComponents(spark, sf).agg(sum("n_nodes")).head.getLong(0))
+  }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))
+    val plain = big.join(small, "l_partkey")
+    val salted = Partitioning.saltedJoin(big, small, "l_partkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("l_quantity")).head.getDouble(0) ==
+      plain.agg(sum("l_quantity")).head.getDouble(0))
+    // every salt bucket of a hot key carries rows (the spread is real):
+    val hot = big.groupBy("l_partkey").count().orderBy(desc("count")).head.getLong(0)
+    val spread = big.filter(col("l_partkey") === hot)
+      .withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+}

@@ -94,6 +94,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(table.count() > 0.9 * batch)
   }
 
+  test("foreachBatch hands each micro-batch to a batch writer") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Streams.toForeachBatch(ms.toDF(), "fb") { (batch, id) =>
+      seen.add((id, batch.count()))
+    }
+    ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "a", 2.0))
+    q.processAllAvailable()
+    ms.addData(Ev(3, ts(2), 1, "a", 3.0))
+    q.processAllAvailable(); q.stop()
+    val byBatch = seen.toArray(Array.empty[(Long, Long)]).toMap
+    assert(byBatch(0L) == 2 && byBatch(1L) == 1)
+  }
+
   test("session stream merges gap-overlapping events") {
     val evs = Seq(
       Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 2.0), // one session
