@@ -49,11 +49,15 @@ object Dedup {
     * sizes, both sides of the posting-list self-join) and the
     * interpreted shingle lambda is the dominant cost of recomputing.
     */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-      .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+        .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def shingleHashesSql: String =
     s"""SELECT doc_id, ${h60Sql("sh")} % $P AS hp
@@ -90,10 +94,15 @@ object Dedup {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // candidate pairs bucket-locally: one shuffle groups each band
+    // bucket, pairs expand inside the bucket (a self-join would
+    // compute the signature aggregation twice — seen in PlanAudit)
+    val cands = bands.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     val sizes = sig.select(col("doc_id"), col("sz"))
     val inter = cands
@@ -194,9 +203,13 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(5))).as("band"))
       .withColumn("key", expr("shiftright(simhash, 8 * band) & 255"))
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+    // bucket-local pair expansion, same shape as q29's candidates
+    val pairs = bands.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("ha"), col("y.simhash").as("hb"))
       .distinct()
