@@ -332,6 +332,82 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q5 analogue: 5-way join through the region→nation→
+    * customer/supplier star with local-supplier condition. nation and
+    * region broadcast (tiny dims); customer/orders/lineitem shuffle
+    * on their join keys once each; AQE may collapse further.
+    */
+  def q44LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q44Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM region, nation, customer, orders, lineitem, supplier
+      |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+      |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+      |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = c_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 analogue (forecast-revenue): pure scan-filter-agg — the
+    * predicate triple reaches the parquet row-group stats, so at
+    * 100 TB only qualifying row groups are read at all; no shuffle
+    * beyond the single-row partial merge.
+    */
+  def q45ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q45Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin
+
+  /** Top-3 order prices per customer through the engine's custom
+    * physical operator ([[graft.plans.TopKPerKey]]: partial heaps →
+    * exchange → final heaps, shuffling ≤ k rows per partition-key
+    * instead of every row like the window-rank form in q12). Output
+    * projects (key, value) only — the retained value multiset is
+    * exact regardless of boundary-tie row identity, so it hash-checks
+    * against the window-rank oracle.
+    */
+  def q46TopKCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerKey(Tables.orders(spark, dir), 3,
+        col("o_totalprice"), col("o_custkey"))
+      .select(col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), desc("o_totalprice"))
+
+  val q46Sql: String =
+    """SELECT o_custkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, o_totalprice DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
@@ -346,7 +422,10 @@ object Relational {
     "q11_min_max_by" -> (q11MaxBy _),
     "q12_first_n_per_group" -> (q12FirstN _),
     "q13_top_k" -> (q13TopK _),
-    "q14_returned_revenue" -> (q14Returns _))
+    "q14_returned_revenue" -> (q14Returns _),
+    "q44_local_supplier" -> (q44LocalSupplier _),
+    "q45_forecast_revenue" -> (q45ForecastRevenue _),
+    "q46_topk_custom" -> (q46TopKCustom _))
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -362,5 +441,8 @@ object Relational {
     "q11_min_max_by" -> q11Sql,
     "q12_first_n_per_group" -> q12Sql,
     "q13_top_k" -> q13Sql,
-    "q14_returned_revenue" -> q14Sql)
+    "q14_returned_revenue" -> q14Sql,
+    "q44_local_supplier" -> q44Sql,
+    "q45_forecast_revenue" -> q45Sql,
+    "q46_topk_custom" -> q46Sql)
 }
