@@ -408,6 +408,53 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY o_custkey, o_totalprice DESC""".stripMargin
 
+  /** Rollup (multi-level aggregate in one pass — absent from the
+    * reference DataSet API, SURVEY §2.3; Spark computes all grouping
+    * sets in a single shuffle via an expand node). */
+  def q47Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val q47Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** Analytic window functions (lag + running sum — the reference has
+    * no window-function layer at all; its closest shape is sorted
+    * group iteration). One shuffle on the partition key; rows stream
+    * through the frame in orderkey order.
+    */
+  def q48WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("cum_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
@@ -425,7 +472,9 @@ object Relational {
     "q14_returned_revenue" -> (q14Returns _),
     "q44_local_supplier" -> (q44LocalSupplier _),
     "q45_forecast_revenue" -> (q45ForecastRevenue _),
-    "q46_topk_custom" -> (q46TopKCustom _))
+    "q46_topk_custom" -> (q46TopKCustom _),
+    "q47_rollup" -> (q47Rollup _),
+    "q48_window_analytics" -> (q48WindowAnalytics _))
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -444,5 +493,7 @@ object Relational {
     "q14_returned_revenue" -> q14Sql,
     "q44_local_supplier" -> q44Sql,
     "q45_forecast_revenue" -> q45Sql,
-    "q46_topk_custom" -> q46Sql)
+    "q46_topk_custom" -> q46Sql,
+    "q47_rollup" -> q47Sql,
+    "q48_window_analytics" -> q48Sql)
 }
