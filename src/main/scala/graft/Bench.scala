@@ -1,16 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the engine's tuned session (AQE, broadcast threshold, Kryo…)
+    // IS part of the engine — bench with it, not Spark defaults
+    val spark = graft.engine.GraftSession.local("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet reader, shuffle machinery)
     // so the first measured query isn't charged ~4s of JVM startup

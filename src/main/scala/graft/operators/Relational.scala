@@ -455,6 +455,30 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Exact interpolated percentiles per group (no analogue in the
+    * reference at all; Spark's sort-based `percentile` matches
+    * DuckDB's quantile_cont linear interpolation). The 100 TB form
+    * is `percentile_approx` (t-digest, mergeable partials) — exact
+    * percentile requires a per-group sort and is the demonstrative
+    * baseline here.
+    */
+  def q49Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q49Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
@@ -474,7 +498,8 @@ object Relational {
     "q45_forecast_revenue" -> (q45ForecastRevenue _),
     "q46_topk_custom" -> (q46TopKCustom _),
     "q47_rollup" -> (q47Rollup _),
-    "q48_window_analytics" -> (q48WindowAnalytics _))
+    "q48_window_analytics" -> (q48WindowAnalytics _),
+    "q49_percentiles" -> (q49Percentiles _))
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -495,5 +520,6 @@ object Relational {
     "q45_forecast_revenue" -> q45Sql,
     "q46_topk_custom" -> q46Sql,
     "q47_rollup" -> q47Sql,
-    "q48_window_analytics" -> q48Sql)
+    "q48_window_analytics" -> q48Sql,
+    "q49_percentiles" -> q49Sql)
 }

@@ -193,6 +193,44 @@ object Similarity {
        |SELECT qid, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  /** Exact all-pairs cosine for catalogs LARGER than one broadcast:
+    * an outer driver loop over id-range blocks, each iteration
+    * broadcasting one block and streaming the full table against it
+    * with the JVM kernel (pairs emitted once via a.id < b.id within
+    * the processed range). Cost is passes × scan — the standard
+    * blocked nested loop; at 100 TB prefer [[q35AnnLsh]] unless
+    * exactness is contractual. Results are identical to the
+    * single-broadcast [[graft.pipeline.Dedup.q33EmbeddingCosine]].
+    */
+  def blockedAllPairsCosine(spark: SparkSession, dir: String,
+      threshold: Double, blockSize: Int): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val ids = emb.agg(min("vec_id"), max("vec_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val blocks = (lo to hi by blockSize).map(b => (b, math.min(b + blockSize - 1, hi)))
+    val parts = blocks.map { case (blo, bhi) =>
+      val block = broadcastVecs(spark,
+        emb.filter(col("vec_id") >= blo && col("vec_id") <= bhi))
+      // stream rows with id <= bhi: pairs (a < b) with b in this block
+      emb.filter(col("vec_id") <= bhi)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val cat = block.value
+          it.flatMap { case (id, e) =>
+            val a = mkVec(id, e)
+            cat.iterator.filter(_.id > id).flatMap { b =>
+              val c = dotJvm(a.v, b.v) / (a.norm * b.norm)
+              if (c >= threshold) Iterator((a.id, b.id, round4(c))) else Iterator.empty
+            }
+          }
+        }
+        .toDF("vec_a", "vec_b", "cosine")
+    }
+    parts.reduce(_ union _).orderBy(col("vec_a"), col("vec_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _))

@@ -37,6 +37,22 @@ class IoTPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/outliers").count() == outl.count())
   }
 
+  test("iot streaming stats stage runs over a memory stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val base = 1700000000000L
+    ms.addData(("dev-1", base, 1.0), ("dev-1", base + 60000, 2.0), ("dev-2", base, 5.0),
+      ("dev-1", base + 3600000, 9.0)) // watermark pusher
+    val q = IoTPipeline.runStreaming(ms.toDF().toDF("device", "ts_ms", "value"))
+      .writeStream.format("memory").queryName("iot_s")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("iot_s").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("dev-1", 2L, 3.0)) && rows.contains(("dev-2", 1L, 5.0)))
+  }
+
   test("iot outliers agree with the graded q21 outlier semantics") {
     val in = sensorCsv()
     val raw = Formats.readCsv(spark, in, IoTPipeline.InputSchema)

