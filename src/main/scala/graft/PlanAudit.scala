@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev tool: dump formatted physical plans for representative queries
   * so plan regressions (lost pushdown, surprise shuffles, broken
   * broadcasts, codegen fallbacks) are visible at a glance.
@@ -14,13 +12,7 @@ object PlanAudit {
       else Seq("q01_pricing_summary", "q03_shipping_priority", "q12_first_n_per_group",
         "q18_window_tumbling", "q29_dedup_minhash_lsh", "q31_simhash_pairs",
         "q35_ann_lsh", "q41_pagerank")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.engine.GraftSession.local("graft-plan-audit", "4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -32,6 +32,22 @@ object IoTPipeline {
       ((col("ts_ms") / lit(300000L)).cast("long") * 300L).as("w_start"),
       col("value"))
 
+  /** Parse with malformed-row counting via a Spark accumulator — the
+    * reference's accumulator surface (SURVEY §1,
+    * SerializedListAccumulator.java; Flink jobs report parse-reject
+    * counts the same way). Rows with null device/ts/value are dropped
+    * and counted; the accumulator is readable after any action. */
+  def bucketedCounted(raw: DataFrame): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val bad = raw.sparkSession.sparkContext.longAccumulator("iot.malformed")
+    import raw.sparkSession.implicits._
+    val parsed = raw.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) { bad.add(1); Iterator.empty }
+      else Iterator((r.getString(0), r.getLong(1) / 300000L * 300L, r.getDouble(2)))
+    }(org.apache.spark.sql.Encoders.product[(String, Long, Double)])
+      .toDF("device", "w_start", "value")
+    (parsed, bad)
+  }
+
   /** Per-(device, window) aggregate — one hash-agg, map-side partial. */
   def windowStats(b: DataFrame): DataFrame =
     b.groupBy(col("device"), col("w_start"))

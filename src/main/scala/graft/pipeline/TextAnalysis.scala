@@ -154,15 +154,73 @@ object TextAnalysis {
        |    for i in range(1, length(text) - ${GramLen - 2})])))[1:$SketchK] AS sketch
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Sequence packing for training batches: assign documents (in
+    * doc_id order) to fixed token-budget context windows by running
+    * token count — the offset-packing variant (bin = cumulative
+    * tokens ÷ budget), which unlike greedy first-fit is expressible
+    * as one window cumsum and therefore deterministic and
+    * shuffle-light at any scale (greedy packing is inherently
+    * sequential per partition-stream).
+    */
+  val PackBudget = 512
+
+  def q50SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("tokens"),
+        ((col("cum") - col("tokens")) / PackBudget).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q50Sql: String =
+    s"""SELECT doc_id, tokens,
+       |  CAST(floor((cum - tokens) / $PackBudget) AS BIGINT) AS bin
+       |FROM (SELECT doc_id, len(str_split(text, ' ')) AS tokens,
+       |        sum(len(str_split(text, ' '))) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Stratified sampling by language with deterministic hash
+    * thresholds — the scalable alternative to reservoir sampling:
+    * membership is a pure function of content (md5 bucket < per-lang
+    * quota), so the sample is reproducible, join-free, and stable
+    * under re-runs and repartitioning. Quotas: en 20%, others 50%.
+    */
+  def q51StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = h60(col("text")) % 100
+    val quota = when(col("lang") === "en", 20).otherwise(50)
+    Tables.documents(spark, dir)
+      .filter(bucket < quota)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q51Sql: String =
+    s"""SELECT doc_id, lang, ${h60Sql("text")} % 100 AS bucket
+       |FROM documents
+       |WHERE ${h60Sql("text")} % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_langid" -> (q36LangId _),
     "q37_quality_score" -> (q37Quality _),
     "q38_token_count" -> (q38TokenCount _),
-    "q39_fingerprint" -> (q39Fingerprint _))
+    "q39_fingerprint" -> (q39Fingerprint _),
+    "q50_sequence_packing" -> (q50SequencePacking _),
+    "q51_stratified_sample" -> (q51StratifiedSample _))
 
   def oracles: Map[String, String] = Map(
     "q36_langid" -> q36Sql,
     "q37_quality_score" -> q37Sql,
     "q38_token_count" -> q38Sql,
-    "q39_fingerprint" -> q39Sql)
+    "q39_fingerprint" -> q39Sql,
+    "q50_sequence_packing" -> q50Sql,
+    "q51_stratified_sample" -> q51Sql)
 }

@@ -37,6 +37,19 @@ class IoTPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/outliers").count() == outl.count())
   }
 
+  test("accumulator counts malformed rows during parse") {
+    import spark.implicits._
+    val raw = Seq(
+      (Some("dev-1"), Some(1700000000000L), Some(1.0)),
+      (None, Some(1700000000000L), Some(2.0)),
+      (Some("dev-2"), None, Some(3.0)),
+      (Some("dev-3"), Some(1700000060000L), Some(4.0)))
+      .toDF("device", "ts_ms", "value")
+    val (parsed, bad) = IoTPipeline.bucketedCounted(raw)
+    assert(parsed.count() == 2)
+    assert(bad.value == 2)
+  }
+
   test("iot streaming stats stage runs over a memory stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
