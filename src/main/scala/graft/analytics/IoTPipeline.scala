@@ -25,26 +25,36 @@ object IoTPipeline {
     StructField("ts_ms", LongType),
     StructField("value", DoubleType)))
 
+  /** 5-minute bucket width in millis / bucket start unit in seconds. */
+  val WindowMs = 300000L
+
   /** Parse + bucket: the TimestampMapFunction 5-minute truncation
     * (SparkWorks.java:330-339) as integer division on epoch millis. */
   def bucketed(raw: DataFrame): DataFrame =
     raw.select(col("device"),
-      ((col("ts_ms") / lit(300000L)).cast("long") * 300L).as("w_start"),
+      ((col("ts_ms") / lit(WindowMs)).cast("long") * (WindowMs / 1000)).as("w_start"),
       col("value"))
 
   /** Parse with malformed-row counting via a Spark accumulator — the
     * reference's accumulator surface (SURVEY §1,
     * SerializedListAccumulator.java; Flink jobs report parse-reject
     * counts the same way). Rows with null device/ts/value are dropped
-    * and counted; the accumulator is readable after any action. */
+    * and counted. Accumulator updates in a TRANSFORMATION are
+    * per-execution (recomputation double-counts), so the parsed frame
+    * is persisted here and the count is accurate after its first
+    * action.
+    */
   def bucketedCounted(raw: DataFrame): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val bad = raw.sparkSession.sparkContext.longAccumulator("iot.malformed")
     import raw.sparkSession.implicits._
+    val Seq(iDev, iTs, iVal) = Seq("device", "ts_ms", "value").map(raw.schema.fieldIndex)
+    val winMs = WindowMs
     val parsed = raw.flatMap { r =>
-      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) { bad.add(1); Iterator.empty }
-      else Iterator((r.getString(0), r.getLong(1) / 300000L * 300L, r.getDouble(2)))
+      if (r.isNullAt(iDev) || r.isNullAt(iTs) || r.isNullAt(iVal)) { bad.add(1); Iterator.empty }
+      else Iterator((r.getString(iDev), r.getLong(iTs) / winMs * (winMs / 1000), r.getDouble(iVal)))
     }(org.apache.spark.sql.Encoders.product[(String, Long, Double)])
       .toDF("device", "w_start", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (parsed, bad)
   }
 

@@ -158,22 +158,34 @@ object TextAnalysis {
   /** Sequence packing for training batches: assign documents (in
     * doc_id order) to fixed token-budget context windows by running
     * token count — the offset-packing variant (bin = cumulative
-    * tokens ÷ budget), which unlike greedy first-fit is expressible
-    * as one window cumsum and therefore deterministic and
-    * shuffle-light at any scale (greedy packing is inherently
-    * sequential per partition-stream).
+    * tokens ÷ budget). The global cumsum is computed two-phase so no
+    * single task ever holds the corpus: per-chunk window cumsum
+    * (chunk = doc_id range), then each chunk's starting offset from
+    * the tiny chunk-totals relation broadcast back. Exact integer
+    * arithmetic, identical to the oracle's single global window.
     */
   val PackBudget = 512
+  val PackChunk = 10000L
 
   def q50SequencePacking(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tokens"),
+        (col("doc_id") / PackChunk).cast("long").as("chunk"))
+    val wChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("tokens"))
-      .withColumn("cum", sum(col("tokens")).over(w))
+    val inChunk = docs.withColumn("cum_in_chunk", sum(col("tokens")).over(wChunk))
+    // one row per chunk — a single-partition window over THIS relation
+    // is fine at any corpus size
+    val wTotals = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = docs.groupBy(col("chunk")).agg(sum(col("tokens")).as("t"))
+      .withColumn("offset", sum(col("t")).over(wTotals) - col("t"))
+      .select(col("chunk").as("o_chunk"), col("offset"))
+    inChunk.join(broadcast(offsets), col("chunk") === col("o_chunk"))
       .select(col("doc_id"), col("tokens"),
-        ((col("cum") - col("tokens")) / PackBudget).cast("long").as("bin"))
+        ((col("cum_in_chunk") + col("offset") - col("tokens")) / PackBudget)
+          .cast("long").as("bin"))
       .orderBy(col("doc_id"))
   }
 
