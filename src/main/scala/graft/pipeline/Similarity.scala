@@ -22,14 +22,12 @@ object Similarity {
   val NQueries = 4
   val TopK = 10
 
+  /** Interpreted fold — used ONLY for the plane-bucket dots (double
+    * literal planes can't feed float-typed graft_dot); candidate
+    * scoring and norms go through the codegen/kernel paths. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
 
   // -------------------------------------------------- dense-vector kernel
   /** One catalog vector in primitive form: id, float→double components,
@@ -231,11 +229,63 @@ object Similarity {
     parts.reduce(_ union _).orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Filtered ("hybrid") ANN: top-k among candidates passing a
+    * metadata predicate (here label parity) — retrieval with a
+    * business filter, the common production shape. Pre-filtering
+    * BEFORE scoring is the right order whenever the predicate is
+    * selective (score fewer vectors); post-filtering top-k is wrong
+    * (can return < k). Same kernel + rank plan as q34.
+    */
+  def q52FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qs = broadcastVecs(spark, emb.filter(col("vec_id") < NQueries))
+    val scored = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val queries = qs.value
+        it.flatMap { case (id, e) =>
+          val c = mkVec(id, e)
+          queries.iterator.filter(_.id != id).map { q =>
+            (q.id, c.id, round4(dotJvm(c.v, q.v) / (c.norm * q.norm)))
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "cosine")
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q52Sql: String =
+    s"""WITH ev AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |    round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(c.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))
+       |      / (c.nrm * q.nrm), 4) AS cosine
+       |  FROM ev c CROSS JOIN ev q
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id AND c.label % 2 = 0),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
-    "q35_ann_lsh" -> (q35AnnLsh _))
+    "q35_ann_lsh" -> (q35AnnLsh _),
+    "q52_filtered_ann" -> (q52FilteredAnn _))
 
   def oracles: Map[String, String] = Map(
     "q34_ann_bruteforce" -> q34Sql,
-    "q35_ann_lsh" -> q35Sql)
+    "q35_ann_lsh" -> q35Sql,
+    "q52_filtered_ann" -> q52Sql)
 }
