@@ -11,18 +11,20 @@ object Bench {
     // so the first measured query isn't charged ~4s of JVM startup
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
     // min of 2 runs per query: this container's CPU noise is ±15%,
-    // and the second run also reflects warm library caches
+    // and the second run also reflects warm library caches. A crashed
+    // query must NOT masquerade as a fast one: it reports -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,12 +29,21 @@ object Graph {
   /** Undirected edge list with source degree, persisted for reuse
     * across supersteps; memoized per (session, dir) so PageRank and
     * ConnectedComponents share one materialization. */
+  // cached value carries its owning session: the `eq` check rules out
+  // identity-hash collisions serving a dead session's DataFrame
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
 
-  private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((System.identityHashCode(spark), dir),
-      buildEdges(spark, dir))
+  private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    edgeCache.get(key) match {
+      case Some((s, df)) if s eq spark => df
+      case _ =>
+        val df = buildEdges(spark, dir)
+        edgeCache.put(key, (spark, df))
+        df
+    }
+  }
 
   private def buildEdges(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.lineitem(spark, dir)

@@ -34,8 +34,13 @@ object Portable {
     * DuckDB equivalent: [[shinglesSql]]. */
   def shingles(text: Column, w: Int = 3): Column = {
     val words = split(text, " ")
-    transform(sequence(lit(0), size(words) - w),
-      i => concat_ws(" ", slice(words, i + 1, lit(w))))
+    // guard: sequence(0, n) DESCENDS when n < 0, so a doc with fewer
+    // than w words would emit bogus negative offsets (and crash
+    // slice); the oracle's range() yields [] there — match it
+    when(size(words) >= w,
+      transform(sequence(lit(0), size(words) - w),
+        i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   def shinglesSql(textExpr: String, w: Int = 3): String = {

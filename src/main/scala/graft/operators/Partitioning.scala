@@ -64,6 +64,12 @@ object Partitioning {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer are NOT expressible this way: an unmatched
+    // small-side key exists once per salt replica and would emit
+    // `salts` null-padded duplicates
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
+      s"saltedJoin supports inner/left-flavored joins only, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(salts)))
     val replicated = small

@@ -96,14 +96,14 @@ object Windows {
 
   val q20Sql: String =
     """WITH flagged AS (
-      |  SELECT user_id, value, epoch_us(ts) AS t_us,
+      |  SELECT user_id, value, event_id, epoch_us(ts) AS t_us,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
       |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
       |  SELECT user_id, value, t_us,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
       |                        ROWS UNBOUNDED PRECEDING) AS sess_id
       |  FROM flagged)
       |SELECT user_id, min(t_us) // 1000000 AS sess_start,

@@ -49,15 +49,24 @@ object Dedup {
     * sizes, both sides of the posting-list self-join) and the
     * interpreted shingle lambda is the dominant cost of recomputing.
     */
+  // see Graph.edgeCache: the `eq` check rules out identity-hash
+  // collisions serving a dead session's DataFrame
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
 
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(spark), dir),
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-        .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    shingleCache.get(key) match {
+      case Some((s, df)) if s eq spark => df
+      case _ =>
+        val df = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+          .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shingleCache.put(key, (spark, df))
+        df
+    }
+  }
 
   private def shingleHashesSql: String =
     s"""SELECT doc_id, ${h60Sql("sh")} % $P AS hp

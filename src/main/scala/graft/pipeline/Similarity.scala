@@ -70,19 +70,16 @@ object Similarity {
     spark.sparkContext.broadcast(vecs)
   }
 
-  // ---------------------------------------------------------------- q34
-  /** Brute-force cosine top-k: queries (vec_id < 4) broadcast against
-    * every candidate, rank per query, keep 10. Ranking uses the
-    * 4-decimal-rounded cosine with vec_id tie-break so rank order is
-    * stable across engines. At scale this is the per-partition
-    * "score + TakeOrdered" pattern: candidates never shuffle — only
-    * k rows per partition reach the final top-k.
+  /** Shared score-and-rank pipeline: every candidate row scores
+    * against the broadcast query block with the JVM kernel, then
+    * rank-per-query on (rounded cosine desc, vec_id) and keep TopK.
+    * Used by q34 (all candidates) and q52 (pre-filtered candidates).
     */
-  def q34AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  private def scoreAndRank(candidates: DataFrame,
+      qs: org.apache.spark.broadcast.Broadcast[Array[Vec]]): DataFrame = {
+    val spark = candidates.sparkSession
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val qs = broadcastVecs(spark, emb.filter(col("vec_id") < NQueries))
-    val scored = emb.select(col("vec_id"), col("embedding"))
+    val scored = candidates.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val queries = qs.value
@@ -99,6 +96,19 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Brute-force cosine top-k: queries (vec_id < 4) broadcast against
+    * every candidate, rank per query, keep 10. Ranking uses the
+    * 4-decimal-rounded cosine with vec_id tie-break so rank order is
+    * stable across engines. At scale this is the per-partition
+    * "score + TakeOrdered" pattern: candidates never shuffle — only
+    * k rows per partition reach the final top-k.
+    */
+  def q34AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    scoreAndRank(emb, broadcastVecs(spark, emb.filter(col("vec_id") < NQueries)))
   }
 
   val q34Sql: String =
@@ -238,27 +248,9 @@ object Similarity {
     * (can return < k). Same kernel + rank plan as q34.
     */
   def q52FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val qs = broadcastVecs(spark, emb.filter(col("vec_id") < NQueries))
-    val scored = emb.filter(col("label") % 2 === 0)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val queries = qs.value
-        it.flatMap { case (id, e) =>
-          val c = mkVec(id, e)
-          queries.iterator.filter(_.id != id).map { q =>
-            (q.id, c.id, round4(dotJvm(c.v, q.v) / (c.norm * q.norm)))
-          }
-        }
-      }
-      .toDF("qid", "vec_id", "cosine")
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("qid"), col("rank"))
+    scoreAndRank(emb.filter(col("label") % 2 === 0),
+      broadcastVecs(spark, emb.filter(col("vec_id") < NQueries)))
   }
 
   val q52Sql: String =

@@ -143,9 +143,13 @@ object TextAnalysis {
 
   def q39Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"),
-      slice(array_sort(array_distinct(transform(
-        expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> substr(text, i, $GramLen))"),
-        g => h60(g)))), 1, SketchK).as("sketch"))
+      // guard like Portable.shingles: sequence() descends for texts
+      // shorter than GramLen; the oracle's range() yields [] there
+      when(length(col("text")) >= GramLen,
+        slice(array_sort(array_distinct(transform(
+          expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> substr(text, i, $GramLen))"),
+          g => h60(g)))), 1, SketchK))
+        .otherwise(array().cast("array<bigint>")).as("sketch"))
       .orderBy(col("doc_id"))
 
   val q39Sql: String =

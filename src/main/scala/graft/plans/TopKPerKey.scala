@@ -94,6 +94,11 @@ object TopK {
     * dropped). Registers the planner strategy on first use. */
   def topKPerKey(df: DataFrame, k: Int, order: Column, keys: Column*): DataFrame = {
     val spark = df.sparkSession
+    // a non-numeric order column would cast to all-null and silently
+    // return an empty result — reject it here instead
+    val orderType = df.select(order).schema.head.dataType
+    require(orderType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topKPerKey order column must be numeric, got ${orderType.simpleString}")
     Bridge.addStrategy(spark, TopKPerKeyStrategy)
     val node = TopKPerKey(k,
       keys.map(Bridge.expression),

@@ -51,6 +51,19 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(sig.values.toSet.size > 1) // not degenerate on real data
   }
 
+  test("shingles and fingerprint grams are empty below their window sizes") {
+    import spark.implicits._
+    val short = Seq("one two", "a", "", "one two three").toDF("text")
+    val sh = short.select(size(graft.functions.Portable.shingles(col("text"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sh == Seq(0, 0, 0, 1))
+    // non-numeric order column is rejected, not silently emptied
+    val err = intercept[IllegalArgumentException] {
+      TopK.topKPerKey(Seq(("a", "x")).toDF("k", "v"), 1, col("v"), col("k"))
+    }
+    assert(err.getMessage.contains("numeric"))
+  }
+
   test("blocked all-pairs cosine equals single-broadcast all-pairs") {
     val single = Dedup.q33EmbeddingCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
