@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Async enrichment — the reference's AsyncDataStream surface
+  * (`/root/reference` flink-streaming-java AsyncDataStream.java:
+  * orderedWait with a capacity of in-flight requests), for
+  * per-record calls to an external service (feature store, vector
+  * DB, inference endpoint) where latency, not CPU, bounds
+  * throughput.
+  *
+  * Spark shape: mapPartitions with a bounded in-flight window —
+  * results stay in INPUT ORDER (Flink's orderedWait semantics) by
+  * completing from the head of a FIFO of Futures while at most
+  * `capacity` calls run concurrently. Executor cores stay busy with
+  * other partitions while a partition's calls wait, so total
+  * concurrency ≈ partitions × capacity.
+  */
+object AsyncOps {
+
+  def asyncMapOrdered[I, O: Encoder](ds: Dataset[I], capacity: Int,
+      timeout: Duration = Duration.Inf)(f: I => O): Dataset[O] = {
+    ds.mapPartitions { it =>
+      // one pool per partition-task; bounded, daemon, torn down with the task
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity, r => {
+        val t = new Thread(r); t.setDaemon(true); t
+      })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val inFlight = new ArrayBlockingQueue[Future[O]](capacity)
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inFlight.remainingCapacity() > 0 && it.hasNext) {
+            val rec = it.next()
+            inFlight.put(Future(f(rec)))
+          }
+        override def hasNext: Boolean = {
+          fill()
+          val more = !inFlight.isEmpty
+          if (!more) pool.shutdown()
+          more
+        }
+        override def next(): O = {
+          fill()
+          Await.result(inFlight.poll(1, TimeUnit.DAYS), timeout)
+        }
+      }
+    }
+  }
+}

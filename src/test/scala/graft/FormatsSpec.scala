@@ -9,6 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Partitioning
 import graft.sources.{Formats, Tables}
 
+object AsyncProbe {
+  val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+  val cur = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { peak.set(0); cur.set(0) }
+}
+
 class FormatsSpec extends AnyFunSuite with SparkSpec {
 
   private def tmp(name: String): String =
@@ -76,6 +82,31 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
       case Array((_, hi), (lo, _)) => assert(hi <= lo)
       case _ =>
     }
+  }
+
+  test("asyncMapOrdered preserves input order with bounded concurrency") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    // static holder: closure-serialized AtomicIntegers would be task
+    // copies; in local mode a static field is genuinely shared
+    val peak = AsyncProbe.peak
+    AsyncProbe.reset()
+    val input = spark.range(0, 200).repartition(2)
+      .sortWithinPartitions("id").as[Long] // known ascending order per partition
+    val out = graft.operators.AsyncOps.asyncMapOrdered(
+      input, capacity = 4, timeout = 30.seconds) { i =>
+      val c = AsyncProbe.cur.incrementAndGet()
+      AsyncProbe.peak.accumulateAndGet(c, math.max)
+      Thread.sleep(1)
+      AsyncProbe.cur.decrementAndGet()
+      i * 2
+    }
+    val perPart = out.mapPartitions(it => Iterator(it.toSeq)).collect()
+    // order preserved within each partition (Flink orderedWait semantics)
+    perPart.foreach { p => assert(p == p.sorted) }
+    assert(perPart.map(_.size).sum == 200)
+    assert(peak.get() <= 2 * 4) // 2 partitions x capacity
+    assert(peak.get() >= 2) // genuinely concurrent
   }
 
   test("rebalance evens out partition sizes") {
