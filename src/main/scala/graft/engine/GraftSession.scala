@@ -25,6 +25,9 @@ object GraftSession {
   def local(appName: String = "graft", cpus: String = defaultCpus): SparkSession = {
     val spark = builder(appName, s"local[$cpus]",
       shufflePartitions = if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt)
+      // local catalog tables (bucketed layouts) land in tmp, not cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -68,4 +68,23 @@ object Formats {
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** Hive-style partitioned layout (`path/col=value/...`): the data-
+    * lake form of the reference's partitioned sinks — downstream
+    * scans with a predicate on the partition column prune whole
+    * directories before reading a byte. Keep partition columns
+    * low-cardinality (date, source); high-cardinality keys belong in
+    * bucketing instead. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed catalog table: rows pre-hashed into `buckets` files by
+    * key, so equi-joins and aggregations between tables bucketed the
+    * same way run WITHOUT any shuffle — the 100 TB answer for a join
+    * key used by every pipeline run (amortize one layout write across
+    * all downstream joins). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -56,6 +56,48 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(Formats.sequence(spark, 1, 100).agg(sum("id")).head.getLong(0) == 5050)
   }
 
+  test("partitioned layout prunes directories on partition predicate") {
+    val dir = tmp("part")
+    Formats.writePartitioned(Tables.orders(spark, sf)
+      .withColumn("stat", col("o_orderstatus")), dir, Seq("stat"))
+    val pruned = spark.read.parquet(dir).filter(col("stat") === "O")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(stat"), plan)
+    assert(pruned.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("bucketed tables join without any exchange") {
+    // orphan locations from a previous JVM block saveAsTable
+    Seq("orders_bkt", "cust_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Formats.writeBucketed(Tables.orders(spark, sf), "orders_bkt", 4, "o_custkey")
+    Formats.writeBucketed(
+      Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+      "cust_bkt", 4, "c_custkey")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("cust_bkt"), col("o_custkey") === col("c_custkey"))
+    val n = joined.count()
+    assert(n == Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count())
+    // co-located layout: neither side shuffles; broadcast must be off
+    // to observe the bucketed SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = spark.table("orders_bkt")
+        .join(spark.table("cust_bkt"), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+  }
+
   test("hash partition positions rows by key with one exchange") {
     val df = Partitioning.byHash(Tables.orders(spark, sf), 8, col("o_custkey"))
     assert(df.rdd.getNumPartitions == 8)
