@@ -102,7 +102,8 @@ object Streams {
     * evict rows once the range can no longer match — the required
     * shape for unbounded stream-stream joins.
     */
-  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     // rename BEFORE watermarking: aliasing afterwards would mint new
     // attributes without the watermark metadata and the time-range
     // join would never emit
@@ -114,11 +115,15 @@ object Streams {
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
         col("ts").as("r_ts"), col("value").as("r_value"))
       .withWatermark("r_ts", "10 minutes")
+    // outer flavors emit the null-padded row only once the watermark
+    // proves no match can still arrive — supported since both sides
+    // are watermarked and the condition bounds the wait
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") < col("l_ts") + expr("INTERVAL 5 MINUTES") &&
-        col("l_id") =!= col("r_id"))
+        col("l_id") =!= col("r_id"),
+      joinType)
   }
 
   /** Broadcast-state pattern (reference BroadcastConnectedStream): a

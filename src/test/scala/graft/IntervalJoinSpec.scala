@@ -34,6 +34,30 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((1L, 11L)))
   }
 
+  test("left-outer interval join emits unmatched rows after watermark closes them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    l.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 2, "a", 2.0))
+    r.addData(Ev(11, ts(2), 1, "b", 1.5))
+    val q = Streams.intervalJoin(l.toDF(), r.toDF(), "left_outer").writeStream
+      .format("memory").queryName("ijo").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // push watermarks far past event 2's join window on BOTH sides
+    l.addData(Ev(99, ts(600), 9, "a", 0.0))
+    r.addData(Ev(98, ts(600), 9, "b", 0.0))
+    q.processAllAvailable()
+    l.addData(Ev(97, ts(1200), 9, "a", 0.0))
+    r.addData(Ev(96, ts(1200), 9, "b", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ijo").collect()
+      .map(row => (row.getLong(0), Option(row.get(4)).map(_.toString))).toSet
+    // event 1 matched 11; event 2 (no right rows in window) appears null-padded
+    assert(rows.contains((1L, Some("11"))))
+    assert(rows.contains((2L, None)))
+  }
+
   test("stream enrich with a broadcast static dimension") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
