@@ -40,8 +40,14 @@ object Graph {
       case Some((s, df)) if s eq spark => df
       case _ =>
         val df = buildEdges(spark, dir)
-        edgeCache.put(key, (spark, df))
-        df
+        // racing first-callers: one build wins, the loser unpersists
+        edgeCache.putIfAbsent(key, (spark, df)) match {
+          case Some((s2, winner)) if s2 eq spark =>
+            df.unpersist(blocking = false); winner
+          case Some(_) =>
+            edgeCache.put(key, (spark, df)); df
+          case None => df
+        }
     }
   }
 

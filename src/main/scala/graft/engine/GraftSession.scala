@@ -25,9 +25,10 @@ object GraftSession {
   def local(appName: String = "graft", cpus: String = defaultCpus): SparkSession = {
     val spark = builder(appName, s"local[$cpus]",
       shufflePartitions = if (cpus == "*") Runtime.getRuntime.availableProcessors() else cpus.toInt)
-      // local catalog tables (bucketed layouts) land in tmp, not cwd
+      // local catalog tables (bucketed layouts) land in tmp, not cwd;
+      // per-process path so concurrent JVMs can't clobber each other
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

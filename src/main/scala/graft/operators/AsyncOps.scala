@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+import java.util.concurrent.ArrayBlockingQueue
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -26,10 +26,15 @@ object AsyncOps {
   def asyncMapOrdered[I, O: Encoder](ds: Dataset[I], capacity: Int,
       timeout: Duration = Duration.Inf)(f: I => O): Dataset[O] = {
     ds.mapPartitions { it =>
-      // one pool per partition-task; bounded, daemon, torn down with the task
+      // one pool per partition-task; bounded, daemon. Tear-down rides
+      // the task-completion listener, NOT iterator exhaustion — a
+      // limit()/failure that abandons the iterator must not leak
+      // `capacity` threads for the executor's lifetime.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity, r => {
         val t = new Thread(r); t.setDaemon(true); t
       })
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val inFlight = new ArrayBlockingQueue[Future[O]](capacity)
       new Iterator[O] {
@@ -40,13 +45,13 @@ object AsyncOps {
           }
         override def hasNext: Boolean = {
           fill()
-          val more = !inFlight.isEmpty
-          if (!more) pool.shutdown()
-          more
+          !inFlight.isEmpty
         }
         override def next(): O = {
           fill()
-          Await.result(inFlight.poll(1, TimeUnit.DAYS), timeout)
+          val fut = inFlight.poll() // single consumer: empty means exhausted
+          if (fut == null) throw new NoSuchElementException("next() past end of async iterator")
+          Await.result(fut, timeout)
         }
       }
     }

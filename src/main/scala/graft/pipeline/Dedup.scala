@@ -63,8 +63,15 @@ object Dedup {
           .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
           .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        shingleCache.put(key, (spark, df))
-        df
+        // concurrent first-callers: exactly one build wins; the loser
+        // unpersists so no orphan stays pinned in the block manager
+        shingleCache.putIfAbsent(key, (spark, df)) match {
+          case Some((s2, winner)) if s2 eq spark =>
+            df.unpersist(blocking = false); winner
+          case Some(_) => // stale entry for a dead session: replace
+            shingleCache.put(key, (spark, df)); df
+          case None => df
+        }
     }
   }
 

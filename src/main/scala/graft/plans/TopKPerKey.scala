@@ -94,11 +94,19 @@ object TopK {
     * dropped). Registers the planner strategy on first use. */
   def topKPerKey(df: DataFrame, k: Int, order: Column, keys: Column*): DataFrame = {
     val spark = df.sparkSession
-    // a non-numeric order column would cast to all-null and silently
-    // return an empty result — reject it here instead
+    // a non-castable order column (string…) would cast to all-null and
+    // silently return an empty result — reject it; numeric, date and
+    // timestamp all cast to double order-preservingly
     val orderType = df.select(order).schema.head.dataType
-    require(orderType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"topKPerKey order column must be numeric, got ${orderType.simpleString}")
+    val orderable = orderType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    require(orderable,
+      s"topKPerKey order column must be numeric/date/timestamp, got ${orderType.simpleString}")
     Bridge.addStrategy(spark, TopKPerKeyStrategy)
     val node = TopKPerKey(k,
       keys.map(Bridge.expression),

@@ -68,11 +68,11 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("bucketed tables join without any exchange") {
-    // orphan locations from a previous JVM block saveAsTable
+    // orphan locations from a previous run in this JVM block saveAsTable
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq("orders_bkt", "cust_bkt").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      val loc = new java.io.File(s"$warehouse/$t")
       if (loc.exists()) {
         import scala.reflect.io.Directory
         new Directory(loc).deleteRecursively()
