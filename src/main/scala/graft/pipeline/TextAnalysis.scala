@@ -224,13 +224,84 @@ object TextAnalysis {
        |WHERE ${h60Sql("text")} % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Text normalization — the canonical pre-dedup cleaning stage:
+    * lowercase, strip non-alphanumerics, collapse runs of whitespace,
+    * trim. Pure narrow projection; emits the cleaned text plus a
+    * changed flag so pipelines can measure cleaning impact.
+    */
+  def q53Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), cleaned.as("clean_text"),
+        (cleaned =!= col("text")).cast("int").as("changed"),
+        length(cleaned).as("n_chars_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g')) AS clean_text,
+      |  CAST(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g')) <> text AS INT) AS changed,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g'))) AS n_chars_clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Capstone curation: the composed keep/drop decision a corpus
+    * pipeline makes per document — quality threshold AND sampling
+    * quota AND not a near-duplicate (exact-dup loser by content
+    * hash: keep only the smallest doc_id per identical text). One
+    * pass plus the dedup agg; each predicate is itself a graded
+    * operator (q37, q51, q28), composed here the way a user would.
+    */
+  val QualityMin = 0.5
+
+  def q54Curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = q37Quality(spark, dir).select(col("doc_id").as("q_id"), col("quality"))
+    val canonical = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    docs
+      .join(quality, col("doc_id") === col("q_id"))
+      .join(canonical, col("doc_id") === col("keep_id"), "left_semi")
+      .filter(col("quality") >= QualityMin)
+      .filter(h60(col("text")) % 100 < when(col("lang") === "en", 20).otherwise(50))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q54Sql: String = {
+    val en = Profiles.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH quality AS (
+       |  SELECT doc_id,
+       |    round(0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+       |        + 0.3 * (1.0 - len(list_filter(w, x -> list_contains($en, x))) / CAST(len(w) AS DOUBLE))
+       |        + 0.3 * least(((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE)) / 8.0, 1.0), 6) AS quality
+       |  FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)),
+       |canonical AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+       |SELECT d.doc_id, d.lang, q.quality
+       |FROM documents d
+       |JOIN quality q ON d.doc_id = q.doc_id
+       |WHERE d.doc_id IN (SELECT keep_id FROM canonical)
+       |  AND q.quality >= $QualityMin
+       |  AND ${h60Sql("d.text")} % 100 < (CASE WHEN d.lang = 'en' THEN 20 ELSE 50 END)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_langid" -> (q36LangId _),
     "q37_quality_score" -> (q37Quality _),
     "q38_token_count" -> (q38TokenCount _),
     "q39_fingerprint" -> (q39Fingerprint _),
     "q50_sequence_packing" -> (q50SequencePacking _),
-    "q51_stratified_sample" -> (q51StratifiedSample _))
+    "q51_stratified_sample" -> (q51StratifiedSample _),
+    "q53_normalize" -> (q53Normalize _),
+    "q54_curate" -> (q54Curate _))
 
   def oracles: Map[String, String] = Map(
     "q36_langid" -> q36Sql,
@@ -238,5 +309,7 @@ object TextAnalysis {
     "q38_token_count" -> q38Sql,
     "q39_fingerprint" -> q39Sql,
     "q50_sequence_packing" -> q50Sql,
-    "q51_stratified_sample" -> q51Sql)
+    "q51_stratified_sample" -> q51Sql,
+    "q53_normalize" -> q53Sql,
+    "q54_curate" -> q54Sql)
 }
