@@ -271,13 +271,55 @@ object Similarity {
        |SELECT qid, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Symmetric int8 quantization of embeddings (per-vector max-abs
+    * scale, q = round(x/scale·127)) with reconstruction RMSE — the
+    * storage-compression pass a 100 TB vector catalog runs before
+    * indexing: 4× smaller than float32, and the error column is the
+    * quality audit. Narrow projection, no shuffle.
+    */
+  def q55QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    Tables.embeddings(spark, dir)
+      // raw_scale, NOT "scale": aliasing the rounded value to the same
+      // name made Spark's lateral-column-alias resolution quantize
+      // with the ROUNDED scale while the oracle used the raw one
+      .select(col("vec_id"), xd.as("x"), scale.as("raw_scale"))
+      .select(col("vec_id"), col("raw_scale"),
+        // floor(x + 0.5), not round(): engines disagree on exact-.5
+        // ties (observed at sf0.001); floor is pure IEEE, tie-free
+        transform(col("x"), v => floor(v / col("raw_scale") * 127 + 0.5).cast("tinyint")).as("q"))
+      // energy = Σ qᵢ² over the quantized INTEGERS: an exact audit
+      // metric (an FP reconstruction-RMSE flips its last rounded digit
+      // across engines at boundary values — integer arithmetic can't)
+      .select(col("vec_id"), round(col("raw_scale"), 6).as("scale"), col("q"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v.cast("long") * v.cast("long"))
+          .as("q_energy"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q55Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |qz AS (SELECT vec_id, scale AS raw_scale,
+      |  list_transform(x, v -> CAST(floor(v / scale * 127 + 0.5) AS TINYINT)) AS q
+      |  FROM e)
+      |SELECT vec_id, round(raw_scale, 6) AS scale, q,
+      |  list_sum(list_transform(q, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT)))::BIGINT AS q_energy
+      |FROM qz ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
-    "q52_filtered_ann" -> (q52FilteredAnn _))
+    "q52_filtered_ann" -> (q52FilteredAnn _),
+    "q55_quantize_int8" -> (q55QuantizeInt8 _))
 
   def oracles: Map[String, String] = Map(
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
-    "q52_filtered_ann" -> q52Sql)
+    "q52_filtered_ann" -> q52Sql,
+    "q55_quantize_int8" -> q55Sql)
 }
