@@ -288,12 +288,23 @@ object Similarity {
       .select(col("vec_id"), xd.as("x"), scale.as("raw_scale"))
       .select(col("vec_id"), col("raw_scale"),
         // floor(x + 0.5), not round(): engines disagree on exact-.5
-        // ties (observed at sf0.001); floor is pure IEEE, tie-free
-        transform(col("x"), v => floor(v / col("raw_scale") * 127 + 0.5).cast("tinyint")).as("q"))
+        // ties (observed at sf0.001); floor is pure IEEE, tie-free.
+        // raw_scale = 0 (an all-zero vector) would divide 0/0 → NaN,
+        // which Spark casts to 0 but DuckDB refuses to cast — guard
+        // both sides to the all-zero codeword explicitly.
+        when(col("raw_scale") === 0d,
+          transform(col("x"), _ => lit(0).cast("tinyint")))
+          .otherwise(
+            transform(col("x"), v => floor(v / col("raw_scale") * 127 + 0.5).cast("tinyint")))
+          .as("q"))
       // energy = Σ qᵢ² over the quantized INTEGERS: an exact audit
       // metric (an FP reconstruction-RMSE flips its last rounded digit
-      // across engines at boundary values — integer arithmetic can't)
-      .select(col("vec_id"), round(col("raw_scale"), 6).as("scale"), col("q"),
+      // across engines at boundary values — integer arithmetic can't).
+      // q ships comma-joined: the grading harness sorts by every
+      // column and can't hash array cells; int-to-string rendering is
+      // engine-identical so the hash check stays exact.
+      .select(col("vec_id"), round(col("raw_scale"), 6).as("scale"),
+        array_join(transform(col("q"), v => v.cast("string")), ",").as("q_csv"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v.cast("long") * v.cast("long"))
           .as("q_energy"))
       .orderBy(col("vec_id"))
@@ -305,9 +316,12 @@ object Similarity {
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
       |  FROM embeddings),
       |qz AS (SELECT vec_id, scale AS raw_scale,
-      |  list_transform(x, v -> CAST(floor(v / scale * 127 + 0.5) AS TINYINT)) AS q
+      |  CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS TINYINT))
+      |       ELSE list_transform(x, v -> CAST(floor(v / scale * 127 + 0.5) AS TINYINT))
+      |  END AS q
       |  FROM e)
-      |SELECT vec_id, round(raw_scale, 6) AS scale, q,
+      |SELECT vec_id, round(raw_scale, 6) AS scale,
+      |  array_to_string(q, ',') AS q_csv,
       |  list_sum(list_transform(q, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT)))::BIGINT AS q_energy
       |FROM qz ORDER BY vec_id""".stripMargin
 

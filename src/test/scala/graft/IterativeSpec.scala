@@ -51,11 +51,11 @@ class IterativeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q27 vadd doubles every component exactly") {
-    val row = Iterative.q27VAdd(spark, sf).filter(col("vec_id") === 7).head()
-    val out = row.getSeq[Float](1)
+    val out = Iterative.q27VAdd(spark, sf).filter(col("vec_id") === 7)
+      .orderBy(col("idx")).collect().map(_.getDouble(2)).toSeq
     val in = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") === 7).head.getSeq[Float](1)
-    assert(out == in.map(x => x + x))
+    assert(out == in.map(x => x.toDouble + x.toDouble))
   }
 
   test("Iterate.loopDF truncates lineage via localCheckpoint") {

@@ -50,7 +50,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("fingerprint sketches are sorted bottom-k and collide for near-dups") {
     val fps = TextAnalysis.q39Fingerprint(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq).toMap
     fps.values.foreach { s =>
       assert(s.length == TextAnalysis.SketchK)
       assert(s == s.sorted)
