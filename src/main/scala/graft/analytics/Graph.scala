@@ -35,6 +35,9 @@ object Graph {
     scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
 
   private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
+    // stopped sessions never serve again: drop their entries so a
+    // long-lived JVM cycling sessions doesn't pin dead DataFrames
+    edgeCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
     val key = (System.identityHashCode(spark), dir)
     edgeCache.get(key) match {
       case Some((s, df)) if s eq spark => df

@@ -95,15 +95,18 @@ object Iterative {
       |a1 AS (SELECT e.event_id, e.value,
       |         CAST(min([abs(e.value - c.c), CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
       |       FROM events e CROSS JOIN c0 c GROUP BY e.event_id, e.value),
-      |c1 AS (SELECT cid, round(avg(value), 6) AS c FROM a1 GROUP BY cid),
+      |c1 AS (SELECT p.cid, coalesce(round(u.c, 6), p.c) AS c FROM c0 p
+      |       LEFT JOIN (SELECT cid, avg(value) AS c FROM a1 GROUP BY cid) u ON p.cid = u.cid),
       |a2 AS (SELECT e.event_id, e.value,
       |         CAST(min([abs(e.value - c.c), CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
       |       FROM events e CROSS JOIN c1 c GROUP BY e.event_id, e.value),
-      |c2 AS (SELECT cid, round(avg(value), 6) AS c FROM a2 GROUP BY cid),
+      |c2 AS (SELECT p.cid, coalesce(round(u.c, 6), p.c) AS c FROM c1 p
+      |       LEFT JOIN (SELECT cid, avg(value) AS c FROM a2 GROUP BY cid) u ON p.cid = u.cid),
       |a3 AS (SELECT e.event_id, e.value,
       |         CAST(min([abs(e.value - c.c), CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
       |       FROM events e CROSS JOIN c2 c GROUP BY e.event_id, e.value),
-      |c3 AS (SELECT cid, round(avg(value), 6) AS c FROM a3 GROUP BY cid),
+      |c3 AS (SELECT p.cid, coalesce(round(u.c, 6), p.c) AS c FROM c2 p
+      |       LEFT JOIN (SELECT cid, avg(value) AS c FROM a3 GROUP BY cid) u ON p.cid = u.cid),
       |af AS (SELECT e.event_id,
       |         CAST(min([abs(e.value - c.c), CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
       |       FROM events e CROSS JOIN c3 c GROUP BY e.event_id, e.value)

@@ -108,7 +108,7 @@ object Typed {
     *
     * Scale caveat (documented): flatMapGroups buffers one group per
     * task; for unbounded per-key cardinality prefer the declarative
-    * two-phase form in [[Windows.q18OutliersJoin]] — same oracle.
+    * two-phase form in [[Windows.q21OutliersJoin]] — same oracle.
     */
   def q17GroupReduceOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -77,10 +77,15 @@ object Functions {
 
   /** Make `graft_dot(a, b)` callable from SQL/expr in this session.
     * Idempotent; queries that use native expressions call this in
-    * their builder. */
+    * their builder. Registers once per session — re-registering is
+    * harmless but warns "replaced a previously registered function"
+    * on every query build, which pollutes bench logs. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
-      "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot",
+        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
+        "built-in")
+    }
 }

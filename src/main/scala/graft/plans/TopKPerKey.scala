@@ -57,6 +57,14 @@ case class TopKPerKeyExec(k: Int, keyExprs: Seq[Expression], orderExpr: Expressi
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyEs, childOutput)
       val ordProj = UnsafeProjection.create(Seq(ordE), childOutput)
+      // children without whole-stage codegen can emit non-UnsafeRow
+      // InternalRows — convert through an identity projection instead
+      // of casting (the projection reuses one buffer, so copy after)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      def retain(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u.copy()
+        case other => toUnsafe(other).copy()
+      }
       // min-heap per key: head is the weakest retained row
       implicit val byValue: Ordering[(Double, UnsafeRow)] =
         Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
@@ -69,10 +77,10 @@ case class TopKPerKeyExec(k: Int, keyExprs: Seq[Expression], orderExpr: Expressi
           val heap = heaps.getOrElseUpdate(key,
             mutable.PriorityQueue.empty[(Double, UnsafeRow)])
           if (heap.size < kk) {
-            heap.enqueue((v, row.copy().asInstanceOf[UnsafeRow]))
+            heap.enqueue((v, retain(row)))
           } else if (v > heap.head._1) {
             heap.dequeue()
-            heap.enqueue((v, row.copy().asInstanceOf[UnsafeRow]))
+            heap.enqueue((v, retain(row)))
           }
         }
       }

@@ -25,6 +25,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("q32 df-cap at the graded default is result-neutral on this corpus") {
+    // max shingle df here is single digits, so the cap (1000) drops
+    // nothing: capped == uncapped bit-for-bit. The cap changes COST,
+    // not results, until genuine boilerplate appears.
+    def pairs(maxDf: Int) = Dedup.q32NgramJaccard(spark, sf, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(Dedup.MaxDf)
+    assert(capped == pairs(Int.MaxValue))
+    assert(capped.nonEmpty)
+  }
+
+  test("q32 df-cap of 1 prunes every cross-doc posting") {
+    // a posting can only join across docs if its shingle has df >= 2,
+    // so cap 1 empties the candidate space — the pruning is real
+    assert(Dedup.q32NgramJaccard(spark, sf, 1).count() == 0)
+  }
+
   test("near-dup pairs have near-identical simhash fingerprints") {
     val sig = Dedup.q30SimHash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
