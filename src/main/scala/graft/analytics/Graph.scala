@@ -171,11 +171,129 @@ object Graph {
     }
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Triangle enumeration (the reference's EnumTriangles.java:108-110:
+    * groupBy(V1).sortGroup(V2).reduceGroup(TriadBuilder) → join on
+    * (Triad.V2,V3)=(Edge.V1,V2)). The bipartite part↔supplier graph
+    * has no odd cycles, so the workload graph folds both key spaces
+    * into one 211-node id space (supplier keys shifted to interleave)
+    * and sparsifies via a quantity slice.
+    *
+    * The plan is the DEGREE-ORIENTED build — the scalable form of the
+    * reference's per-vertex triad expansion: every edge is directed
+    * from its lower-(degree, id) endpoint to the higher one, triads
+    * expand per source over OUT-edges only, and the closing edge is a
+    * composite-key semi join. Per-vertex triad cost drops from
+    * deg(v)² to outdeg(v)² with outdeg ≤ √(2·edges) — the hot-vertex
+    * (boilerplate-hub) hazard of the naive build is capped by
+    * construction, no salting needed. The per-node degree relation is
+    * broadcast. Output triples are re-sorted numerically, so the
+    * result is orientation-independent and matches the
+    * straightforward oracle.
+    */
+  val TriMod = 211L
+  val TriShift = 97L
+  val TriQtyMax = 2
+
+  def q56EnumTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= TriQtyMax)
+      .select((col("l_partkey") % TriMod).as("a"),
+        ((col("l_suppkey") + TriShift) % TriMod).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient u→v iff (deg(u), u) < (deg(v), v); u < v already, so the
+    // tie on degree keeps u→v. Carry the head's rank degree for the
+    // canonical triad order below.
+    val dirE = und
+      .join(broadcast(deg).as("du"), col("u") === col("du.n"))
+      .join(broadcast(deg).as("dv"), col("v") === col("dv.n"))
+      .select(
+        when(col("du.d") <= col("dv.d"), col("u")).otherwise(col("v")).as("src"),
+        when(col("du.d") <= col("dv.d"), col("v")).otherwise(col("u")).as("dst"),
+        // the head's degree == greatest of the two on either branch
+        greatest(col("du.d"), col("dv.d")).as("dd"))
+    val tri = dirE.as("x").join(dirE.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.dd") < col("y.dd") ||
+            (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("s"), col("x.dst").as("w1"), col("y.dst").as("w2"))
+    // rank(w1) < rank(w2), so the closing undirected edge {w1,w2} can
+    // only be oriented w1→w2 — one composite-key semi join closes it
+    val closed = tri.join(dirE,
+      tri("w1") === dirE("src") && tri("w2") === dirE("dst"), "left_semi")
+    closed.select(
+        least(col("s"), col("w1"), col("w2")).as("t1"),
+        (col("s") + col("w1") + col("w2")
+          - least(col("s"), col("w1"), col("w2"))
+          - greatest(col("s"), col("w1"), col("w2"))).as("t2"),
+        greatest(col("s"), col("w1"), col("w2")).as("t3"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
+  val q56Sql: String =
+    s"""WITH raw AS (SELECT l_partkey % $TriMod AS a, (l_suppkey + $TriShift) % $TriMod AS b
+       |            FROM lineitem WHERE l_quantity <= $TriQtyMax),
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+       |tri AS (SELECT x.u AS t1, x.v AS t2, y.v AS t3
+       |        FROM e x JOIN e y ON x.u = y.u AND x.v < y.v)
+       |SELECT t1, t2, t3 FROM tri
+       |WHERE EXISTS (SELECT 1 FROM e z WHERE z.u = tri.t2 AND z.v = tri.t3)
+       |ORDER BY t1, t2, t3""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Transitive closure (TransitiveClosureNaive.java:71-86: iterate
+    * paths ⋈ edges → union → distinct, workset = paths not seen
+    * before, stop when empty) as a convergence loop on
+    * [[graft.engine.Iterate.delta]]: each superstep extends only the
+    * WORKSET by one edge hop, `except` against the solution keeps the
+    * genuinely new paths, and the loop stops when a superstep finds
+    * none — exactly the reference's closeWith(nextPaths, newPaths)
+    * termination. The workload graph is the 32-residue customer-key
+    * DAG with stride edges (+1, +4, +16), so the closure converges in
+    * ~7 supersteps instead of diameter-many.
+    */
+  val TcMod = 32L
+  val TcMaxIter = 20
+
+  def q57TransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.customer(spark, dir)
+      .select((col("c_custkey") % TcMod).as("v")).distinct()
+    val edges = nodes.as("a").join(nodes.as("b"),
+        col("b.v") === col("a.v") + 1 ||
+          col("b.v") === col("a.v") + 4 ||
+          col("b.v") === col("a.v") + 16)
+      .select(col("a.v").as("src"), col("b.v").as("dst"))
+    val closure = graft.engine.Iterate.delta(edges, edges, TcMaxIter) { (sol, ws) =>
+      val ext = ws.as("p").join(edges.as("q"), col("p.dst") === col("q.src"))
+        .select(col("p.src").as("src"), col("q.dst").as("dst"))
+      val fresh = ext.except(sol)
+      (sol.union(fresh), fresh)
+    }
+    closure.orderBy(col("src"), col("dst"))
+  }
+
+  val q57Sql: String =
+    s"""WITH RECURSIVE nodes AS (SELECT DISTINCT c_custkey % $TcMod AS v FROM customer),
+       |e AS (SELECT a.v AS src, b.v AS dst FROM nodes a JOIN nodes b
+       |      ON b.v = a.v + 1 OR b.v = a.v + 4 OR b.v = a.v + 16),
+       |p AS (SELECT src, dst FROM e
+       |      UNION
+       |      SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
+       |SELECT src, dst FROM p ORDER BY src, dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_pagerank" -> (q41PageRank _),
-    "q42_connected_components" -> (q42ConnectedComponents _))
+    "q42_connected_components" -> (q42ConnectedComponents _),
+    "q56_enum_triangles" -> (q56EnumTriangles _),
+    "q57_transitive_closure" -> (q57TransitiveClosure _))
 
   def oracles: Map[String, String] = Map(
     "q41_pagerank" -> q41Sql,
-    "q42_connected_components" -> q42Sql)
+    "q42_connected_components" -> q42Sql,
+    "q56_enum_triangles" -> q56Sql,
+    "q57_transitive_closure" -> q57Sql)
 }

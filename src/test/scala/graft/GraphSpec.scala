@@ -34,6 +34,48 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       Graph.q42ConnectedComponents(spark, sf).agg(sum("n_nodes")).head.getLong(0))
   }
 
+  test("every enumerated triangle is three real edges, each triangle once") {
+    val sfd = sf
+    val und = Tables.lineitem(spark, sfd)
+      .filter(col("l_quantity") <= Graph.TriQtyMax)
+      .select((col("l_partkey") % Graph.TriMod).as("a"),
+        ((col("l_suppkey") + Graph.TriShift) % Graph.TriMod).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tris = Graph.q56EnumTriangles(spark, sfd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tris.nonEmpty)
+    assert(tris.distinct.length == tris.length)
+    tris.foreach { case (a, b, c) =>
+      assert(a < b && b < c)
+      assert(und((a, b)) && und((a, c)) && und((b, c)))
+    }
+  }
+
+  test("transitive closure matches a driver-side BFS fixpoint") {
+    val got = Graph.q57TransitiveClosure(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference fixpoint on the same (tiny) edge set, computed locally
+    val nodes = Tables.customer(spark, sf)
+      .select((col("c_custkey") % Graph.TcMod).as("v")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val edges = for {
+      a <- nodes; step <- Seq(1L, 4L, 16L) if nodes(a + step)
+    } yield (a, a + step)
+    var closure = edges
+    var grew = true
+    while (grew) {
+      val next = closure ++ (for {
+        (x, y) <- closure; (y2, z) <- edges if y2 == y
+      } yield (x, z))
+      grew = next.size > closure.size
+      closure = next
+    }
+    assert(got == closure)
+    assert(got.nonEmpty)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))
