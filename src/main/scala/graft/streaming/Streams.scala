@@ -95,6 +95,93 @@ object Streams {
       }
   }
 
+  /** Timer-driven stateful op (the reference KeyedProcessFunction
+    * timer surface, KeyedStream.java:372 `process`): per-user session
+    * timeout alerts. Each arriving event refreshes the key's state
+    * and (re)arms an event-time timer at lastTs + gap; when the
+    * WATERMARK passes the timer with no new input for that key, the
+    * key times out and emits one alert — Flink's
+    * `registerEventTimeTimer` + `onTimer`, expressed as
+    * `flatMapGroupsWithState(EventTimeTimeout)`. State is one
+    * (lastTs, count) pair per open session, freed on timeout.
+    */
+  case class SessionAlertState(lastTsMs: Long, n: Long)
+  case class SessionTimeoutAlert(user_id: Long, n_events: Long, last_ts: Timestamp)
+
+  def sessionTimeoutAlerts(events: Dataset[Ev], gapMs: Long): Dataset[SessionTimeoutAlert] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAlertState, SessionTimeoutAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessionAlertState]) =>
+          if (state.hasTimedOut) {
+            // fires WITHOUT input for this key, purely watermark-driven
+            val s = state.get
+            state.remove()
+            Iterator(SessionTimeoutAlert(uid, s.n, new Timestamp(s.lastTsMs)))
+          } else {
+            val evs = it.toArray
+            val prev = state.getOption.getOrElse(SessionAlertState(Long.MinValue, 0L))
+            val s = SessionAlertState(
+              math.max(prev.lastTsMs, evs.map(_.ts.getTime).max), prev.n + evs.length)
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Late-data accounting (the reference's allowed-lateness + late
+    * side output, WindowedStream.java:158,177). Structured Streaming
+    * has no side outputs, so the pattern that closes most of the
+    * semantic gap is: run the windowed agg in UPDATE mode — rows that
+    * are late but inside the watermark still refine their window,
+    * like Flink's allowedLateness re-firing — and audit the raw
+    * stream in a foreachBatch that classifies each event against the
+    * stream's own watermark rule (max event time seen in PRIOR
+    * batches minus the delay — Spark applies the updated watermark
+    * from the NEXT batch on), counting what Flink would have routed
+    * to the side output instead of silently vanishing.
+    */
+  class LateAudit(delayMs: Long) {
+    val onTime = new java.util.concurrent.atomic.LongAdder
+    val late = new java.util.concurrent.atomic.LongAdder
+    @volatile private var maxTsMs = Long.MinValue
+    /** Current watermark in epoch millis (MinValue until a batch lands). */
+    def watermarkMs: Long =
+      if (maxTsMs == Long.MinValue) Long.MinValue else maxTsMs - delayMs
+    private[streaming] def observe(batch: DataFrame): Unit = {
+      val wm = watermarkMs
+      val tsMs = (col("ts").cast("double") * 1000).cast("long")
+      val row = batch.agg(
+        sum(when(tsMs < wm, 1L).otherwise(0L)).as("late"),
+        sum(when(tsMs >= wm, 1L).otherwise(0L)).as("on_time"),
+        max(tsMs).as("mx")).head()
+      if (!row.isNullAt(2)) {
+        late.add(row.getLong(0))
+        onTime.add(row.getLong(1))
+        maxTsMs = math.max(maxTsMs, row.getLong(2))
+      }
+    }
+  }
+
+  /** Tumbling agg in update mode + the late audit on the same source;
+    * returns both running queries (agg lands in the `name` memory
+    * table, audit counters accumulate in `audit`). */
+  def tumblingWithLateAudit(events: DataFrame, name: String, audit: LateAudit)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    val agg = tumbling(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    val auditQ = events.writeStream.queryName(s"${name}_late_audit")
+      .outputMode(OutputMode.Append())
+      .foreachBatch((b: DataFrame, _: Long) => audit.observe(b))
+      .start()
+    (agg, auditQ)
+  }
+
   /** Interval join (reference KeyedStream.intervalJoin,
     * KeyedStream.java:425): each left event joins right events of the
     * same user within [0, +5 minutes) of its timestamp. Watermarks on

@@ -110,6 +110,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(byBatch(0L) == 2 && byBatch(1L) == 1)
   }
 
+  test("event-time timer fires a session timeout without new input for the key") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionTimeoutAlerts(ms.toDS(), gapMs = 5 * 60000L).writeStream
+      .format("memory").queryName("alerts").outputMode(OutputMode.Append()).start()
+    ms.addData(Ev(1, ts(20), 1, "a", 1.0), Ev(2, ts(22), 1, "a", 2.0))
+    q.processAllAvailable()
+    // timer armed at 27min; watermark is only 12min — nothing fires
+    assert(spark.table("alerts").count() == 0)
+    // a DIFFERENT key pushes the watermark past user 1's timer; user 1
+    // gets no new input, yet its timeout must fire
+    ms.addData(Ev(3, ts(60), 2, "b", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    assert(rows.toSeq == Seq((1L, 2L, ts(22))))
+  }
+
+  test("late audit counts beyond-watermark rows; update mode keeps refining") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val audit = new Streams.LateAudit(10 * 60000L)
+    val (agg, aq) = Streams.tumblingWithLateAudit(ms.toDF(), "late_tumb", audit)
+    ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(30), 1, "a", 2.0))
+    agg.processAllAvailable(); aq.processAllAvailable()
+    assert(audit.late.sum == 0 && audit.onTime.sum == 2)
+    // watermark is now 20min: ts(5) is beyond-watermark late (Flink
+    // would side-output it), ts(31) is on time
+    ms.addData(Ev(3, ts(5), 1, "a", 3.0), Ev(4, ts(31), 1, "a", 4.0))
+    agg.processAllAvailable(); aq.processAllAvailable()
+    agg.stop(); aq.stop()
+    assert(audit.late.sum == 1 && audit.onTime.sum == 3)
+    assert(audit.watermarkMs == 21 * 60000L)
+    assert(spark.table("late_tumb").count() > 0)
+  }
+
   test("session stream merges gap-overlapping events") {
     val evs = Seq(
       Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 2.0), // one session
