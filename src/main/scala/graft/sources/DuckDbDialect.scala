@@ -1,0 +1,37 @@
+package graft.sources
+
+import java.sql.SQLException
+
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
+
+/** Dialect shim for embedded DuckDB over Spark's JDBC source — the
+  * per-database piece every JDBC connector deployment ships (the
+  * reference's flink-connector-jdbc has the same concept as
+  * `JdbcDialect`s per backend). Spark's generic dialect classifies
+  * "object not found" by SQLState, which DuckDB's driver doesn't set,
+  * so `tableExists` would rethrow instead of answering false; DuckDB
+  * signals it in the message text.
+  */
+object DuckDbDialect extends JdbcDialect {
+
+  override def canHandle(url: String): Boolean =
+    url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
+
+  override def isObjectNotFoundException(e: SQLException): Boolean =
+    e.getMessage != null && e.getMessage.contains("does not exist")
+
+  override def quoteIdentifier(colName: String): String =
+    "\"" + colName.replace("\"", "\"\"") + "\""
+
+  @volatile private var registered = false
+
+  /** Idempotently install the dialect (registerDialect prepends a
+    * copy on every call, so guard). */
+  def ensureRegistered(): Unit =
+    if (!registered) synchronized {
+      if (!registered) {
+        JdbcDialects.registerDialect(this)
+        registered = true
+      }
+    }
+}

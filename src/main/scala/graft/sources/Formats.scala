@@ -7,8 +7,11 @@ import org.apache.spark.sql.types.StructType
   * `/root/reference` flink-java ExecutionEnvironment.java:449-628 and
   * DataSet.java:1527-1815): text, CSV (delimiter/header/schema
   * options, the reference's CsvReader builder), JSON, parquet (its
-  * TypeSerializer binary stage format), plus collection sources and
-  * the collect/count sinks.
+  * TypeSerializer binary stage format), ORC, an embedded-tested JDBC
+  * source/sink (flink-connector-jdbc), plus collection sources and
+  * the collect/count sinks. Avro (flink-formats/flink-avro) is the
+  * remaining format gap: Spark's avro support lives in the external
+  * `spark-avro` module, which this distribution doesn't ship.
   *
   * Thin, explicit wrappers over DataSource V2 — every reader takes an
   * explicit schema (never inferSchema: at 100 TB schema inference is
@@ -42,6 +45,32 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC (the reference `flink-formats/flink-orc` input format) —
+    * built into Spark; columnar + predicate pushdown like parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JDBC source (the reference `flink-connectors/flink-connector-jdbc`
+    * JdbcInputFormat). `partitionOn` splits the read into
+    * `numPartitions` range-parallel queries — without it a JDBC scan
+    * is one executor-side connection, which at scale is a straggler
+    * by construction. Filters and projections push into the remote
+    * query (asserted in FormatsSpec). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      driver: String,
+      partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    DuckDbDialect.ensureRegistered()
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+    partitionOn.fold(r) { case (column, lo, hi, n) =>
+      r.option("partitionColumn", column)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }.load()
+  }
+
   /** fromCollection / fromElements (ExecutionEnvironment.java:658-748). */
   def fromElements[T <: Product : org.apache.spark.sql.Encoder](
       spark: SparkSession, elems: Seq[T]): Dataset[T] =
@@ -68,6 +97,26 @@ object Formats {
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** JDBC sink (flink-connector-jdbc JdbcOutputFormat): each input
+    * partition writes over its own connection in batched inserts.
+    * Repartition to the DB's comfortable writer count first — at
+    * 1000 executors an unthrottled write is a connection storm. */
+  def writeJdbc(df: DataFrame, url: String, table: String, driver: String,
+      mode: SaveMode = SaveMode.Overwrite, writers: Int = 0): Unit = {
+    DuckDbDialect.ensureRegistered()
+    val out = if (writers > 0) df.repartition(writers) else df
+    out.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .mode(mode)
+      .save()
+  }
 
   /** Hive-style partitioned layout (`path/col=value/...`): the data-
     * lake form of the reference's partitioned sinks — downstream

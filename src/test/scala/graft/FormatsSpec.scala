@@ -50,6 +50,40 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == orig.count())
   }
 
+  test("orc sink/source roundtrip with pushed filters") {
+    val dir = tmp("orc")
+    val orig = Tables.nation(spark, sf)
+    Formats.writeOrc(orig, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    val plan = back.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"))
+  }
+
+  test("jdbc sink/source roundtrip against an embedded DB, pushdown + partitioned read") {
+    val url = "jdbc:duckdb:" + tmp("duck") + ".db"
+    val driver = "org.duckdb.DuckDBDriver"
+    val orig = Tables.nation(spark, sf)
+    // single writer: one embedded-DB file wants one connection; at
+    // scale `writers` throttles the connection count instead
+    Formats.writeJdbc(orig, url, "nation_rt", driver, writers = 1)
+    val back = Formats.readJdbc(spark, url, "nation_rt", driver)
+    assert(back.count() == orig.count())
+    assert(back.agg(sum("n_regionkey")).head.getLong(0) ==
+      orig.agg(sum("n_regionkey")).head.getLong(0))
+    // predicate reaches the remote query, not a post-scan filter
+    val plan = back.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"))
+    // range-partitioned read fans out into parallel per-range queries
+    val part = Formats.readJdbc(spark, url, "nation_rt", driver,
+      partitionOn = Some(("n_nationkey", 0L, 25L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == orig.count())
+  }
+
   test("collection sources and sequence") {
     import spark.implicits._
     assert(Formats.fromElements(spark, Seq((1, "a"), (2, "b"))).count() == 2)
