@@ -479,6 +479,108 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Set intersection (Table.java:899 `intersect` — INTERSECT
+    * DISTINCT semantics; the reference's planner lowers it to a
+    * distinct coGroup, DataSetMinus.scala's twin). Spark plans a
+    * left-semi hash join after per-side distinct partials — one
+    * shuffle per side on the full row as key. Scale: both sides
+    * shuffle once; distinct partials keep the exchange narrow.
+    *
+    * Mkt-segment/nation pairs that appear among both high- and
+    * low-balance customers.
+    */
+  def q58Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val rich = c.filter(col("c_acctbal") > 5000)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+    val poor = c.filter(col("c_acctbal") < 0)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+    rich.intersect(poor)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  val q58Sql: String =
+    """SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** Bag difference (Table.java:849 `minusAll` — EXCEPT ALL keeps
+    * multiplicity: a row occurring n times left and m times right
+    * survives max(n-m, 0) times). Spark's exceptAll plans this as a
+    * count-tagged aggregate + generate — one shuffle, no join blowup.
+    * The set-semantics twin (`minus`, Table.java:830) is the same
+    * plan without the multiplicity bookkeeping.
+    *
+    * Per-supplier shipment multiset minus its returned shipments:
+    * suppliers keep one row per non-returned shipment.
+    */
+  def q59ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_suppkey") < 40)
+    val all = l.select(col("l_suppkey"))
+    val returned = l.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    all.exceptAll(returned)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q59Sql: String =
+    """SELECT l_suppkey, count(*) AS n_kept FROM (
+      |  SELECT l_suppkey FROM lineitem WHERE l_suppkey < 40
+      |  EXCEPT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_suppkey < 40 AND l_returnflag = 'R'
+      |) GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** WebLogAnalysis composition (WebLogAnalysis.java:111-133): filter
+    * one input by keyword, a second by a rank threshold, a third by a
+    * date window; join the first two, then coGroup-anti-join the
+    * third. Re-expressed on the TPC-H-ish tables: keyword-named parts
+    * (documents) joined to their over-threshold revenue (ranks),
+    * anti-joined against parts returned in the window (visits). The
+    * reference's AntiJoinVisits coGroup (:233-245 — emit left when
+    * right group is empty) is exactly Spark's left_anti, which skips
+    * materializing the right side's columns entirely.
+    *
+    * Scale: revenue agg is the only wide shuffle (map-side partials);
+    * the filtered part list and returned-key projection are narrow
+    * and broadcast-able; anti join shuffles only 8-byte keys.
+    */
+  def q60WebLog(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val docs = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    // Join the (broadcast-size) keyword-filtered key list BEFORE the
+    // wide agg so the revenue shuffle carries only matching parts.
+    val ranks = l.join(broadcast(docs), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .filter(col("revenue") > 50000)
+    val visits = l
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45 &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("l_partkey").as("v_partkey"))
+    ranks
+      .join(visits, col("p_partkey") === col("v_partkey"), "left_anti")
+      .select(col("p_partkey"), col("revenue"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q60Sql: String =
+    """SELECT p_partkey, revenue FROM (
+      |  SELECT p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  WHERE p_name LIKE '%red%'
+      |  GROUP BY p_partkey
+      |  HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 50000
+      |)
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND l_quantity >= 45
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+      |ORDER BY p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
@@ -499,7 +601,10 @@ object Relational {
     "q46_topk_custom" -> (q46TopKCustom _),
     "q47_rollup" -> (q47Rollup _),
     "q48_window_analytics" -> (q48WindowAnalytics _),
-    "q49_percentiles" -> (q49Percentiles _))
+    "q49_percentiles" -> (q49Percentiles _),
+    "q58_intersect" -> (q58Intersect _),
+    "q59_except_all" -> (q59ExceptAll _),
+    "q60_weblog" -> (q60WebLog _))
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -521,5 +626,8 @@ object Relational {
     "q46_topk_custom" -> q46Sql,
     "q47_rollup" -> q47Sql,
     "q48_window_analytics" -> q48Sql,
-    "q49_percentiles" -> q49Sql)
+    "q49_percentiles" -> q49Sql,
+    "q58_intersect" -> q58Sql,
+    "q59_except_all" -> q59Sql,
+    "q60_weblog" -> q60Sql)
 }

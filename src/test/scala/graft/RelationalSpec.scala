@@ -50,6 +50,28 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("q58 intersect equals distinct semi-join of the two sides") {
+    import org.apache.spark.sql.functions._
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_mktsegment", "c_nationkey").distinct()
+    val poor = c.filter(col("c_acctbal") < 0).select("c_mktsegment", "c_nationkey").distinct()
+    val viaSemi = rich.join(poor, Seq("c_mktsegment", "c_nationkey"), "left_semi")
+      .orderBy("c_mktsegment", "c_nationkey")
+    val got = graft.operators.Relational.q58Intersect(spark, sf)
+    assert(got.collect().toSeq == viaSemi.collect().toSeq)
+  }
+
+  test("q59 exceptAll keeps max(n-m, 0) multiplicity per key") {
+    import org.apache.spark.sql.functions._
+    val l = spark.read.parquet(s"$sf/lineitem.parquet").filter(col("l_suppkey") < 40)
+    val expected = l.groupBy("l_suppkey")
+      .agg((count(lit(1)) - count(when(col("l_returnflag") === "R", 1))).as("n_kept"))
+      .filter(col("n_kept") > 0)
+      .orderBy("l_suppkey")
+    val got = graft.operators.Relational.q59ExceptAll(spark, sf)
+    assert(got.collect().toSeq == expected.collect().toSeq)
+  }
+
   test("q04 pushes filters to the parquet scan") {
     val plan = graft.operators.Relational.q04FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
