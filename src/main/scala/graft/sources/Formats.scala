@@ -71,6 +71,29 @@ object Formats {
     }.load()
   }
 
+  /** Custom input format (InputFormat SPI / ExecutionEnvironment
+    * .java:599 createInput) — the in-house [[GraftLogSource]]
+    * DataSource V2: byte-range splits with the partial-line protocol,
+    * column pruning, level/ts filter pushdown. `splitSize` bounds a
+    * single reader's work (Flink's createInputSplits(minNumSplits)). */
+  def readGraftLog(spark: SparkSession, path: String,
+      splitSize: Long = 4L << 20): DataFrame =
+    spark.read.format("graft-log")
+      .option("splitSize", splitSize.toString)
+      .load(path)
+
+  /** Sink half of the graft-log format: `ts|LEVEL|message` lines.
+    * Messages must not contain newlines (enforced here — the format
+    * has no escaping by design, which is what makes it splittable by
+    * newline scan alone). */
+  def writeGraftLog(df: DataFrame, path: String,
+      saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, regexp_replace}
+    val line = concat_ws("|", col("ts").cast("string"), col("level"),
+      regexp_replace(col("message"), "[\\r\\n]", " "))
+    df.select(line.as("value")).write.mode(saveMode).text(path)
+  }
+
   /** fromCollection / fromElements (ExecutionEnvironment.java:658-748). */
   def fromElements[T <: Product : org.apache.spark.sql.Encoder](
       spark: SparkSession, elems: Seq[T]): Dataset[T] =

@@ -84,6 +84,47 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(part.count() == orig.count())
   }
 
+  test("graft-log custom format: roundtrip is exactly-once under any splitSize") {
+    import spark.implicits._
+    val dir = tmp("gl")
+    val orig = (0 until 300).map { i =>
+      (1700000000000L + i * 1000L, if (i % 7 == 0) "ERROR" else "INFO", s"event number $i with text")
+    }.toDF("ts", "level", "message")
+    Formats.writeGraftLog(orig.repartition(3), dir)
+    val expectSum = orig.agg(sum("ts")).head.getLong(0)
+    // Brutal split sizes: boundaries land mid-line, at line starts, at
+    // newlines — the partial-line protocol must keep every line
+    // exactly once regardless.
+    for (split <- Seq(7L, 64L, 1000L, 4L << 20)) {
+      val back = Formats.readGraftLog(spark, dir, splitSize = split)
+      assert(back.count() == 300, s"splitSize=$split lost or duplicated rows")
+      assert(back.agg(sum("ts")).head.getLong(0) == expectSum, s"splitSize=$split")
+    }
+    // Small splits genuinely fan out the scan.
+    assert(Formats.readGraftLog(spark, dir, splitSize = 64).rdd.getNumPartitions > 3)
+  }
+
+  test("graft-log scan prunes columns and fully absorbs pushed filters") {
+    import spark.implicits._
+    val dir = tmp("gl2")
+    val orig = (0 until 100).map { i =>
+      (1700000000000L + i, if (i % 5 == 0) "WARN" else "DEBUG", s"m$i")
+    }.toDF("ts", "level", "message")
+    Formats.writeGraftLog(orig, dir)
+
+    val pruned = Formats.readGraftLog(spark, dir).select("level")
+    val leafOut = pruned.queryExecution.executedPlan.collectLeaves().head.output.map(_.name)
+    assert(leafOut == Seq("level"), s"scan materialized $leafOut")
+
+    val filtered = Formats.readGraftLog(spark, dir)
+      .filter($"level" === "WARN" && $"ts" >= 1700000000050L)
+    assert(filtered.count() == 10)
+    val residual = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.isEmpty, "source should have absorbed all filters")
+  }
+
   test("collection sources and sequence") {
     import spark.implicits._
     assert(Formats.fromElements(spark, Seq((1, "a"), (2, "b"))).count() == 2)
