@@ -271,6 +271,118 @@ object Similarity {
        |SELECT qid, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** IVF ("inverted file") ANN — the third point on the exact→LSH→IVF
+    * accuracy/cost curve: a coarse quantizer of [[NCells]] seed
+    * centroids (the first NCells catalog vectors — sampled-init, no
+    * Lloyd steps) partitions the catalog into cells; each query probes
+    * only its [[NProbe]] nearest cells and exact-scores the vectors
+    * inside them.
+    *
+    * Plan shape is the 100 TB one: centroids and queries are a
+    * driver-side block (16 + 4 vectors); cell assignment happens
+    * INSIDE the scoring kernel — one narrow mapPartitions pass, no
+    * assignment shuffle, no index materialization. Only the surviving
+    * (qid, vec_id, cosine) candidates (≈ NProbe/NCells of the
+    * catalog per query) reach the rank window. A persisted IVF would
+    * write (cell, vec) sorted-bucketed and prune whole cells at scan
+    * time — same math, same cells.
+    *
+    * Determinism: cell argmax and probe ranking compare UNROUNDED
+    * cosines (identical ascending fold in both engines — the q35
+    * bucket-sign precedent); ties break toward the smaller cell id.
+    */
+  val NCells = 16
+  val NProbe = 4
+
+  private def argmaxCell(c: Vec, cents: Array[Vec]): Int = {
+    var best = Double.NegativeInfinity
+    var cell = 0
+    var j = 0
+    while (j < cents.length) {
+      val s = dotJvm(c.v, cents(j).v) / (c.norm * cents(j).norm)
+      if (s > best) { best = s; cell = j }
+      j += 1
+    }
+    cell
+  }
+
+  def q61AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < NCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    // Driver-side probe selection: each query's NProbe closest cells
+    // (desc cosine, asc cell id) — 4×16 dots, trivially driver-sized.
+    val probes: Array[(Vec, Array[Int])] = queries.map { q =>
+      val ranked = cents.indices
+        .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
+        .sortBy { case (s, j) => (-s, j) }
+        .take(NProbe).map(_._2)
+      (q, ranked.toArray)
+    }
+    val bc = spark.sparkContext.broadcast((cents, probes))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val (cs, ps) = bc.value
+        it.flatMap { case (id, e) =>
+          val c = mkVec(id, e)
+          val cell = argmaxCell(c, cs)
+          ps.iterator
+            .filter { case (q, probe) => q.id != id && probe.contains(cell) }
+            .map { case (q, _) =>
+              (q.id, c.id, round4(dotJvm(c.v, q.v) / (c.norm * q.norm)))
+            }
+        }
+      }
+      .toDF("qid", "vec_id", "cosine")
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q61Sql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn
+       |  FROM ev WHERE vec_id < $NCells),
+       |cellscore AS (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range($Dim),
+       |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.ce[k+1] AS DOUBLE)))
+       |        / (e.nrm * c.cn) DESC, c.cell) AS rk
+       |  FROM ev e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cell FROM cellscore WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qid, cell FROM cellscore
+       |  WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |scored AS (
+       |  SELECT p.qid, c.vec_id,
+       |    round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(c.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))
+       |      / (c.nrm * q.nrm), 4) AS cosine
+       |  FROM ev c
+       |  JOIN assigned a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN ev q ON q.vec_id = p.qid
+       |  WHERE c.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** Symmetric int8 quantization of embeddings (per-vector max-abs
     * scale, q = round(x/scale·127)) with reconstruction RMSE — the
@@ -329,11 +441,13 @@ object Similarity {
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_filtered_ann" -> (q52FilteredAnn _),
-    "q55_quantize_int8" -> (q55QuantizeInt8 _))
+    "q55_quantize_int8" -> (q55QuantizeInt8 _),
+    "q61_ann_ivf" -> (q61AnnIvf _))
 
   def oracles: Map[String, String] = Map(
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
     "q52_filtered_ann" -> q52Sql,
-    "q55_quantize_int8" -> q55Sql)
+    "q55_quantize_int8" -> q55Sql,
+    "q61_ann_ivf" -> q61Sql)
 }

@@ -31,6 +31,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN probes its cells only and scores exactly") {
+    val ivf = Similarity.q61AnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // exact scoring: any pair IVF returns carries the brute-force cosine
+    val brute = Similarity.q34AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+    // probing 4/16 cells recalls a meaningful share of the true top-k
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(hits >= Similarity.NQueries * Similarity.TopK / 4,
+      s"recall collapsed: $hits of ${brute.size} brute-force hits")
+    // ranks are contiguous from 1 within each query
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("langid predictions cover profiled languages deterministically") {
     val rows = TextAnalysis.q36LangId(spark, sf).collect()
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
