@@ -95,6 +95,44 @@ object Streams {
       }
   }
 
+  /** Sliding count window — the reference's custom TRIGGER + EVICTOR
+    * composition (KeyedStream.java:663-666: GlobalWindows +
+    * CountTrigger.of(slide) + CountEvictor.of(size)): every `slide`-th
+    * event per key fires an aggregate over the last `size` events.
+    * Structured Streaming has no trigger/evictor SPI, so the pair is
+    * expressed directly as custom state: a bounded ring of the last
+    * `size` values (the evictor) plus an arrival counter firing every
+    * `slide` (the trigger). State is exactly `size` doubles + two
+    * longs per key — same bound Flink's evictor enforces.
+    */
+  case class SlideWinState(seen: Long, fired: Long, ring: Vector[Double])
+  case class SlideWin(user_id: Long, fire_idx: Long, n: Long, sum_v: Double)
+
+  def slidingCountWindow(events: Dataset[Ev], size: Int, slide: Int): Dataset[SlideWin] = {
+    require(size > 0 && slide > 0, s"size/slide must be positive, got $size/$slide")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SlideWinState, SlideWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SlideWinState]) =>
+          var s = state.getOption.getOrElse(SlideWinState(0L, 0L, Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SlideWin]
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            val ring = (s.ring :+ e.value).takeRight(size) // CountEvictor.of(size)
+            val seen = s.seen + 1
+            var fired = s.fired
+            if (seen % slide == 0) { // CountTrigger.of(slide)
+              out += SlideWin(uid, fired, ring.length,
+                math.rint(ring.sum * 100) / 100)
+              fired += 1
+            }
+            s = SlideWinState(seen, fired, ring)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Timer-driven stateful op (the reference KeyedProcessFunction
     * timer surface, KeyedStream.java:372 `process`): per-user session
     * timeout alerts. Each arriving event refreshes the key's state

@@ -226,6 +226,22 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(peak.get() >= 2) // genuinely concurrent
   }
 
+  test("custom partitioner routes rows by the computed expression") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).toDF("id")
+    // route on id mod 4 → at most 4 non-empty partitions, and all
+    // rows sharing a routing value land in the same partition
+    val routed = Partitioning.custom(df, 8, col("id") % 4)
+    val placement = routed.select(col("id") % 4)
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSet))
+      .collect().filter(_.nonEmpty)
+    assert(placement.length <= 4)
+    assert(placement.flatten.toSet == Set(0L, 1L, 2L, 3L))
+    // no two partitions share a routing value
+    assert(placement.map(_.size).sum == placement.flatten.toSet.size)
+    assert(routed.count() == 1000)
+  }
+
   test("rebalance evens out partition sizes") {
     val skewed = Tables.lineitem(spark, sf).repartition(1)
     val even = Partitioning.rebalance(skewed, 8)

@@ -71,6 +71,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Set((1L, 0L, 3L, 6.0), (1L, 1L, 3L, 15.0), (2L, 0L, 3L, 3.0)))
   }
 
+  test("sliding count window fires every slide over the last size events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.slidingCountWindow(ms.toDS(), size = 3, slide = 2).writeStream
+      .format("memory").queryName("scw").outputMode(OutputMode.Append()).start()
+    ms.addData((1 to 5).map(i => Ev(i, ts(i), 1, "a", i.toDouble)): _*)
+    q.processAllAvailable()
+    // fires at events 2 and 4: ring(1,2)=3.0 then ring(2,3,4)=9.0
+    val afterB1 = spark.table("scw").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(afterB1 == Set((0L, 2L, 3.0), (1L, 3L, 9.0)))
+    // evictor state survives the batch boundary: 6th event fires
+    // over the last three values (4,5,6)
+    ms.addData(Ev(6, ts(6), 1, "a", 6.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("scw").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(all == afterB1 + ((2L, 3L, 15.0)))
+  }
+
   test("count window state carries across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
