@@ -121,10 +121,15 @@ object Graph {
     val init = ed.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val labels = graft.engine.Iterate.loopDF(init, Iters, checkpointEvery = 2) { (ls, _) =>
-      val nbrMin = ed.join(broadcast(ls), ed("src") === ls("node"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      ls.join(nbrMin, ls("node") === col("dst"), "left_outer")
-        .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // label' = min(own ∪ neighbors): folding the self-label into the
+      // aggregation replaces the join-back-then-least shape with ONE
+      // join + ONE hash-agg per superstep (map-side partial min keeps
+      // the shuffle at node cardinality, not edge cardinality)
+      ed.join(broadcast(ls), ed("src") === ls("node"))
+        .select(col("dst").as("node2"), col("label"))
+        .union(ls.select(col("node").as("node2"), col("label")))
+        .groupBy(col("node2")).agg(min(col("label")).as("label2"))
+        .select(col("node2").as("node"), col("label2").as("label"))
     }
     labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("label"))
