@@ -137,14 +137,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q29Sql: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * verified near-dup pairs; shared by the q29 listing and q62's
+    * cluster resolution. */
+  private def pairsCteSql: String = {
     val mins = (0 until MinhashK)
       .map(i => s"min((${hashA(i)}*hp + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
     val bandRows = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS ($shingleHashesSql),
+    s"""sh AS ($shingleHashesSql),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
@@ -156,15 +159,18 @@ object Dedup {
        |          FROM cands c
        |          JOIN sh sa ON c.doc_a = sa.doc_id
        |          JOIN sh sb ON c.doc_b = sb.doc_id AND sa.hp = sb.hp
-       |          GROUP BY c.doc_a, c.doc_b)
-       |SELECT doc_a, doc_b,
-       |  round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) AS jaccard
-       |FROM inter
-       |JOIN sizes za ON doc_a = za.doc_id
-       |JOIN sizes zb ON doc_b = zb.doc_id
-       |WHERE round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |          GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON doc_a = za.doc_id
+       |  JOIN sizes zb ON doc_b = zb.doc_id
+       |  WHERE round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) >= 0.8)""".stripMargin
   }
+
+  val q29Sql: String =
+    s"""WITH $pairsCteSql
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q30
   /** SimHash fingerprints: 48-bit signature per document. Per word
@@ -342,13 +348,115 @@ object Dedup {
        |    / (a.nrm * b.nrm) >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Near-dup CLUSTER resolution — the decision step after pair
+    * generation: near-dup pairs (q29's verified MinHash output) form
+    * a graph; connected components via min-label propagation pick ONE
+    * canonical doc per cluster (the smallest id), and every other
+    * member is marked a casualty. Without this step, pairwise dedup
+    * of a 3-chain {a~b, b~c} wrongly keeps both endpoints.
+    *
+    * Fixed [[ClusterSteps]] supersteps of integer min-propagation
+    * (the q42 union-fold shape — one join + one hash-agg per step,
+    * oracle-matchable because both engines unroll identically; near-
+    * dup clusters are short chains, so 3 steps cover the diameters
+    * seen at any test SF). Scale: the pair graph is sparse (near-dup
+    * clusters, not the corpus), label state is ids only; shuffles
+    * carry 16 bytes per node.
+    */
+  val ClusterSteps = 3
+
+  def q62DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q29MinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val init = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val labels = graft.engine.Iterate.loopDF(init, ClusterSteps, checkpointEvery = 2) { (ls, _) =>
+      edges.join(ls, edges("src") === ls("node"))
+        .select(col("dst").as("node2"), col("label"))
+        .union(ls.select(col("node").as("node2"), col("label")))
+        .groupBy(col("node2")).agg(min(col("label")).as("label2"))
+        .select(col("node2").as("node"), col("label2").as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("rep_id"),
+        (col("node") === col("label")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q62Sql: String = {
+    val steps = (1 to ClusterSteps).map { i =>
+      s"""n$i AS (SELECT e.dst AS node, min(l.label) AS nl
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst),
+         |l$i AS (SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN n$i n ON l.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsCteSql,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT node AS doc_id, label AS rep_id,
+       |  CAST(node = label AS INT) AS keep
+       |FROM l$ClusterSteps ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q63
+  /** Train/test contamination check — the decontamination pass every
+    * LLM data pipeline runs before training: find corpus documents
+    * sharing ≥ [[MinSharedShingles]] distinct 3-gram shingles with
+    * any document of a held-out benchmark set (here: doc_id <
+    * [[BenchIdMax]] plays the benchmark).
+    *
+    * Plan: the benchmark's shingle set is SMALL by nature (eval sets
+    * are thousands of docs, not billions) — broadcast it, so the
+    * corpus-side shingle stream never shuffles for the probe; only
+    * (corpus_doc, bench_doc) hit pairs enter the counting agg.
+    * Output is all-integer (shared count + benchmark shingle size) —
+    * contamination verdicts need no FP. Scale: corpus side is one
+    * narrow pass over the cached shingle relation; the hit agg
+    * shuffles only overlapping pairs, ~0 for a clean corpus.
+    */
+  val BenchIdMax = 20L
+  val MinSharedShingles = 3
+
+  def q63Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val bench = sh.filter(col("doc_id") < BenchIdMax)
+      .select(col("doc_id").as("bench_id"), col("hp"))
+    val bsz = bench.groupBy("bench_id").agg(count(lit(1)).as("bench_sz"))
+    sh.filter(col("doc_id") >= BenchIdMax)
+      .join(broadcast(bench), "hp")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedShingles)
+      .join(broadcast(bsz), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("n_shared"), col("bench_sz"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val q63Sql: String =
+    s"""WITH sh AS ($shingleHashesSql),
+       |bench AS (SELECT doc_id AS bench_id, hp FROM sh WHERE doc_id < $BenchIdMax),
+       |bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bench GROUP BY bench_id),
+       |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+       |       FROM sh c JOIN bench b ON c.hp = b.hp
+       |       WHERE c.doc_id >= $BenchIdMax
+       |       GROUP BY c.doc_id, b.bench_id)
+       |SELECT doc_id, bench_id, n_shared, bench_sz
+       |FROM ov JOIN bsz USING (bench_id)
+       |WHERE n_shared >= $MinSharedShingles
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28ExactDedup _),
     "q29_dedup_minhash_lsh" -> (q29MinhashLsh _),
     "q30_simhash" -> (q30SimHash _),
     "q31_simhash_pairs" -> (q31SimHashPairs _),
     "q32_ngram_jaccard" -> (q32NgramJaccard _),
-    "q33_embedding_cosine" -> (q33EmbeddingCosine _))
+    "q33_embedding_cosine" -> (q33EmbeddingCosine _),
+    "q62_dedup_clusters" -> (q62DedupClusters _),
+    "q63_contamination" -> (q63Contamination _))
 
   def oracles: Map[String, String] = Map(
     "q28_dedup_exact" -> q28Sql,
@@ -356,5 +464,7 @@ object Dedup {
     "q30_simhash" -> q30Sql,
     "q31_simhash_pairs" -> q31Sql,
     "q32_ngram_jaccard" -> q32Sql,
-    "q33_embedding_cosine" -> q33Sql)
+    "q33_embedding_cosine" -> q33Sql,
+    "q62_dedup_clusters" -> q62Sql,
+    "q63_contamination" -> q63Sql)
 }

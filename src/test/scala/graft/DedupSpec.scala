@@ -70,4 +70,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= Dedup.CosineThreshold))
   }
+
+  test("cluster resolution keeps exactly one canonical doc per near-dup cluster") {
+    val pairs = Dedup.q29MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.q62DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val rep = clusters.map(c => c._1 -> c._2).toMap
+    // one row per doc appearing in any pair
+    assert(clusters.map(_._1).toSet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // representatives are minimal and self-representing
+    clusters.foreach { case (doc, r, keep) =>
+      assert(r <= doc)
+      assert(rep(r) == r, s"rep $r of $doc is not its own rep")
+      assert((keep == 1) == (doc == r))
+    }
+    // both ends of every near-dup pair resolved to the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("contamination hits truly share the claimed distinct shingles") {
+    import org.apache.spark.sql.functions._
+    val hits = Dedup.q63Contamination(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.Portable.shingles(col("text"))).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    hits.foreach { r =>
+      val (doc, bench, n, bs) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(doc >= Dedup.BenchIdMax && bench < Dedup.BenchIdMax)
+      assert(n >= Dedup.MinSharedShingles && n <= bs)
+      assert(sh(doc).intersect(sh(bench)).size == n,
+        s"doc $doc vs bench $bench: claimed $n shared shingles")
+    }
+  }
 }
