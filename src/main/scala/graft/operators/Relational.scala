@@ -581,6 +581,48 @@ object Relational {
       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
       |ORDER BY p_partkey""".stripMargin
 
+  /** Large-volume orders (TPC-H Q18 shape): HAVING-filtered IN
+    * subquery + 3-way join + re-aggregation — the one query here
+    * that enters through `spark.sql`, because a relational engine's
+    * user surface includes SQL text and the IN-subquery is its
+    * natural habitat. Catalyst rewrites the IN to a left-semi join
+    * (RewritePredicateSubquery), so the plan is the same
+    * agg → semi-join → join pyramid a DataFrame formulation yields:
+    * the HAVING agg shuffles lineitem once on orderkey with map-side
+    * partials, the qualifying-order key list semi-joins orders, and
+    * the final per-order agg reuses the orderkey clustering.
+    * Quantity sums are integer-valued doubles — exact in IEEE at any
+    * fold order, so the HAVING threshold can't flake cross-engine.
+    */
+  val Q64MinQty = 250
+
+  def q64LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      s"""SELECT c_custkey, o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+         |FROM g_customer JOIN g_orders ON c_custkey = o_custkey
+         |JOIN g_lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM g_lineitem
+         |  GROUP BY l_orderkey HAVING sum(l_quantity) > $Q64MinQty)
+         |GROUP BY c_custkey, o_orderkey, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 20""".stripMargin)
+  }
+
+  val q64Sql: String =
+    s"""SELECT c_custkey, o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING sum(l_quantity) > $Q64MinQty)
+       |GROUP BY c_custkey, o_orderkey, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
@@ -604,7 +646,8 @@ object Relational {
     "q49_percentiles" -> (q49Percentiles _),
     "q58_intersect" -> (q58Intersect _),
     "q59_except_all" -> (q59ExceptAll _),
-    "q60_weblog" -> (q60WebLog _))
+    "q60_weblog" -> (q60WebLog _),
+    "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -629,5 +672,6 @@ object Relational {
     "q49_percentiles" -> q49Sql,
     "q58_intersect" -> q58Sql,
     "q59_except_all" -> q59Sql,
-    "q60_weblog" -> q60Sql)
+    "q60_weblog" -> q60Sql,
+    "q64_large_orders" -> q64Sql)
 }

@@ -72,6 +72,13 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("q64's IN subquery rewrites to a semi join, not a nested loop") {
+    val plan = graft.operators.Relational.q64LargeOrders(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join rewrite in:\n$plan")
+    assert(!plan.toLowerCase.contains("nestedloop"))
+  }
+
   test("q04 pushes filters to the parquet scan") {
     val plan = graft.operators.Relational.q04FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
