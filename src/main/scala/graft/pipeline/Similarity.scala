@@ -152,19 +152,21 @@ object Similarity {
       when(dot(col("embedding"), p) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, embedding, nrm, bucket) — norms on the native codegen
+    * graft_dot (plane dots keep the fold expression: planes are
+    * double literals, and casting them to float would diverge from
+    * the oracle). */
+  private def bucketedEv(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.Functions.register(spark)
-    // norms + candidate scoring run on the native codegen graft_dot
-    // (plane dots keep the fold expression: planes are double literals,
-    // and casting them to float would diverge from the oracle)
-    val ev = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nrm"))
       .withColumn("bucket", bucketCol)
-    val q = ev.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket").as("qb"))
-    val scored = ev.join(broadcast(q), col("bucket") === col("qb"))
+  }
+
+  /** Score candidates against the probe rows and keep TopK per query. */
+  private def rankLshCandidates(ev: DataFrame, probes: DataFrame): DataFrame = {
+    val scored = ev.join(broadcast(probes), col("bucket") === col("pb"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(call_function("graft_dot", col("embedding"), col("qe"))
@@ -176,8 +178,18 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val q35Sql: String =
-    s"""WITH ev0 AS (SELECT vec_id, embedding,
+  def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = bucketedEv(spark, dir)
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("pb"))
+    rankLshCandidates(ev, q)
+  }
+
+  /** CTE chain ending in `ev(vec_id, embedding, nrm, bucket)` —
+    * shared by q35 (own-bucket probe) and q65 (multi-probe). */
+  private def bucketedEvCteSql: String =
+    s"""ev0 AS (SELECT vec_id, embedding,
        |  sqrt(list_sum(list_transform(embedding,
        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
@@ -187,7 +199,10 @@ object Similarity {
                |    k -> CAST(embedding[k+1] AS DOUBLE) *
                |         ((($j*$Dim + k + 1) * 2654435761) % 1000003 / 1000003.0 - 0.5))) > 0
                |    THEN ${1 << j} ELSE 0 END)""".stripMargin).mkString(" +\n  ")} AS bucket
-       |  FROM ev0),
+       |  FROM ev0)""".stripMargin
+
+  val q35Sql: String =
+    s"""WITH $bucketedEvCteSql,
        |scored AS (
        |  SELECT q.vec_id AS qid, c.vec_id,
        |    round(list_sum(list_transform(range($Dim),
@@ -200,6 +215,51 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Multi-probe LSH ANN — the recall knob q35 documents, applied:
+    * each query probes its OWN bucket plus the [[Planes]] buckets at
+    * Hamming distance 1 (one sign bit flipped). Probing 1+Planes of
+    * the 2^Planes buckets trades (1+Planes)× candidate volume for the
+    * recall lost to near-boundary hyperplane signs — the standard
+    * alternative to re-hashing with more tables, and at 100 TB it
+    * multiplies only the QUERY side of the bucket join (the catalog
+    * is still scanned/bucketed once). A candidate lives in exactly
+    * one bucket, so probe expansion can't duplicate pairs — no
+    * dedup stage needed.
+    */
+  def q65AnnLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = bucketedEv(spark, dir)
+    val probeBuckets = col("bucket") +:
+      (0 until Planes).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(array(probeBuckets: _*)).as("pb"))
+    rankLshCandidates(ev, q)
+  }
+
+  val q65Sql: String = {
+    val flips = (0 until Planes)
+      .map(j => s"SELECT vec_id, xor(bucket, ${1 << j}) AS pb FROM ev WHERE vec_id < $NQueries")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bucketedEvCteSql,
+       |probes AS (
+       |  SELECT vec_id, bucket AS pb FROM ev WHERE vec_id < $NQueries
+       |  UNION ALL $flips),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, c.vec_id,
+       |    round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(c.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))
+       |      / (c.nrm * q.nrm), 4) AS cosine
+       |  FROM ev c JOIN probes p ON c.bucket = p.pb
+       |  JOIN ev q ON q.vec_id = p.vec_id
+       |  WHERE c.vec_id <> p.vec_id),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
 
   /** Exact all-pairs cosine for catalogs LARGER than one broadcast:
     * an outer driver loop over id-range blocks, each iteration
@@ -442,12 +502,14 @@ object Similarity {
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_filtered_ann" -> (q52FilteredAnn _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
-    "q61_ann_ivf" -> (q61AnnIvf _))
+    "q61_ann_ivf" -> (q61AnnIvf _),
+    "q65_ann_lsh_multiprobe" -> (q65AnnLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
     "q52_filtered_ann" -> q52Sql,
     "q55_quantize_int8" -> q55Sql,
-    "q61_ann_ivf" -> q61Sql)
+    "q61_ann_ivf" -> q61Sql,
+    "q65_ann_lsh_multiprobe" -> q65Sql)
 }

@@ -31,6 +31,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe, scored exactly") {
+    val brute = Similarity.q34AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val single = Similarity.q35AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Similarity.q65AnnLshMultiProbe(spark, sf).collect()
+    val multiPairs = multi.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallS = single.count(brute.contains)
+    val recallM = multiPairs.count(brute.contains)
+    assert(recallM >= recallS, s"multi-probe recall $recallM < single $recallS")
+    // exact scoring and no duplicate (qid, vec_id) from probe expansion
+    assert(multi.length == multiPairs.size)
+    multi.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
   test("IVF ANN probes its cells only and scores exactly") {
     val ivf = Similarity.q61AnnIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
