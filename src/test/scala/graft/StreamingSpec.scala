@@ -45,6 +45,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dynamic-gap sessions merge by per-element gap and match the batch twin") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, ts(0), 1, "purchase", 10.0), // 30-min gap: reaches t=30
+      Ev(2, ts(25), 1, "view", 5.0),     // merged; 10-min gap: reaches t=35
+      Ev(3, ts(40), 1, "view", 2.0),     // outside → second session
+      Ev(4, ts(200), 9, "view", 0.0))    // watermark pusher
+    val ms = feed(evs)
+    val q = Streams.sessionDynamicGap(ms.toDF()).writeStream
+      .format("memory").queryName("dynsess").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dynsess")
+      .select(col("user_id"), col("n_events"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a static 10-min gap would NOT merge t=0 with t=25; the purchase's
+    // 30-min gap does
+    assert(got.contains((1L, 2L, 15.0)), s"purchase gap failed to merge: $got")
+    assert(got.contains((1L, 1L, 2.0)))
+    // batch twin over the closed sessions
+    val batch = evs.toDF().filter(col("user_id") === 1)
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", "30 minutes").otherwise("10 minutes")))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("user_id"), col("n_events"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+  }
+
+  test("processing-time windows bucket on the arrival clock") {
+    import spark.implicits._
+    val ms = feed((1 to 6).map(i => Ev(i, ts(i), 1, "a", 1.0)))
+    val q = Streams.tumblingProcessingTime(ms.toDF(), "1 hour").writeStream
+      .format("memory").queryName("ptw").outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ptw").collect()
+    // all six events arrive inside one wall-clock hour bucket
+    assert(rows.map(_.getLong(2)).sum == 6)
+    assert(rows.map(r => r.getStruct(0)).toSet.size == 1)
+  }
+
+  test("rate source feeds the standard transform surface") {
+    val q = Streams.rateSource(spark, 200)
+      .groupBy(col("user_id")).agg(sum(col("value")).as("s"))
+      .writeStream.format("memory").queryName("ratesrc")
+      .outputMode(OutputMode.Complete()).start()
+    val deadline = System.currentTimeMillis() + 20000
+    var n = 0L
+    while (n == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500); q.processAllAvailable()
+      n = spark.table("ratesrc").count()
+    }
+    q.stop()
+    assert(n > 0, "rate source produced no rows within 20s")
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     val evs = Seq(
       Ev(1, ts(0), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0),
