@@ -104,6 +104,20 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(Formats.readGraftLog(spark, dir, splitSize = 64).rdd.getNumPartitions > 3)
   }
 
+  test("graft-log reader tolerates CRLF, malformed lines, and empty files") {
+    val dir = Files.createTempDirectory("graft_gl3").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      "100|INFO|ok\r\n101|WARN|crlf line\r\nnot a record\n|||\nxyz|INFO|bad ts\n102|INFO|tail no newline"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "empty.log"), Array.empty[Byte])
+    for (split <- Seq(5L, 1000L)) {
+      val rows = graft.sources.Formats.readGraftLog(spark, dir, splitSize = split)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((100L, "INFO", "ok"), (101L, "WARN", "crlf line"),
+        (102L, "INFO", "tail no newline")), s"splitSize=$split")
+    }
+  }
+
   test("graft-log scan prunes columns and fully absorbs pushed filters") {
     import spark.implicits._
     val dir = tmp("gl2")
