@@ -79,6 +79,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.toLowerCase.contains("nestedloop"))
   }
 
+  test("as-of join equals the brute-force latest-at-or-before lookup") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+      .groupBy("user_id", "ts").agg(max("value").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = clicks.map { case (id, u, t) =>
+      val prior = purchases.filter(p => p._1 == u && p._2 <= t)
+      if (prior.isEmpty) (id, 0.0, -1L)
+      else { val best = prior.maxBy(_._2); (id, best._3, best._2) }
+    }.sortBy(_._1).toSeq
+    val got = graft.operators.AsOfJoin.q66AsOfJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_._3 >= 0), "no as-of match exercised")
+  }
+
   test("q04 pushes filters to the parquet scan") {
     val plan = graft.operators.Relational.q04FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
