@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Range (band) join — each left row matches right rows of the same
+  * key whose timestamp falls in the trailing window [t − width, t].
+  * The streaming sibling is the interval join
+  * ([[graft.streaming.Streams.intervalJoin]], reference
+  * KeyedStream.java:425); this is its bounded/batch form, which Spark
+  * would otherwise plan as a join with a non-equi condition — per
+  * key, a rescan of the right side for every left row.
+  *
+  * The scalable shape is BINNING: bucket both sides by
+  * `ts div width`; a right row inside a left row's trailing window
+  * can only sit in the left row's bucket or the one before it, so the
+  * left side probes exactly two buckets via an exploded equi-join on
+  * (key, bucket), and the exact range predicate filters the slack
+  * afterwards. One shuffle per side on (key, bucket), candidate
+  * volume ≈ 2× the matching rows, never a per-row rescan — the same
+  * trick Structured Streaming's watermarked interval join applies to
+  * bound its state.
+  */
+object RangeJoin {
+
+  /** Generic operator: rows of `left` paired with `right` rows where
+    * `right.ts ∈ [left.ts − width, left.ts]` and keys match. Returns
+    * the matched pairs (inner semantics); aggregate or left-join back
+    * for windowed-count shapes. */
+  def trailingRange(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    // integer div (never FP "/"): bucket ids must be exact
+    val probes = left
+      .withColumn("__rj_probe",
+        explode(array(expr(s"`$leftTs` div $width"), expr(s"`$leftTs` div $width - 1"))))
+    val binned = right.withColumn("__rj_bucket", expr(s"`$rightTs` div $width"))
+    probes.join(binned,
+        probes(key) === binned(key) && col("__rj_probe") === col("__rj_bucket"))
+      .filter(col(rightTs) >= col(leftTs) - width && col(rightTs) <= col(leftTs))
+      .drop("__rj_probe", "__rj_bucket")
+      .drop(binned(key))
+  }
+
+  // ---------------------------------------------------------------- q67
+  /** Per click: how many views (and their value sum) the same user
+    * produced in the preceding 10 minutes — the trailing-window
+    * activity feature every clickstream pipeline derives. Clicks with
+    * a quiet window survive with zeros via the join-back.
+    */
+  val WindowUs: Long = 10L * 60 * 1000 * 1000
+
+  def q67RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("tv"), col("value"))
+    val matched = trailingRange(clicks, views, "user_id", "ts", "tv", WindowUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_views"), round(sum(col("value")), 2).as("sum_views"))
+    clicks.join(matched, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_views"), lit(0.0)).as("sum_views"))
+      .orderBy(col("event_id"))
+  }
+
+  val q67Sql: String =
+    s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+       |           FROM events WHERE event_type = 'click'),
+       |v AS (SELECT user_id, epoch_us(ts) AS tv, value
+       |      FROM events WHERE event_type = 'view')
+       |SELECT c.event_id, c.user_id, c.t AS ts_us,
+       |  count(v.tv) AS n_views,
+       |  round(coalesce(sum(v.value), 0.0), 2) AS sum_views
+       |FROM c LEFT JOIN v
+       |  ON c.user_id = v.user_id AND v.tv >= c.t - $WindowUs AND v.tv <= c.t
+       |GROUP BY c.event_id, c.user_id, c.t
+       |ORDER BY c.event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_range_join" -> (q67RangeJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "q67_range_join" -> q67Sql)
+}

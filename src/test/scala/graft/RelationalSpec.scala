@@ -100,6 +100,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty && got.exists(_._3 >= 0), "no as-of match exercised")
   }
 
+  test("binned range join equals the brute-force trailing-window scan") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000))
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getDouble(2)))
+    val w = graft.operators.RangeJoin.WindowUs
+    val expected = clicks.map { case (id, u, t) =>
+      val in = views.filter(v => v._1 == u && v._2 >= t - w && v._2 <= t)
+      (id, in.length.toLong, math.rint(in.map(_._3).sum * 100) / 100)
+    }.sortBy(_._1).toSeq
+    val got = graft.operators.RangeJoin.q67RangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2 > 0), "no trailing-window match exercised")
+  }
+
   test("q04 pushes filters to the parquet scan") {
     val plan = graft.operators.Relational.q04FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
