@@ -367,7 +367,11 @@ object Dedup {
   val ClusterSteps = 3
 
   def q62DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the pair relation ONCE: it is tiny (near-dup pairs,
+    // not the corpus) but its lineage is the whole MinHash pipeline,
+    // which every superstep would otherwise recompute
     val pairs = q29MinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val init = edges.select(col("src").as("node")).distinct()
