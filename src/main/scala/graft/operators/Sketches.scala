@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch aggregates — the 100 TB replacements for exact
+  * forms that need a global sort or a giant hash table. The reference
+  * has no sketch layer (its aggregations are exact field aggregates,
+  * DataSet.java:1130); these are the Spark-native operators a corpus-
+  * scale pipeline swaps in, each a partial-aggregable state merged
+  * across partitions — no exact-operator shuffle amplification:
+  *
+  *   - quantiles: `percentile_approx` (t-digest-style rank sketch) vs
+  *     the exact per-group sort of [[Relational.q49Percentiles]];
+  *   - distinct counts: `approx_count_distinct` (HyperLogLog++,
+  *     relativeSD-tunable) vs the exact two-level distinct agg;
+  *   - membership pruning: `BloomFilterAggregate` via
+  *     `DataFrameStatFunctions.bloomFilter` for build-once probe-many
+  *     dedup prefilters.
+  *
+  * No DuckDB-hash-matchable oracle exists for any of these (sketch
+  * internals differ across engines by construction), so they are
+  * spec-verified against their exact twins with error-bound
+  * assertions instead of graded queries — the honest check for an
+  * approximate operator.
+  */
+object Sketches {
+
+  /** Approximate percentile with tunable accuracy (10000 ≈ 0.01%
+    * rank error). Mergeable: partials combine associatively, so the
+    * plan is partial_percentile_approx → one narrow exchange →
+    * merge, regardless of group sizes. */
+  def approxPercentile(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      percentiles: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val pArr = array(percentiles.map(lit): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("approx_p"))
+  }
+
+  /** HyperLogLog++ distinct count; rsd = target relative standard
+    * deviation (0.05 default ≈ ±5%). Constant state per group
+    * (2^p registers) however many distinct values stream through. */
+  def approxDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_nd"))
+
+  /** Build-side Bloom filter for probe-side pruning: returns a
+    * predicate Column testing membership of `probeCol` in the set of
+    * `buildCol` values (false positives at `fpp`, never false
+    * negatives) — the classic pre-join/pre-dedup prefilter that drops
+    * most non-matching rows before any shuffle. */
+  def bloomPrefilter(build: DataFrame, buildCol: String, expectedItems: Long,
+      fpp: Double)(probeCol: Column): Column = {
+    val bf = build.stat.bloomFilter(buildCol, expectedItems, fpp)
+    val bc = build.sparkSession.sparkContext.broadcast(bf)
+    // broadcast-probe UDF: the explicit form for arbitrary pipelines.
+    // For plain shuffle joins Catalyst's InjectRuntimeFilter plants
+    // the codegen'd equivalent (bloom_filter_agg/might_contain)
+    // automatically — this operator is for when the probe site isn't
+    // a join Spark can see (multi-stage dedup, pre-scan pruning).
+    val test = udf((v: Long) => bc.value.mightContainLong(v))
+    test(probeCol)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  test("approx percentile lands within its rank-error band of the exact sort") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val approx = Sketches.approxPercentile(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.5, 0.9), accuracy = 10000)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // exact quantiles at q ± 1% rank bound the sketch's answer
+    val bands = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.49, 0.51, 0.89, 0.91))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    bands.foreach { case (flag, b) =>
+      val Seq(p50, p90) = approx(flag).toSeq
+      assert(p50 >= b(0) && p50 <= b(1), s"$flag p50=$p50 outside [${b(0)}, ${b(1)}]")
+      assert(p90 >= b(2) && p90 <= b(3), s"$flag p90=$p90 outside [${b(2)}, ${b(3)}]")
+    }
+  }
+
+  test("HLL distinct count stays within 3x its target error") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val approx = Sketches.approxDistinct(o, "o_custkey", Seq("o_orderpriority"), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) <= math.max(3, 0.15 * ex),
+        s"$k: approx $ap vs exact $ex exceeds 3*rsd")
+    }
+  }
+
+  test("HLL plan keeps map-side partial aggregation") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = Sketches.approxDistinct(o, "o_custkey", Seq("o_orderpriority"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"), plan)
+  }
+
+  test("bloom prefilter passes every member and few non-members") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hot = li.filter(col("l_quantity") >= 48).select(col("l_partkey"))
+    val hotSet = hot.collect().map(_.getLong(0)).toSet
+    val pred = Sketches.bloomPrefilter(hot, "l_partkey",
+      expectedItems = math.max(hotSet.size.toLong, 1L), fpp = 0.01)(col("p_partkey"))
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val kept = part.filter(pred).select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(hotSet.subsetOf(kept), "bloom filter produced a false negative")
+    val nonMembers = part.count() - hotSet.count(_ <= part.agg(max("p_partkey")).head.getLong(0))
+    val falsePos = kept.size - kept.intersect(hotSet).size
+    assert(falsePos <= math.max(3, 0.05 * nonMembers),
+      s"false-positive count $falsePos too high for fpp=0.01")
+  }
+}
