@@ -260,6 +260,33 @@ object Streams {
     (agg, auditQ)
   }
 
+  /** Windowed stream join (DataStream.java:778 `join` →
+    * JoinedStreams.java:63: where/equalTo/window/apply — pair up
+    * elements of two streams that share a key AND a window): both
+    * sides stamp their tumbling window and join on (key, window)
+    * EQUALITY, so unlike the interval join the match predicate is a
+    * pure equi-join and state expires per closed window on the
+    * watermark. The Flink and Spark forms are the same plan: keyed
+    * state per (key, window) bucket, emission when both sides land.
+    */
+  def windowJoin(left: DataFrame, right: DataFrame,
+      width: String = "5 minutes"): DataFrame = {
+    // rename BEFORE watermarking (see intervalJoin)
+    val l = left
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", "10 minutes")
+      .withColumn("l_w", window(col("l_ts"), width))
+    val r = right
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", "10 minutes")
+      .withColumn("r_w", window(col("r_ts"), width))
+    l.join(r, col("l_user") === col("r_user") && col("l_w") === col("r_w"))
+      .select(col("l_user").as("user_id"), col("l_w.start").as("w_start"),
+        col("l_id"), col("r_id"), col("l_value"), col("r_value"))
+  }
+
   /** Interval join (reference KeyedStream.intervalJoin,
     * KeyedStream.java:425): each left event joins right events of the
     * same user within [0, +5 minutes) of its timestamp. Watermarks on

@@ -34,6 +34,29 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((1L, 11L)))
   }
 
+  test("windowed stream join pairs only same-key same-window elements") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    // window-ALIGNED base (multiple of 5 min), unlike the shared
+    // `base`: tumbling boundaries sit at epoch multiples of the width
+    val ab = 1700000100000L
+    def tsA(min: Int): Timestamp = new Timestamp(ab + min * 60000L)
+    l.addData(Ev(1, tsA(1), 1, "a", 1.0),  // window [0,5) user 1
+      Ev(2, tsA(6), 1, "a", 2.0),          // window [5,10) user 1
+      Ev(3, tsA(1), 2, "a", 3.0))          // window [0,5) user 2
+    r.addData(Ev(11, tsA(4), 1, "b", 1.5), // pairs with 1 (same window+user)
+      Ev(12, tsA(5), 1, "b", 2.5),         // pairs with 2 ([5,10))
+      Ev(13, tsA(4), 3, "b", 9.9))         // user with no left events
+    val q = Streams.windowJoin(l.toDF(), r.toDF()).writeStream
+      .format("memory").queryName("wj").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("wj").select("l_id", "r_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L), (2L, 12L)))
+  }
+
   test("left-outer interval join emits unmatched rows after watermark closes them") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
