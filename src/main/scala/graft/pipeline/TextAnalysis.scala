@@ -299,7 +299,52 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q68
+  /** Intra-document repetition signal (the Gopher-style "fraction of
+    * duplicate n-grams" quality gate): total vs distinct 3-gram
+    * counts per document, plus the most repeated single gram's
+    * multiplicity. Heavily repetitive documents (boilerplate,
+    * template spam, degenerate generations) show a wide
+    * total−distinct gap and a tall max multiplicity; downstream
+    * filters threshold on these. All-integer output — the ratio is
+    * the caller's division. Narrow per-doc projection, zero shuffle
+    * beyond the presentation sort; runs at scan speed on any corpus.
+    */
+  def q68Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = shingles(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"),
+        // modal gram multiplicity = longest run in the sorted gram
+        // array, folded in one pass (interpreted higher-order fold —
+        // fine here: bounded by grams/doc, not corpus size, same
+        // budget class as the q39 per-char lambdas)
+        aggregate(
+          array_sort(grams),
+          struct(lit(0L).as("best"), lit(0L).as("run"), lit("").as("prev")),
+          (acc, g) => {
+            val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+            struct(greatest(acc.getField("best"), run).as("best"), run.as("run"), g.as("prev"))
+          },
+          acc => acc.getField("best")).as("max_gram_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q68Sql: String =
+    s"""WITH g AS (SELECT doc_id, ${shinglesSql("text")} AS grams FROM documents),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |m AS (SELECT doc_id, max(c) AS max_gram_count FROM (
+       |        SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram)
+       |      GROUP BY doc_id)
+       |SELECT g.doc_id, len(grams) AS n_grams,
+       |  len(list_distinct(grams)) AS n_distinct,
+       |  m.max_gram_count
+       |FROM g JOIN m ON g.doc_id = m.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_repetition" -> (q68Repetition _),
     "q36_langid" -> (q36LangId _),
     "q37_quality_score" -> (q37Quality _),
     "q38_token_count" -> (q38TokenCount _),
@@ -310,6 +355,7 @@ object TextAnalysis {
     "q54_curate" -> (q54Curate _))
 
   def oracles: Map[String, String] = Map(
+    "q68_repetition" -> q68Sql,
     "q36_langid" -> q36Sql,
     "q37_quality_score" -> q37Sql,
     "q38_token_count" -> q38Sql,

@@ -71,6 +71,23 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("repetition signal: distinct <= total and modal run matches a scala recount") {
+    val rows = TextAnalysis.q68Repetition(spark, sf).collect()
+    assert(rows.length == 500 || rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val (id, n, d, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d <= n && mx >= 1 && mx <= n - d + 1)
+      val ws = texts(id).split(" ")
+      val grams = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      assert(n == grams.length, s"doc $id total grams")
+      assert(d == grams.distinct.length, s"doc $id distinct grams")
+      assert(mx == grams.groupBy(identity).values.map(_.size).max, s"doc $id modal run")
+    }
+  }
+
   test("langid predictions cover profiled languages deterministically") {
     val rows = TextAnalysis.q36LangId(spark, sf).collect()
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
