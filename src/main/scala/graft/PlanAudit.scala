@@ -11,7 +11,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_shipping_priority", "q12_first_n_per_group",
         "q18_window_tumbling", "q29_dedup_minhash_lsh", "q31_simhash_pairs",
-        "q35_ann_lsh", "q41_pagerank")
+        "q35_ann_lsh", "q41_pagerank", "q60_weblog", "q63_contamination",
+        "q64_large_orders", "q66_asof_join", "q67_range_join")
     val spark = graft.engine.GraftSession.local("graft-plan-audit", "4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
