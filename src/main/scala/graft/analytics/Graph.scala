@@ -29,30 +29,10 @@ object Graph {
   /** Undirected edge list with source degree, persisted for reuse
     * across supersteps; memoized per (session, dir) so PageRank and
     * ConnectedComponents share one materialization. */
-  // cached value carries its owning session: the `eq` check rules out
-  // identity-hash collisions serving a dead session's DataFrame
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
+  private val edgeCache = new graft.engine.SessionCache(buildEdges)
 
-  private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
-    // stopped sessions never serve again: drop their entries so a
-    // long-lived JVM cycling sessions doesn't pin dead DataFrames
-    edgeCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    val key = (System.identityHashCode(spark), dir)
-    edgeCache.get(key) match {
-      case Some((s, df)) if s eq spark => df
-      case _ =>
-        val df = buildEdges(spark, dir)
-        // racing first-callers: one build wins, the loser unpersists
-        edgeCache.putIfAbsent(key, (spark, df)) match {
-          case Some((s2, winner)) if s2 eq spark =>
-            df.unpersist(blocking = false); winner
-          case Some(_) =>
-            edgeCache.put(key, (spark, df)); df
-          case None => df
-        }
-    }
-  }
+  private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.get(spark, dir)
 
   private def buildEdges(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.lineitem(spark, dir)

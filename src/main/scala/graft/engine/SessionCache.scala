@@ -1,0 +1,42 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo for an expensive persisted DataFrame keyed by
+  * (session, dir) — shared by the shingle relation (Dedup) and the
+  * edge relation (Graph), which each get read 2-4× per query batch.
+  *
+  * Correctness details, identical for every user and previously
+  * copy-pasted per call site:
+  *   - the cached value carries its owning session, and an `eq` check
+  *     rules out identity-hash collisions serving a dead session's
+  *     DataFrame;
+  *   - entries of stopped sessions are evicted on every access, so a
+  *     long-lived JVM cycling sessions doesn't pin dead DataFrames;
+  *   - racing first-callers resolve via putIfAbsent: exactly one
+  *     build wins and the loser unpersists, leaving no orphan pinned
+  *     in the block manager.
+  */
+final class SessionCache(build: (SparkSession, String) => DataFrame) {
+
+  private val cache = TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
+
+  def get(spark: SparkSession, dir: String): DataFrame = {
+    cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (System.identityHashCode(spark), dir)
+    cache.get(key) match {
+      case Some((s, df)) if s eq spark => df
+      case _ =>
+        val df = build(spark, dir)
+        cache.putIfAbsent(key, (spark, df)) match {
+          case Some((s2, winner)) if s2 eq spark =>
+            df.unpersist(blocking = false); winner
+          case Some(_) => // stale entry for a dead session: replace
+            cache.put(key, (spark, df)); df
+          case None => df
+        }
+    }
+  }
+}

@@ -49,34 +49,14 @@ object Dedup {
     * sizes, both sides of the posting-list self-join) and the
     * interpreted shingle lambda is the dominant cost of recomputing.
     */
-  // see Graph.edgeCache: the `eq` check rules out identity-hash
-  // collisions serving a dead session's DataFrame
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
+  private val shingleCache = new graft.engine.SessionCache((spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
-    // stopped sessions never serve again: drop their entries so a
-    // long-lived JVM cycling sessions doesn't pin dead DataFrames
-    shingleCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    val key = (System.identityHashCode(spark), dir)
-    shingleCache.get(key) match {
-      case Some((s, df)) if s eq spark => df
-      case _ =>
-        val df = Tables.documents(spark, dir)
-          .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-          .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // concurrent first-callers: exactly one build wins; the loser
-        // unpersists so no orphan stays pinned in the block manager
-        shingleCache.putIfAbsent(key, (spark, df)) match {
-          case Some((s2, winner)) if s2 eq spark =>
-            df.unpersist(blocking = false); winner
-          case Some(_) => // stale entry for a dead session: replace
-            shingleCache.put(key, (spark, df)); df
-          case None => df
-        }
-    }
-  }
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.get(spark, dir)
 
   private def shingleHashesSql: String =
     s"""SELECT doc_id, ${h60Sql("sh")} % $P AS hp

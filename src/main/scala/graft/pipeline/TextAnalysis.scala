@@ -339,8 +339,8 @@ object TextAnalysis {
        |      GROUP BY doc_id)
        |SELECT g.doc_id, len(grams) AS n_grams,
        |  len(list_distinct(grams)) AS n_distinct,
-       |  m.max_gram_count
-       |FROM g JOIN m ON g.doc_id = m.doc_id
+       |  coalesce(m.max_gram_count, 0) AS max_gram_count
+       |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -17,8 +17,15 @@ object DuckDbDialect extends JdbcDialect {
   override def canHandle(url: String): Boolean =
     url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
 
-  override def isObjectNotFoundException(e: SQLException): Boolean =
-    e.getMessage != null && e.getMessage.contains("does not exist")
+  override def isObjectNotFoundException(e: SQLException): Boolean = {
+    // only MISSING RELATIONS count: DuckDB also says "does not exist"
+    // for columns/functions ("Binder Error: Referenced column ..."),
+    // and classifying those as table-missing would send SaveMode
+    // paths into CREATE TABLE instead of surfacing the real error
+    val m = e.getMessage
+    m != null && m.contains("does not exist") &&
+      (m.contains("Catalog Error") || m.contains("Table") || m.contains("Schema"))
+  }
 
   override def quoteIdentifier(colName: String): String =
     "\"" + colName.replace("\"", "\"\"") + "\""

@@ -88,10 +88,17 @@ object Formats {
     * newline scan alone). */
   def writeGraftLog(df: DataFrame, path: String,
       saveMode: SaveMode = SaveMode.Overwrite): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws, regexp_replace}
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
     val line = concat_ws("|", col("ts").cast("string"), col("level"),
-      regexp_replace(col("message"), "[\\r\\n]", " "))
-    df.select(line.as("value")).write.mode(saveMode).text(path)
+      org.apache.spark.sql.functions.regexp_replace(col("message"), "[\\r\\n]", " "))
+    // fail fast on nulls: concat_ws would silently SKIP a null field,
+    // emitting a 2-field line the reader then silently discards —
+    // unreported row loss is worse than an error
+    val checked = when(
+      col("ts").isNull || col("level").isNull || col("message").isNull,
+      raise_error(lit("graft-log: null ts/level/message")).cast("string"))
+      .otherwise(line)
+    df.select(checked.as("value")).write.mode(saveMode).text(path)
   }
 
   /** fromCollection / fromElements (ExecutionEnvironment.java:658-748). */

@@ -102,6 +102,25 @@ private[sources] class GraftLogScanBuilder(options: CaseInsensitiveStringMap)
       required, pushed)
 }
 
+/** The session's Hadoop configuration, flattened to a serializable
+  * map so executors rebuild an equivalent Configuration — scheme-
+  * specific settings (s3a credentials, kerberos, fs.defaultFS) must
+  * reach both the driver's file listing and the executors' opens. */
+private[sources] object HadoopConfSnapshot {
+  import scala.jdk.CollectionConverters._
+
+  def capture(): Map[String, String] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  def restore(entries: Map[String, String]): Configuration = {
+    val conf = new Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+}
+
 private[sources] class GraftLogScan(path: String, splitSize: Long,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch {
 
@@ -117,8 +136,10 @@ private[sources] class GraftLogScan(path: String, splitSize: Long,
     * every file is carved into [start, start+splitSize) byte ranges.
     * File listing happens once, here; executors receive only
     * (path, start, end) triples. */
+  private val hadoopConf: Map[String, String] = HadoopConfSnapshot.capture()
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val fs = FileSystem.get(new Path(path).toUri, HadoopConfSnapshot.restore(hadoopConf))
     val statuses = fs.listStatus(new Path(path))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     statuses.flatMap { s =>
@@ -130,29 +151,34 @@ private[sources] class GraftLogScan(path: String, splitSize: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(required.fieldNames, pushed)
+    new GraftLogReaderFactory(required.fieldNames, pushed, hadoopConf)
 }
 
 private[sources] case class GraftLogPartition(file: String, start: Long, end: Long)
   extends InputPartition
 
-private[sources] class GraftLogReaderFactory(fields: Array[String], pushed: Array[Filter])
-    extends PartitionReaderFactory {
+private[sources] class GraftLogReaderFactory(fields: Array[String], pushed: Array[Filter],
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftLogReader(partition.asInstanceOf[GraftLogPartition], fields, pushed)
+    new GraftLogReader(partition.asInstanceOf[GraftLogPartition], fields, pushed, hadoopConf)
 }
 
 /** Executor-side reader for one byte-range split. */
 private[sources] class GraftLogReader(split: GraftLogPartition, fields: Array[String],
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], hadoopConf: Map[String, String])
+    extends PartitionReader[InternalRow] {
 
-  private val in = {
+  private val raw = {
     val p = new Path(split.file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, HadoopConfSnapshot.restore(hadoopConf))
     val stream = fs.open(p)
     if (split.start > 0) stream.seek(split.start)
     stream
   }
+  // buffer AFTER seeking: byte-at-a-time reads against a raw
+  // FSDataInputStream would pay a virtual (on HDFS, synchronized)
+  // call per byte — ~4M calls per default split
+  private val in = new java.io.BufferedInputStream(raw, 64 * 1024)
 
   // Position of the NEXT unread byte, tracked manually so the
   // line-ownership rule (first byte inside [start, end)) is exact.
@@ -204,8 +230,12 @@ private[sources] class GraftLogReader(split: GraftLogPartition, fields: Array[St
     while (line != null) {
       if (line.nonEmpty) {
         val parts = line.split("\\|", 3)
-        if (parts.length == 3 && parts(0).nonEmpty && parts(0).forall(_.isDigit)) {
-          val ts = parts(0).toLong
+        // toLongOption, not a digit test: an all-digit string can
+        // still overflow Long, and a malformed line must skip, not
+        // crash the scan
+        val tsOpt = if (parts.length == 3) parts(0).toLongOption else None
+        if (tsOpt.isDefined) {
+          val ts = tsOpt.get
           if (keep(ts, parts(1))) {
             current = new GenericInternalRow(fields.map {
               case "ts" => ts: Any
