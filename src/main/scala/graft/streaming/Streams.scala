@@ -83,6 +83,46 @@ object Streams {
       .groupBy(window(col("proc_ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
 
+  /** Stream iteration (DataStream.java:543,579 `iterate`: a stream
+    * whose outputs feed back as inputs until elements converge).
+    * Structured Streaming has no feedback edge in the plan graph, so
+    * the honest analogue routes the feedback THROUGH STORAGE: the
+    * query unions its source directory with a feedback directory;
+    * each micro-batch applies `step`, hands converged rows
+    * (`isDone`) to the terminal sink, and writes the rest back into
+    * the feedback directory — where the file source picks them up as
+    * the next iteration. Flink's in-flight feedback edge becomes an
+    * at-least-once durable loop: slower per hop, but restartable and
+    * backpressure-free, which is what a 1000-executor deployment
+    * wants from a retry/convergence loop anyway.
+    *
+    * `schema` covers both source and feedback rows; `maxHops`
+    * guards against non-converging elements (Flink's iterate has the
+    * same livelock hazard — its docs cap feedback by timeout).
+    */
+  def iterateStream(spark: SparkSession, sourceDir: String, feedbackDir: String,
+      schema: String, hopCol: String, maxHops: Int, isDone: org.apache.spark.sql.Column,
+      step: DataFrame => DataFrame)(onDone: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    new java.io.File(feedbackDir).mkdirs()
+    val in = spark.readStream.schema(schema).json(sourceDir)
+      .unionByName(spark.readStream.schema(schema).json(feedbackDir))
+    in.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stepped = step(batch).localCheckpoint(true)
+        val (done, again) =
+          (stepped.filter(isDone || col(hopCol) >= maxHops),
+            stepped.filter(!isDone && col(hopCol) < maxHops))
+        onDone(done)
+        // the write IS the feedback edge: these files are the next
+        // hop. Guarded on non-empty: an empty append still creates
+        // files, which the file source would see as fresh input —
+        // an infinite loop of empty micro-batches
+        if (!again.isEmpty) again.write.mode("append").json(feedbackDir)
+      }
+      .start()
+  }
+
   /** Rate-source pipeline — the connector-shaped unbounded source
     * available in a zero-egress sandbox (the Kafka-consumer stand-in:
     * same readStream surface, schema (timestamp, value), different

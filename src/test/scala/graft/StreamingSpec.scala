@@ -85,6 +85,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => r.getStruct(0)).toSet.size == 1)
   }
 
+  test("stream iteration converges elements through the feedback loop") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("graft_iter").toString
+    val (srcDir, fbDir) = (s"$root/src", s"$root/fb")
+    JFiles.createDirectories(Paths.get(srcDir))
+    // countdown workload: value decrements per hop until 0
+    JFiles.write(Paths.get(srcDir, "in.json"),
+      (1 to 4).map(i => s"""{"id":$i,"value":$i,"hops":0}""").mkString("\n").getBytes)
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Int)]()
+    val q = Streams.iterateStream(spark, srcDir, fbDir,
+      "id BIGINT, value INT, hops INT", hopCol = "hops", maxHops = 10,
+      isDone = col("value") <= 0,
+      step = b => b.withColumn("value", col("value") - 1)
+        .withColumn("hops", col("hops") + 1)) { d =>
+      d.collect().foreach(r => done.add((r.getLong(0), r.getInt(1), r.getInt(2))))
+    }
+    val deadline = System.currentTimeMillis() + 60000
+    while (done.size < 4 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(200)
+    }
+    q.stop()
+    val out = done.toArray(Array.empty[(Long, Int, Int)]).sortBy(_._1).toSeq
+    // element i needs exactly i hops to count down to zero
+    assert(out == (1 to 4).map(i => (i.toLong, 0, i)).toSeq, s"got $out")
+  }
+
   test("rate source feeds the standard transform surface") {
     val q = Streams.rateSource(spark, 200)
       .groupBy(col("user_id")).agg(sum(col("value")).as("s"))
