@@ -365,6 +365,49 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left_outer")
 
+  /** Windowed stream coGroup (CoGroupedStreams.java:80 — per (key,
+    * window), BOTH sides' element lists handed to one function, even
+    * when a side is empty for that bucket). Expressed as the tagged
+    * union + one windowed aggregation: each (key, window) bucket
+    * collects the left and right value lists, closing on the
+    * watermark. Unlike [[windowJoin]] this emits buckets where one
+    * side is absent — the coGroup/outer distinction the reference API
+    * draws too.
+    */
+  def windowCoGroup(left: DataFrame, right: DataFrame,
+      width: String = "5 minutes"): DataFrame = {
+    def tag(df: DataFrame, side: String) = df
+      .select(col("user_id"), col("ts"), col("value"), lit(side).as("side"))
+    tag(left, "l").unionByName(tag(right, "r"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), width))
+      .agg(
+        sort_array(collect_list(when(col("side") === "l", col("value")))).as("left_vals"),
+        sort_array(collect_list(when(col("side") === "r", col("value")))).as("right_vals"))
+      .select(col("user_id"), col("window.start").as("w_start"),
+        col("left_vals"), col("right_vals"))
+  }
+
+  /** Broadcast-state connect with an UPDATING control side
+    * (BroadcastConnectedStream: a data stream joined against a
+    * slowly-changing rule/config stream). Structured Streaming can't
+    * broadcast a stream side, so the production pattern re-reads the
+    * control table from storage at every micro-batch inside
+    * foreachBatch and broadcast-joins it — rule updates written
+    * between batches apply from the next batch on, the same
+    * visibility contract as Flink's broadcast state.
+    */
+  def enrichWithControl(events: DataFrame, controlDir: String, name: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val control = batch.sparkSession.read.parquet(controlDir)
+        sink(batch.join(org.apache.spark.sql.functions.broadcast(control),
+          Seq("user_id"), "left_outer"))
+      }
+      .start()
+
   /** foreachBatch sink (the reference's side-output / multi-sink
     * answer, SURVEY.md §2.6): each micro-batch lands as a batch
     * DataFrame with its batch id, so one stream can feed several

@@ -81,6 +81,50 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains((2L, None)))
   }
 
+  test("windowed coGroup emits one-sided buckets the window join drops") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val ab = 1700000100000L
+    def tsA(min: Int): Timestamp = new Timestamp(ab + min * 60000L)
+    l.addData(Ev(1, tsA(1), 1, "a", 1.0), Ev(2, tsA(2), 1, "a", 2.0),
+      Ev(3, tsA(200), 9, "a", 0.0)) // watermark pusher
+    r.addData(Ev(11, tsA(3), 1, "b", 3.0),
+      Ev(12, tsA(1), 2, "b", 4.0), // user 2 has NO left events
+      Ev(13, tsA(200), 9, "b", 0.0))
+    val q = Streams.windowCoGroup(l.toDF(), r.toDF()).writeStream
+      .format("memory").queryName("wcg").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wcg").collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](2), row.getSeq[Double](3)))
+      .filter(_._1 != 9).toSet
+    assert(rows == Set(
+      (1L, Seq(1.0, 2.0), Seq(3.0)), // both sides in the bucket
+      (2L, Seq(), Seq(4.0))))        // right-only bucket survives
+  }
+
+  test("control-side updates apply from the next micro-batch on") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctrl").toString + "/rules"
+    Seq((1L, "allow")).toDF("user_id", "rule").write.mode("overwrite").parquet(dir)
+    val ms = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = Streams.enrichWithControl(ms.toDF(), dir, "ctrl") { b =>
+      b.select("event_id", "rule").collect()
+        .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+    }
+    ms.addData(Ev(1, ts(0), 1, "a", 1.0))
+    q.processAllAvailable()
+    // rule update lands between batches, visible from the next on
+    Seq((1L, "deny")).toDF("user_id", "rule").write.mode("overwrite").parquet(dir)
+    ms.addData(Ev(2, ts(1), 1, "a", 2.0))
+    q.processAllAvailable(); q.stop()
+    assert(seen.toArray(Array.empty[(Long, String)]).toSet ==
+      Set((1L, "allow"), (2L, "deny")))
+  }
+
   test("stream enrich with a broadcast static dimension") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
