@@ -19,12 +19,16 @@ object DuckDbDialect extends JdbcDialect {
 
   override def isObjectNotFoundException(e: SQLException): Boolean = {
     // only MISSING RELATIONS count: DuckDB also says "does not exist"
-    // for columns/functions ("Binder Error: Referenced column ..."),
-    // and classifying those as table-missing would send SaveMode
-    // paths into CREATE TABLE instead of surfacing the real error
+    // for columns ("Binder Error: Referenced column ...") and for
+    // functions/types ("Catalog Error: Scalar Function with name f
+    // does not exist!"), and classifying those as table-missing would
+    // send SaveMode paths into CREATE TABLE instead of surfacing the
+    // real error. DuckDB's missing-relation messages are exactly
+    // "Table with name X does not exist" / "View ..." / "Schema ...".
     val m = e.getMessage
     m != null && m.contains("does not exist") &&
-      (m.contains("Catalog Error") || m.contains("Table") || m.contains("Schema"))
+      (m.contains("Table with name") || m.contains("View with name") ||
+        m.contains("Schema with name"))
   }
 
   override def quoteIdentifier(colName: String): String =

@@ -99,20 +99,32 @@ object Streams {
     * `schema` covers both source and feedback rows; `maxHops`
     * guards against non-converging elements (Flink's iterate has the
     * same livelock hazard — its docs cap feedback by timeout).
+    * Elements that exhaust maxHops WITHOUT converging still land in
+    * the terminal sink but carry `gave_up = true` — a silent-drop or
+    * a fake success would both be lies. Rows whose predicate
+    * evaluates to NULL (malformed input in permissive JSON parsing)
+    * are treated as done-with-give-up, never silently lost. Pass
+    * `checkpointDir` for restartability — without it a restarted
+    * query replays source + accumulated feedback from scratch.
     */
   def iterateStream(spark: SparkSession, sourceDir: String, feedbackDir: String,
       schema: String, hopCol: String, maxHops: Int, isDone: org.apache.spark.sql.Column,
-      step: DataFrame => DataFrame)(onDone: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      step: DataFrame => DataFrame, checkpointDir: Option[String] = None)(
+      onDone: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     new java.io.File(feedbackDir).mkdirs()
     val in = spark.readStream.schema(schema).json(sourceDir)
       .unionByName(spark.readStream.schema(schema).json(feedbackDir))
-    in.writeStream.outputMode(OutputMode.Append())
+    val writer = in.writeStream.outputMode(OutputMode.Append())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val stepped = step(batch).localCheckpoint(true)
-        val (done, again) =
-          (stepped.filter(isDone || col(hopCol) >= maxHops),
-            stepped.filter(!isDone && col(hopCol) < maxHops))
+        // NULL-safe and complementary by construction: a row goes to
+        // exactly one of the two branches, never neither
+        val doneCond = coalesce(isDone || col(hopCol) >= maxHops, lit(true))
+        val done = stepped.filter(doneCond)
+          .withColumn("gave_up", !coalesce(isDone, lit(false)))
+        val again = stepped.filter(!doneCond)
         onDone(done)
         // the write IS the feedback edge: these files are the next
         // hop. Guarded on non-empty: an empty append still creates
@@ -381,9 +393,17 @@ object Streams {
     tag(left, "l").unionByName(tag(right, "r"))
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), window(col("ts"), width))
+      // struct-wrap before collecting: collect_list skips nulls, so a
+      // bare when() would conflate "row from the other side" with
+      // "row whose value is null" — the struct is non-null whenever
+      // the row belongs to the side, and transform unwraps after
       .agg(
-        sort_array(collect_list(when(col("side") === "l", col("value")))).as("left_vals"),
-        sort_array(collect_list(when(col("side") === "r", col("value")))).as("right_vals"))
+        sort_array(transform(
+          collect_list(when(col("side") === "l", struct(col("value").as("v")))),
+          s => s.getField("v"))).as("left_vals"),
+        sort_array(transform(
+          collect_list(when(col("side") === "r", struct(col("value").as("v")))),
+          s => s.getField("v"))).as("right_vals"))
       .select(col("user_id"), col("window.start").as("w_start"),
         col("left_vals"), col("right_vals"))
   }
@@ -391,18 +411,43 @@ object Streams {
   /** Broadcast-state connect with an UPDATING control side
     * (BroadcastConnectedStream: a data stream joined against a
     * slowly-changing rule/config stream). Structured Streaming can't
-    * broadcast a stream side, so the production pattern re-reads the
-    * control table from storage at every micro-batch inside
-    * foreachBatch and broadcast-joins it — rule updates written
-    * between batches apply from the next batch on, the same
-    * visibility contract as Flink's broadcast state.
+    * broadcast a stream side, so the production pattern re-resolves
+    * the control table at every micro-batch inside foreachBatch and
+    * broadcast-joins it — updates apply from the next batch on, the
+    * same visibility contract as Flink's broadcast state.
+    *
+    * The control table is VERSIONED: `controlDir` holds immutable
+    * version subdirectories and each batch reads the latest COMPLETE
+    * one (lexicographically greatest with a `_SUCCESS` marker).
+    * Updaters write a fresh subdir and never touch old ones — an
+    * in-place overwrite would delete files out from under an
+    * in-flight batch's read and kill the query. Publish updates with
+    * [[publishControl]].
     */
+  def publishControl(control: DataFrame, controlDir: String, version: String): Unit =
+    control.write.mode("error").parquet(s"$controlDir/v$version")
+
+  private[streaming] def latestControlVersion(spark: SparkSession,
+      controlDir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(controlDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(controlDir))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName)
+    require(versions.nonEmpty, s"no complete control version under $controlDir")
+    versions.max
+  }
+
   def enrichWithControl(events: DataFrame, controlDir: String, name: String)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val control = batch.sparkSession.read.parquet(controlDir)
+        val spark = batch.sparkSession
+        val control = spark.read.parquet(
+          s"$controlDir/${latestControlVersion(spark, controlDir)}")
         sink(batch.join(org.apache.spark.sql.functions.broadcast(control),
           Seq("user_id"), "left_outer"))
       }

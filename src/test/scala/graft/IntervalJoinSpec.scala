@@ -108,7 +108,7 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ctrl").toString + "/rules"
-    Seq((1L, "allow")).toDF("user_id", "rule").write.mode("overwrite").parquet(dir)
+    Streams.publishControl(Seq((1L, "allow")).toDF("user_id", "rule"), dir, "0001")
     val ms = MemoryStream[Ev]
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
     val q = Streams.enrichWithControl(ms.toDF(), dir, "ctrl") { b =>
@@ -117,8 +117,10 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
     }
     ms.addData(Ev(1, ts(0), 1, "a", 1.0))
     q.processAllAvailable()
-    // rule update lands between batches, visible from the next on
-    Seq((1L, "deny")).toDF("user_id", "rule").write.mode("overwrite").parquet(dir)
+    // a NEW version published between batches is visible from the
+    // next on; the old version's files stay untouched for in-flight
+    // readers
+    Streams.publishControl(Seq((1L, "deny")).toDF("user_id", "rule"), dir, "0002")
     ms.addData(Ev(2, ts(1), 1, "a", 2.0))
     q.processAllAvailable(); q.stop()
     assert(seen.toArray(Array.empty[(Long, String)]).toSet ==

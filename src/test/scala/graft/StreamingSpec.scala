@@ -93,22 +93,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // countdown workload: value decrements per hop until 0
     JFiles.write(Paths.get(srcDir, "in.json"),
       (1 to 4).map(i => s"""{"id":$i,"value":$i,"hops":0}""").mkString("\n").getBytes)
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Int, Boolean)]()
     val q = Streams.iterateStream(spark, srcDir, fbDir,
       "id BIGINT, value INT, hops INT", hopCol = "hops", maxHops = 10,
       isDone = col("value") <= 0,
       step = b => b.withColumn("value", col("value") - 1)
         .withColumn("hops", col("hops") + 1)) { d =>
-      d.collect().foreach(r => done.add((r.getLong(0), r.getInt(1), r.getInt(2))))
+      d.collect().foreach(r =>
+        done.add((r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))))
     }
     val deadline = System.currentTimeMillis() + 60000
     while (done.size < 4 && System.currentTimeMillis() < deadline) {
       q.processAllAvailable(); Thread.sleep(200)
     }
     q.stop()
-    val out = done.toArray(Array.empty[(Long, Int, Int)]).sortBy(_._1).toSeq
-    // element i needs exactly i hops to count down to zero
-    assert(out == (1 to 4).map(i => (i.toLong, 0, i)).toSeq, s"got $out")
+    val out = done.toArray(Array.empty[(Long, Int, Int, Boolean)]).sortBy(_._1).toSeq
+    // element i needs exactly i hops to count down to zero; all
+    // genuinely converge, none give up
+    assert(out == (1 to 4).map(i => (i.toLong, 0, i, false)).toSeq, s"got $out")
   }
 
   test("rate source feeds the standard transform surface") {
