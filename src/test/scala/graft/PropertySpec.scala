@@ -28,6 +28,49 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("as-of join matches a per-row scan on random keyed series") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val left = List.fill(50)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      // duplicate right timestamps per key allowed pre-agg; dedupe like q66
+      val right = List.fill(40)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong,
+        rng.nextInt(100).toDouble))
+        .groupBy(r => (r._1, r._2)).map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toList
+      val got = graft.operators.AsOfJoin.asOf(
+          left.toDF("id", "k", "ts"), right.toDF("k", "ts", "v"), "k", "ts", Seq("v"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+        .toMap
+      left.foreach { case (id, k, t) =>
+        val want = right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(id) == want, s"row $id key $k ts $t")
+      }
+    }
+  }
+
+  test("trailing range join matches a per-row scan on random keyed series") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val width = 50L + rng.nextInt(100)
+      val left = List.fill(40)((rng.nextInt(4).toLong, rng.nextInt(800).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = List.fill(60)((rng.nextInt(4).toLong, rng.nextInt(800).toLong,
+        rng.nextInt(10) + 1))
+      val got = graft.operators.RangeJoin.trailingRange(
+          left.toDF("id", "k", "ts"), right.toDF("k", "tv", "w"), "k", "ts", "tv", width)
+        .groupBy("id").agg(sum("w").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      left.foreach { case (id, k, t) =>
+        val want = right.filter(r => r._1 == k && r._2 >= t - width && r._2 <= t)
+          .map(_._3.toLong).sum
+        assert(got.getOrElse(id, 0L) == want, s"row $id key $k ts $t width $width")
+      }
+    }
+  }
+
   test("portable h60 is stable, positive, and plan-consistent") {
     val rng = new scala.util.Random(7)
     val rand = List.fill(40)(rng.alphanumeric.take(1 + rng.nextInt(30)).mkString)
