@@ -40,6 +40,10 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      // canonical engine registration: graft_dot + TopKPerKey planner
+      // strategy ride every session built here (library entry points
+      // also self-register, so sessions built elsewhere still work)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -8,6 +8,15 @@ import graft.sources.Tables
 
 class ExpressionSpec extends AnyFunSuite with SparkSpec {
 
+  test("session extensions register graft_dot without explicit Functions.register") {
+    // TestSpark builds through GraftSession → GraftExtensions; the
+    // function must resolve from SQL with no per-query registration
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
+    assert(math.abs(r - 11.0) < 1e-9)
+  }
+
   test("graft_dot equals the interpreted higher-order fold bit-for-bit") {
     graft.plans.Functions.register(spark)
     val emb = Tables.embeddings(spark, sf).limit(50)
