@@ -164,6 +164,62 @@ object TextAnalysis {
        |    for i in range(1, length(text) - ${GramLen - 2})])))[1:$SketchK], ',') AS sketch
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint (the robust upgrade over q39's global
+    * bottom-k, standard for plagiarism/near-dup detection): hash the
+    * POSITIONAL gram sequence, slide a window of [[WinnowW]]
+    * consecutive hashes, keep each window's MINIMUM. The guarantee
+    * q39's global bottom-k cannot give: any shared substring of
+    * ≥ WinnowW+GramLen−1 chars contributes at least one COMMON
+    * selected hash between two documents (both sides select the
+    * minimum of the same fully-shared hash window). Operates on any
+    * (doc_id, text) frame; spec-verified — the per-window argmin has
+    * no tractable SQL twin. Narrow projection, scan speed, output is
+    * the distinct selected-hash set.
+    */
+  val WinnowW = 8
+
+  def winnowFingerprint(docs: DataFrame): DataFrame = {
+    val grams = expr(
+      s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> substr(text, i, $GramLen))")
+    docs
+      .select(col("doc_id"), col("text"), transform(grams, g => h60(g)).as("hs"))
+      .select(col("doc_id"),
+        when(length(col("text")) >= GramLen + WinnowW - 1,
+          array_distinct(transform(
+            sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
+            w => array_min(slice(col("hs"), w, lit(WinnowW))))))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compression-ratio quality signal (the CCNet/RefinedWeb-style
+    * repetition proxy: machine-generated and boilerplate text
+    * deflates far below natural prose). One Deflater per PARTITION,
+    * reset per row — codec init amortized the same way q40's media
+    * decoder is; output is raw vs deflated byte counts, the ratio is
+    * the caller's division. No SQL twin (zlib), spec-verified;
+    * narrow projection, scan speed.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q50
   /** Sequence packing for training batches: assign documents (in
     * doc_id order) to fixed token-budget context windows by running

@@ -88,6 +88,47 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnowing guarantees a shared hash for long shared substrings") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta theta iota $shared kappa"),
+      (3L, "completely different content with no overlap at all here"),
+      (4L, "xy")) // shorter than a single gram window
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the shared substring spans far more than WinnowW+GramLen-1
+    // chars, so docs 1 and 2 MUST share at least one selected hash
+    assert(fp(1L).intersect(fp(2L)).nonEmpty)
+    assert(fp(4L).isEmpty)
+    // every selected hash is the min of some window of the doc's
+    // positional GramLen-gram hashes (full winnowing recomputation)
+    val g = TextAnalysis.GramLen
+    val t1 = docs.filter($"doc_id" === 1).head.getString(1)
+    val h1 = (0 to t1.length - g).map(i => graft.pipeline.Multimodal.h60jvm(t1.substring(i, i + g)))
+    val want1 = (0 to h1.size - TextAnalysis.WinnowW)
+      .map(w => h1.slice(w, w + TextAnalysis.WinnowW).min).distinct.toSet
+    assert(fp(1L) == want1)
+  }
+
+  test("compression ratio separates repetitive from varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam " * 200),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x${i}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val (rawRep, defRep) = r(1L)
+    val (rawVar, defVar) = r(2L)
+    assert(defRep > 0 && defVar > 0)
+    // repetitive text compresses at least 4x better than varied text
+    assert(defRep.toDouble / rawRep < 0.25 * defVar.toDouble / rawVar,
+      s"rep=${defRep}/${rawRep} varied=${defVar}/${rawVar}")
+  }
+
   test("langid predictions cover profiled languages deterministically") {
     val rows = TextAnalysis.q36LangId(spark, sf).collect()
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
