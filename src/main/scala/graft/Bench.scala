@@ -22,10 +22,16 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness that captures this line keeps only the tail of stdout,
+    // so the JSON must stay well under ~2000 chars even as the query set
+    // grows: short keys (the qNN id prefix) + centisecond precision.
+    // Full names + full precision go to stderr for local inspection.
+    results.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,11 +32,17 @@ object RangeJoin {
   def trailingRange(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, width: Long): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
-    // integer div (never FP "/"): bucket ids must be exact
+    require(leftTs != rightTs,
+      s"leftTs and rightTs are both '$leftTs' — rename one side first, " +
+        "or the join condition below becomes ambiguous")
+    // integer FLOOR division (never FP "/", and never `div`, which
+    // truncates toward zero): a negative timestamp must land in the
+    // bucket BELOW, or matches straddling zero are silently dropped.
+    // floor(a/w) for w>0 == (a - pmod(a, w)) div w, exact on longs.
+    def bucket(c: String) = expr(s"(`$c` - pmod(`$c`, ${width}L)) div ${width}L")
     val probes = left
-      .withColumn("__rj_probe",
-        explode(array(expr(s"`$leftTs` div $width"), expr(s"`$leftTs` div $width - 1"))))
-    val binned = right.withColumn("__rj_bucket", expr(s"`$rightTs` div $width"))
+      .withColumn("__rj_probe", explode(array(bucket(leftTs), bucket(leftTs) - 1)))
+    val binned = right.withColumn("__rj_bucket", bucket(rightTs))
     probes.join(binned,
         probes(key) === binned(key) && col("__rj_probe") === col("__rj_bucket"))
       .filter(col(rightTs) >= col(leftTs) - width && col(rightTs) <= col(leftTs))

@@ -338,15 +338,23 @@ object Dedup {
     *
     * Fixed [[ClusterSteps]] supersteps of integer min-propagation
     * (the q42 union-fold shape — one join + one hash-agg per step,
-    * oracle-matchable because both engines unroll identically; near-
-    * dup clusters are short chains, so 3 steps cover the diameters
-    * seen at any test SF). Scale: the pair graph is sparse (near-dup
-    * clusters, not the corpus), label state is ids only; shuffles
-    * carry 16 bytes per node.
+    * oracle-matchable because both engines unroll identically).
+    * OUTPUT CONTRACT: a fixed unroll resolves clusters of graph
+    * diameter ≤ [[ClusterSteps]]; a longer chain would split into
+    * several "canonical" docs. Propagation is idempotent once
+    * converged, so the constant is set above any diameter the
+    * near-dup generator produces (DedupSpec asserts one extra step
+    * is a no-op on test data — the convergence witness). Scale: the
+    * pair graph is sparse (near-dup clusters, not the corpus), label
+    * state is ids only; shuffles carry 16 bytes per node, so extra
+    * safety steps are cheap.
     */
-  val ClusterSteps = 3
+  val ClusterSteps = 5
 
-  def q62DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def q62DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    q62DedupClusters(spark, dir, ClusterSteps)
+
+  def q62DedupClusters(spark: SparkSession, dir: String, steps: Int): DataFrame = {
     // materialize the pair relation ONCE: it is tiny (near-dup pairs,
     // not the corpus) but its lineage is the whole MinHash pipeline,
     // which every superstep would otherwise recompute
@@ -356,7 +364,7 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val init = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val labels = graft.engine.Iterate.loopDF(init, ClusterSteps, checkpointEvery = 2) { (ls, _) =>
+    val labels = graft.engine.Iterate.loopDF(init, steps, checkpointEvery = 2) { (ls, _) =>
       edges.join(ls, edges("src") === ls("node"))
         .select(col("dst").as("node2"), col("label"))
         .union(ls.select(col("node").as("node2"), col("label")))

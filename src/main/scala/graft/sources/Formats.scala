@@ -83,20 +83,24 @@ object Formats {
       .load(path)
 
   /** Sink half of the graft-log format: `ts|LEVEL|message` lines.
-    * Messages must not contain newlines (enforced here — the format
-    * has no escaping by design, which is what makes it splittable by
-    * newline scan alone). */
+    * The format has no escaping by design — that is what makes it
+    * splittable by newline scan alone — so rows that cannot be
+    * represented losslessly FAIL the write rather than being silently
+    * rewritten: a write-then-read roundtrip is byte-identical or it
+    * doesn't happen. Rejected: null fields (concat_ws would silently
+    * skip them, shifting fields), newlines anywhere (would split the
+    * record), and a level containing '|' or lowercase (would shift
+    * the message on read). */
   def writeGraftLog(df: DataFrame, path: String,
       saveMode: SaveMode = SaveMode.Overwrite): Unit = {
     import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
-    val line = concat_ws("|", col("ts").cast("string"), col("level"),
-      org.apache.spark.sql.functions.regexp_replace(col("message"), "[\\r\\n]", " "))
-    // fail fast on nulls: concat_ws would silently SKIP a null field,
-    // emitting a 2-field line the reader then silently discards —
-    // unreported row loss is worse than an error
+    val line = concat_ws("|", col("ts").cast("string"), col("level"), col("message"))
     val checked = when(
       col("ts").isNull || col("level").isNull || col("message").isNull,
       raise_error(lit("graft-log: null ts/level/message")).cast("string"))
+      .when(col("message").rlike("[\\r\\n]") || !col("level").rlike("^[A-Z]+$"),
+        raise_error(concat_ws(" ", lit("graft-log: unrepresentable row at ts"),
+          col("ts").cast("string"))).cast("string"))
       .otherwise(line)
     df.select(checked.as("value")).write.mode(saveMode).text(path)
   }

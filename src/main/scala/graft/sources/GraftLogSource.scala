@@ -140,8 +140,15 @@ private[sources] class GraftLogScan(path: String, splitSize: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new Path(path).toUri, HadoopConfSnapshot.restore(hadoopConf))
+    // the standard Hadoop hidden-file convention excludes BOTH
+    // '_' (markers like _SUCCESS) and '.' (in-progress/.crc/metadata)
+    // prefixes; scanning a .crc would silently yield zero rows of
+    // binary noise
     val statuses = fs.listStatus(new Path(path))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     statuses.flatMap { s =>
       val len = s.getLen
       (0L until math.max(len, 1L) by splitSize).map { start =>
@@ -152,6 +159,18 @@ private[sources] class GraftLogScan(path: String, splitSize: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(required.fieldNames, pushed, hadoopConf)
+
+  /** Malformed lines are skipped, not crashed on — but silence would
+    * make real corruption invisible, so the skip count surfaces as a
+    * first-class SQL metric (Spark UI: "malformed lines skipped"). */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new MalformedLinesMetric)
+}
+
+private[sources] class MalformedLinesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "malformedLines"
+  override def description(): String = "malformed lines skipped"
 }
 
 private[sources] case class GraftLogPartition(file: String, start: Long, end: Long)
@@ -185,6 +204,7 @@ private[sources] class GraftLogReader(split: GraftLogPartition, fields: Array[St
   private var pos: Long = split.start
   private var current: InternalRow = _
   private var done = false
+  private var malformed: Long = 0L
 
   // A split starting mid-file discards everything up to and including
   // the first newline — even when the split happens to start exactly
@@ -244,7 +264,7 @@ private[sources] class GraftLogReader(split: GraftLogPartition, fields: Array[St
             })
             return true
           }
-        }
+        } else malformed += 1
       }
       line = readLine()
     }
@@ -253,4 +273,10 @@ private[sources] class GraftLogReader(split: GraftLogPartition, fields: Array[St
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "malformedLines"
+      override def value(): Long = malformed
+    })
 }

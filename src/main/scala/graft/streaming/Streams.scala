@@ -418,7 +418,7 @@ object Streams {
     *
     * The control table is VERSIONED: `controlDir` holds immutable
     * version subdirectories and each batch reads the latest COMPLETE
-    * one (lexicographically greatest with a `_SUCCESS` marker).
+    * one (numerically greatest `v<N>` with a `_SUCCESS` marker).
     * Updaters write a fresh subdir and never touch old ones — an
     * in-place overwrite would delete files out from under an
     * in-flight batch's read and kill the query. Publish updates with
@@ -427,7 +427,7 @@ object Streams {
   def publishControl(control: DataFrame, controlDir: String, version: String): Unit =
     control.write.mode("error").parquet(s"$controlDir/v$version")
 
-  private[streaming] def latestControlVersion(spark: SparkSession,
+  private[graft] def latestControlVersion(spark: SparkSession,
       controlDir: String): String = {
     val fs = new org.apache.hadoop.fs.Path(controlDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -437,7 +437,13 @@ object Streams {
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .map(_.getName)
     require(versions.nonEmpty, s"no complete control version under $controlDir")
-    versions.max
+    // NUMERIC ordering where the name is v<digits> — raw lexicographic
+    // max would pick 'v9' over 'v10' and silently join a stale rules
+    // table. Non-numeric names fall back to (so sort below numeric)
+    // plain string order.
+    versions.maxBy { n =>
+      (n.stripPrefix("v").toLongOption.getOrElse(Long.MinValue), n)
+    }
   }
 
   def enrichWithControl(events: DataFrame, controlDir: String, name: String)(

@@ -89,6 +89,12 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     pairs.foreach { case (a, b) =>
       assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
     }
+    // convergence witness: propagation is idempotent once converged,
+    // so one extra superstep must be a no-op — proves ClusterSteps
+    // exceeds every cluster diameter in this corpus
+    val plusOne = Dedup.q62DedupClusters(spark, sf, Dedup.ClusterSteps + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(plusOne == clusters.toSet)
   }
 
   test("contamination hits truly share the claimed distinct shingles") {

@@ -104,6 +104,29 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(Formats.readGraftLog(spark, dir, splitSize = 64).rdd.getNumPartitions > 3)
   }
 
+  test("graft-log write fails fast on unrepresentable rows") {
+    import spark.implicits._
+    // newline in message: the format cannot escape it, so the write
+    // must error, not silently rewrite the payload
+    val nl = Seq((1L, "INFO", "line one\nline two")).toDF("ts", "level", "message")
+    assertThrows[Exception] { Formats.writeGraftLog(nl, tmp("gl_nl")) }
+    // '|' / lowercase in level would shift the message on read
+    val lvl = Seq((1L, "IN|FO", "ok")).toDF("ts", "level", "message")
+    assertThrows[Exception] { Formats.writeGraftLog(lvl, tmp("gl_lvl")) }
+  }
+
+  test("graft-log listing skips '.'-prefixed hidden files like '_'-prefixed ones") {
+    val dir = Files.createTempDirectory("graft_gl4").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      "100|INFO|real\n".getBytes("UTF-8"))
+    // binary junk in conventional hidden names must not be scanned
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".a.log.crc"),
+      Array[Byte](0, 1, 2, 3, 10, 99))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"), Array.empty[Byte])
+    val rows = Formats.readGraftLog(spark, dir).collect()
+    assert(rows.map(_.getString(2)).toSeq == Seq("real"))
+  }
+
   test("graft-log reader tolerates CRLF, malformed lines, and empty files") {
     val dir = Files.createTempDirectory("graft_gl3").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),

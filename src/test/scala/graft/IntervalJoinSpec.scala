@@ -104,6 +104,15 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSpec {
       (2L, Seq(), Seq(4.0))))        // right-only bucket survives
   }
 
+  test("control versions order numerically: v10 beats v9") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctrlv").toString + "/rules"
+    // raw lexicographic max would pick v9 here and join stale rules
+    Streams.publishControl(Seq((1L, "old")).toDF("user_id", "rule"), dir, "9")
+    Streams.publishControl(Seq((1L, "new")).toDF("user_id", "rule"), dir, "10")
+    assert(Streams.latestControlVersion(spark, dir) == "v10")
+  }
+
   test("control-side updates apply from the next micro-batch on") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

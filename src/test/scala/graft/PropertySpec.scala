@@ -55,9 +55,12 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val rng = new scala.util.Random(13)
     (1 to 3).foreach { _ =>
       val width = 50L + rng.nextInt(100)
-      val left = List.fill(40)((rng.nextInt(4).toLong, rng.nextInt(800).toLong))
+      // timestamps straddle zero on purpose: bucket ids must use FLOOR
+      // division or negative-ts rows land one bucket high and matches
+      // whose window crosses zero are silently dropped
+      val left = List.fill(40)((rng.nextInt(4).toLong, rng.nextInt(800).toLong - 400L))
         .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
-      val right = List.fill(60)((rng.nextInt(4).toLong, rng.nextInt(800).toLong,
+      val right = List.fill(60)((rng.nextInt(4).toLong, rng.nextInt(800).toLong - 400L,
         rng.nextInt(10) + 1))
       val got = graft.operators.RangeJoin.trailingRange(
           left.toDF("id", "k", "ts"), right.toDF("k", "tv", "w"), "k", "ts", "tv", width)
