@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Graph, Iterative}
 import graft.operators.{Aggregators, AsOfJoin, RangeJoin, Relational, Typed, Windows}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Typed.queries ++ Windows.queries ++ Iterative.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Graph.queries ++ Aggregators.queries ++ AsOfJoin.queries ++ RangeJoin.queries
+      Graph.queries ++ Aggregators.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
+      Curation.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Graph.oracles ++ Aggregators.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles
+      Graph.oracles ++ Aggregators.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
+      Curation.oracles
 }

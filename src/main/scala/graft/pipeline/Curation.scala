@@ -1,0 +1,251 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Corpus-curation operators beyond cleaning/dedup: PII redaction,
+  * deterministic training-shuffle sharding, train/val/test splits,
+  * vocabulary construction, BPE pair statistics, and embedding norm
+  * checks. These are the steps between "filtered corpus" and "tensors
+  * on a trainer" in an LLM data pipeline, each expressed as a narrow
+  * scan or a single well-keyed shuffle so the same plan runs at
+  * 100 TB.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- q69
+  /** PII redaction — scrub emails and phone numbers, reporting how
+    * many of each were removed per document (the audit trail a
+    * compliance pass needs). Pure narrow projection: regex scan +
+    * replace per row, no shuffle, scan-speed at any corpus size.
+    *
+    * The synthetic corpus contains no PII, so the query first INJECTS
+    * deterministic fixture PII (append a contact line keyed off
+    * doc_id for ~1/3 of docs, a phone line for ~1/5) and then grades
+    * the redaction of exactly that text; the oracle performs the
+    * identical injection. Patterns avoid constructs that differ
+    * between Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+    * lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{4}"
+
+  def q69PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com for details")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q69Sql: String =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    text
+       |      || (CASE WHEN doc_id % 3 = 0
+       |          THEN ' contact user' || doc_id || '@example.com for details' ELSE '' END)
+       |      || (CASE WHEN doc_id % 5 = 0
+       |          THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' ELSE '' END)
+       |      AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS clean_text
+       |FROM inj ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Deterministic global training shuffle + sharding — the step that
+    * turns a curated corpus into data-loader shards: order documents
+    * by a seeded content-independent hash (so the permutation is
+    * reproducible and uncorrelated with ingest order), assign each to
+    * one of [[NumShards]] shards, and number its position within the
+    * shard.
+    *
+    * Scale: shard assignment is a pure projection; the only shuffle
+    * is the repartition-by-shard that a per-shard sort implies —
+    * exactly the write pattern of the shard files themselves, and
+    * each shard sorts independently (no global sort, no single-
+    * partition window). At 1000 executors each shard's build is an
+    * independent task chain.
+    */
+  val NumShards = 8
+  val ShuffleSeed = "shuf1:"
+
+  def q70ShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val hv = h60(concat(lit(ShuffleSeed), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hv.as("hv"), pmod(hv, lit(NumShards)).cast("long").as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q70Sql: String =
+    s"""SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
+       |FROM (SELECT doc_id, ${h60Sql(s"'$ShuffleSeed' || doc_id")} AS hv,
+       |        ${h60Sql(s"'$ShuffleSeed' || doc_id")} % $NumShards AS shard
+       |      FROM documents)
+       |ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Hash-based train/val/test split — membership is a pure function
+    * of doc identity and a named salt, so the split is reproducible,
+    * stable under corpus growth (existing docs never migrate when new
+    * ones arrive), and needs no coordination: the canonical
+    * alternative to random-number splits at scale. 80/10/10 by hash
+    * bucket. Narrow projection, zero shuffle.
+    */
+  val SplitSeed = "split1:"
+
+  def q71SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(h60(concat(lit(SplitSeed), col("doc_id").cast("string"))), lit(100))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.cast("long").as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String =
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${h60Sql(s"'$SplitSeed' || doc_id")} % 100 AS bucket
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Vocabulary construction — global token frequencies, top
+    * [[VocabSize]] by (count desc, token asc), with rank and the
+    * running cumulative count (all-integer, so coverage ratios are
+    * exact). The plan is the vocabulary-builder shape that matters at
+    * 100 TB: explode → map-side partial count → one shuffle keyed by
+    * token → TakeOrdered for the global top-k (never a global sort of
+    * the full vocabulary); the final 50-row window cumsum is
+    * driver-scale by construction.
+    */
+  val VocabSize = 50
+
+  def q72VocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(VocabSize)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"))
+      .orderBy(col("rank"))
+  }
+
+  val q72Sql: String =
+    s"""WITH c AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY token
+       |  ORDER BY cnt DESC, token LIMIT $VocabSize)
+       |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt,
+       |  sum(cnt) OVER (ORDER BY cnt DESC, token
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+       |FROM c ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** BPE pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer training: count adjacent symbol pairs (here: character
+    * bigrams inside whitespace tokens, the first merge iteration) and
+    * rank the merge candidates. Same scale shape as q72: explode →
+    * partial agg → one token-pair-keyed shuffle → TakeOrdered; corpus
+    * size only widens the map side.
+    */
+  val TopPairs = 40
+
+  def q73BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      // sequence(1, n) DESCENDS when n < 1 — a 1-char token must not
+      // reach it (verify-skill gotcha), hence the length guard
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(TopPairs)
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  val q73Sql: String =
+    s"""WITH p AS (
+       |  SELECT substr(tok, i, 2) AS pair
+       |  FROM (SELECT tok, unnest(range(1, length(tok))) AS i
+       |        FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+       |        WHERE length(tok) >= 2)),
+       |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+       |      ORDER BY cnt DESC, pair LIMIT $TopPairs)
+       |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+       |FROM c ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Embedding L2 norms — the sanity gate before any cosine machinery
+    * (unnormalized vectors silently break dot-product ≈ cosine
+    * shortcuts): per-vector L2 norm and dimensionality. The fold
+    * casts each float to double BEFORE squaring and accumulates
+    * left-to-right in both engines; the norm is rounded (2dp) because
+    * it is an aggregated FP sum (verify-skill rule). Narrow
+    * projection, zero shuffle.
+    */
+  def q74EmbedNorms(spark: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(sq), 2).as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q74Sql: String =
+    """SELECT vec_id, label::BIGINT AS label, len(embedding)::BIGINT AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 2)
+      |    AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_pii_redact" -> (q69PiiRedact _),
+    "q70_shuffle_shard" -> (q70ShuffleShard _),
+    "q71_split_assign" -> (q71SplitAssign _),
+    "q72_vocab_topk" -> (q72VocabTopK _),
+    "q73_bpe_pairs" -> (q73BpePairs _),
+    "q74_embed_norms" -> (q74EmbedNorms _))
+
+  def oracles: Map[String, String] = Map(
+    "q69_pii_redact" -> q69Sql,
+    "q70_shuffle_shard" -> q70Sql,
+    "q71_split_assign" -> q71Sql,
+    "q72_vocab_topk" -> q72Sql,
+    "q73_bpe_pairs" -> q73Sql,
+    "q74_embed_norms" -> q74Sql)
+}

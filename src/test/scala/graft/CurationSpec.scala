@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Curation
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  test("pii redaction removes every injected email/phone and counts them") {
+    val rows = Curation.q69PiiRedact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, emails, phones, clean) =>
+      // exactly the injected fixtures are found...
+      assert(emails == (if (id % 3 == 0) 1 else 0), s"doc $id emails")
+      assert(phones == (if (id % 5 == 0) 1 else 0), s"doc $id phones")
+      // ...and nothing matching either pattern survives redaction
+      assert(!clean.matches(s".*${Curation.EmailRe}.*"), s"doc $id leaked email")
+      assert(!clean.matches(s".*${Curation.PhoneRe}.*"), s"doc $id leaked phone")
+      if (id % 3 == 0) assert(clean.contains("<EMAIL>"))
+      if (id % 5 == 0) assert(clean.contains("<PHONE>"))
+    }
+  }
+
+  test("shuffle sharding is a deterministic permutation with dense per-shard positions") {
+    val a = Curation.q70ShuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Curation.q70ShuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "shuffle must be reproducible run-to-run")
+    // every doc appears exactly once
+    assert(a.map(_._1).toSet.size == 500 && a.length == 500)
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"shard $shard gaps")
+    }
+    // the hash spreads docs across all shards without gross skew
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == Curation.NumShards)
+    assert(sizes.max < 2 * sizes.min, s"shard skew: $sizes")
+  }
+
+  test("split assignment is stable and roughly 80/10/10") {
+    val rows = Curation.q71SplitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byolit = rows.groupBy(_._3).map { case (s, rs) => s -> rs.length }
+    assert(byolit.keySet == Set("train", "val", "test"))
+    assert(byolit("train") > 350 && byolit("train") < 450, s"got $byolit")
+    // membership is a pure function of doc identity: adding docs later
+    // never migrates existing ones — witnessed by recomputing a doc's
+    // bucket standalone
+    rows.take(20).foreach { case (id, bucket, split) =>
+      val again = Curation.q71SplitAssign(spark, sf)
+        .filter(col("doc_id") === id).head()
+      assert(again.getLong(1) == bucket && again.getString(2) == split)
+    }
+  }
+
+  test("vocab top-k matches a brute-force recount with the exact tie-break") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val brute = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(Curation.VocabSize)
+    val got = Curation.q72VocabTopK(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == brute)
+    // cumulative counts really accumulate
+    val cums = Curation.q72VocabTopK(spark, sf).collect().map(_.getLong(3))
+    assert(cums.toSeq == brute.map(_._2).scanLeft(0L)(_ + _).tail)
+  }
+
+  test("bpe pair counts match a brute-force scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val brute = docs.flatMap(_.split(" ")).filter(_.length >= 2)
+      .flatMap(t => (0 until t.length - 1).map(i => t.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(Curation.TopPairs)
+    val got = Curation.q73BpePairs(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == brute)
+    assert(got.forall(_._1.length == 2))
+  }
+
+  test("embedding norms are positive with a uniform dimensionality") {
+    val rows = Curation.q74EmbedNorms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSet.size == 1, "mixed dims in embeddings table")
+    assert(rows.forall(_._3 > 0.0))
+  }
+}
