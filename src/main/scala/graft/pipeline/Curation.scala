@@ -233,13 +233,90 @@ object Curation {
       |    AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Sequence packing, content step — q50 assigns documents to fixed
+    * token-budget bins; this emits the packed training sequences
+    * themselves: per bin, the documents concatenated in doc_id order
+    * with an `<eos>` separator, plus doc/token/char totals. The
+    * deterministic concat is array_sort over (doc_id, text) structs →
+    * field projection → join, so no collect_list ordering is ever
+    * trusted. Scale: one shuffle keyed by bin; a bin holds ~budget
+    * tokens by construction, so per-group state is bounded by the
+    * context length, not the corpus.
+    */
+  val EosSep = " <eos> "
+
+  def q75PackedSequences(spark: SparkSession, dir: String): DataFrame = {
+    val bins = TextAnalysis.q50SequencePacking(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    bins.join(docs, "doc_id")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          EosSep).as("packed_text"))
+      .select(col("bin"), col("n_docs"), col("total_tokens"),
+        length(col("packed_text")).cast("long").as("n_chars"), col("packed_text"))
+      .orderBy(col("bin"))
+  }
+
+  val q75Sql: String =
+    s"""WITH b AS (${TextAnalysis.q50Sql}),
+       |p AS (SELECT b.bin, count(*) AS n_docs, sum(b.tokens)::BIGINT AS total_tokens,
+       |        string_agg(d.text, '$EosSep' ORDER BY b.doc_id) AS packed_text
+       |      FROM b JOIN documents d ON b.doc_id = d.doc_id
+       |      GROUP BY b.bin)
+       |SELECT bin, n_docs, total_tokens,
+       |  length(packed_text)::BIGINT AS n_chars, packed_text
+       |FROM p ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** Per-source corpus report — the dashboard a data-curation team
+    * reads per ingest: documents, token volume, mean quality score,
+    * and exact-duplicate counts, broken down by (source, lang).
+    * Duplicate detection reuses the q28 canonical-min rule as a
+    * window min over the content hash. Scale: one shuffle keyed by
+    * content hash (the dedup window), one keyed by (source, lang) —
+    * both well-distributed; output cardinality is sources × langs.
+    */
+  def q76SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val wDup = Window.partitionBy(md5(col("text")))
+    val quality = TextAnalysis.q37Quality(spark, dir)
+      .select(col("doc_id").as("q_id"), col("quality"))
+    Tables.documents(spark, dir)
+      .withColumn("keep", min(col("doc_id")).over(wDup))
+      .join(quality, col("doc_id") === col("q_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("total_tokens"),
+        round(avg(col("quality")), 2).as("avg_quality"),
+        sum((col("doc_id") > col("keep")).cast("long")).as("n_dups"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q76Sql: String =
+    s"""WITH q AS (${TextAnalysis.q37Sql}),
+       |d AS (SELECT doc_id, text, source, lang,
+       |        min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |      FROM documents)
+       |SELECT d.source, d.lang, count(*) AS n_docs,
+       |  sum(len(str_split(d.text, ' ')))::BIGINT AS total_tokens,
+       |  round(avg(q.quality), 2) AS avg_quality,
+       |  sum(CASE WHEN d.doc_id > d.keep THEN 1 ELSE 0 END)::BIGINT AS n_dups
+       |FROM d JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY d.source, d.lang
+       |ORDER BY d.source, d.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_pii_redact" -> (q69PiiRedact _),
     "q70_shuffle_shard" -> (q70ShuffleShard _),
     "q71_split_assign" -> (q71SplitAssign _),
     "q72_vocab_topk" -> (q72VocabTopK _),
     "q73_bpe_pairs" -> (q73BpePairs _),
-    "q74_embed_norms" -> (q74EmbedNorms _))
+    "q74_embed_norms" -> (q74EmbedNorms _),
+    "q75_packed_sequences" -> (q75PackedSequences _),
+    "q76_source_report" -> (q76SourceReport _))
 
   def oracles: Map[String, String] = Map(
     "q69_pii_redact" -> q69Sql,
@@ -247,5 +324,7 @@ object Curation {
     "q71_split_assign" -> q71Sql,
     "q72_vocab_topk" -> q72Sql,
     "q73_bpe_pairs" -> q73Sql,
-    "q74_embed_norms" -> q74Sql)
+    "q74_embed_norms" -> q74Sql,
+    "q75_packed_sequences" -> q75Sql,
+    "q76_source_report" -> q76Sql)
 }

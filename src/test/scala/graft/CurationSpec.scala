@@ -84,6 +84,40 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(_._1.length == 2))
   }
 
+  test("packed sequences carry every doc once, in doc_id order") {
+    val rows = Curation.q75PackedSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._2).sum == docs.length, "every doc packed exactly once")
+    rows.foreach { case (bin, nDocs, totalTokens, nChars, packed) =>
+      // separator count proves nDocs pieces; char count is consistent
+      assert(packed.split(java.util.regex.Pattern.quote(Curation.EosSep), -1).length == nDocs,
+        s"bin $bin piece count")
+      assert(nChars == packed.length.toLong)
+      assert(totalTokens > 0)
+    }
+    // global concatenation in bin-then-doc order reproduces the corpus order
+    val allPacked = rows.sortBy(_._1).map(_._5).mkString(Curation.EosSep)
+    assert(allPacked == docs.map(_._2).mkString(Curation.EosSep))
+  }
+
+  test("source report totals reconcile with the corpus") {
+    val rows = Curation.q76SourceReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.map(_._3).sum == 500, "n_docs must cover the corpus")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val expectDups = texts.length - texts.distinct.length
+    assert(rows.map(_._6).sum == expectDups, "global dup count")
+    rows.foreach { case (src, lang, n, toks, q, dups) =>
+      assert(n > 0 && toks >= n && q > 0.0 && dups >= 0 && dups < n,
+        s"($src,$lang) implausible stats")
+    }
+  }
+
   test("embedding norms are positive with a uniform dimensionality") {
     val rows = Curation.q74EmbedNorms(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
