@@ -308,6 +308,41 @@ object Curation {
        |GROUP BY d.source, d.lang
        |ORDER BY d.source, d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Exact-k-per-group sampling — "take [[SamplePerGroup]] examples
+    * per class", the balanced-subset op behind eval-set construction
+    * and few-shot pools. Rows are ranked per group by a seeded
+    * portable hash (content-independent, reproducible, no RNG state)
+    * and the top k kept — a deterministic stand-in for per-group
+    * reservoir sampling. Plan: one shuffle keyed by group for the
+    * window rank; with heavy groups the rank is cut by
+    * WindowGroupLimit before full sort materialization (same shape as
+    * q12/q46). Contrast q51: rate-based (keeps a fraction), this is
+    * count-based (keeps exactly k).
+    */
+  val SamplePerGroup = 10
+  val GroupSampleSeed = "gsamp1:"
+
+  def q77GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val hv = h60(concat(lit(GroupSampleSeed), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hv.as("hv"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= SamplePerGroup)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q77Sql: String =
+    s"""SELECT lang, rk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${h60Sql(s"'$GroupSampleSeed' || doc_id")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SamplePerGroup
+       |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_pii_redact" -> (q69PiiRedact _),
     "q70_shuffle_shard" -> (q70ShuffleShard _),
@@ -316,7 +351,8 @@ object Curation {
     "q73_bpe_pairs" -> (q73BpePairs _),
     "q74_embed_norms" -> (q74EmbedNorms _),
     "q75_packed_sequences" -> (q75PackedSequences _),
-    "q76_source_report" -> (q76SourceReport _))
+    "q76_source_report" -> (q76SourceReport _),
+    "q77_group_sample" -> (q77GroupSample _))
 
   def oracles: Map[String, String] = Map(
     "q69_pii_redact" -> q69Sql,
@@ -326,5 +362,6 @@ object Curation {
     "q73_bpe_pairs" -> q73Sql,
     "q74_embed_norms" -> q74Sql,
     "q75_packed_sequences" -> q75Sql,
-    "q76_source_report" -> q76Sql)
+    "q76_source_report" -> q76Sql,
+    "q77_group_sample" -> q77Sql)
 }

@@ -118,6 +118,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("group sample takes exactly k per group, deterministically, rank cut pre-sort") {
+    val rows = Curation.q77GroupSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to Curation.SamplePerGroup).toSeq, s"lang $lang")
+    }
+    assert(rows.groupBy(_._1).keySet == langs)
+    val again = Curation.q77GroupSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+    // the heavy-group guard: the per-group rank must be cut by
+    // WindowGroupLimit before a full per-group sort materializes
+    val plan = Curation.q77GroupSample(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank not cut pre-sort:\n$plan")
+  }
+
+  test("curation scans prune to the columns they need") {
+    def readSchema(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = df.queryExecution.executedPlan.toString
+      // the parquet leaf, not AQE shuffle-stage leaves
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+        .map(_.group(1)).getOrElse(s"NO SCAN IN:\n$plan")
+    }
+    assert(readSchema(Curation.q70ShuffleShard(spark, sf)) == "doc_id:bigint")
+    assert(readSchema(Curation.q71SplitAssign(spark, sf)) == "doc_id:bigint")
+    assert(readSchema(Curation.q72VocabTopK(spark, sf)) == "text:string")
+    assert(readSchema(Curation.q73BpePairs(spark, sf)) == "text:string")
+  }
+
   test("embedding norms are positive with a uniform dimensionality") {
     val rows = Curation.q74EmbedNorms(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
