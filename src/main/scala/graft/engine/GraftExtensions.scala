@@ -21,6 +21,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // graft_h60(s): the engine's portable 60-bit hash
+    // ([[graft.functions.Portable.h60]]) on the SQL surface, so pure-SQL
+    // users get the same reproducible sharding/sampling/sketch keys as
+    // the Scala API. Built from stock codegen'd expressions (md5 →
+    // substring → conv → cast), so it stays inside whole-stage codegen.
+    ext.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Conv].getName,
+        "graft_h60"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        require(exprs.length == 1, s"graft_h60 takes 1 argument, got ${exprs.length}")
+        Cast(Conv(Substring(Md5(exprs.head), Literal(1), Literal(15)),
+          Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
+      }))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)
   }
 }

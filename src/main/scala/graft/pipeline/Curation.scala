@@ -34,6 +34,17 @@ object Curation {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\d{3}-\\d{4}"
 
+  /** The redaction itself, as plain Column functions — pure narrow
+    * expressions, so the identical op applies to a batch DataFrame or
+    * a readStream without change (CurationSpec asserts stream/batch
+    * equivalence). */
+  def redactPii(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+  def piiEmails(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+  def piiPhones(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
+
   def q69PiiRedact(spark: SparkSession, dir: String): DataFrame = {
     val injected = concat(
       col("text"),
@@ -46,10 +57,9 @@ object Curation {
     Tables.documents(spark, dir)
       .select(col("doc_id"), injected.as("t"))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
-        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
-          .as("clean_text"))
+        piiEmails(col("t")).as("n_emails"),
+        piiPhones(col("t")).as("n_phones"),
+        redactPii(col("t")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

@@ -80,7 +80,7 @@ object Functions {
     * their builder. Registers once per session — re-registering is
     * harmless but warns "replaced a previously registered function"
     * on every query build, which pollutes bench logs. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -88,4 +88,17 @@ object Functions {
         (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
         "built-in")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_h60"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_h60",
+        (exprs: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+          require(exprs.length == 1, s"graft_h60 takes 1 argument, got ${exprs.length}")
+          Cast(Conv(Substring(Md5(exprs.head), Literal(1), Literal(15)),
+            Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
+        },
+        "built-in")
+    }
+  }
 }

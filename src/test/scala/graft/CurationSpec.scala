@@ -23,6 +23,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pii redaction lifts to a stream unchanged (batch/stream equivalence)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail me at a.b@test.org today"),
+      (2L, "call 555-1234 or 555-9999"),
+      (3L, "nothing sensitive here"))
+    val project = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("id"), Curation.piiEmails(col("t")).as("e"),
+      Curation.piiPhones(col("t")).as("p"), Curation.redactPii(col("t")).as("clean"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.addData(rows)
+    val q = project(ms.toDF().toDF("id", "t")).writeStream
+      .format("memory").queryName("pii_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pii_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    val batch = project(rows.toDF("id", "t")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.map(_._4).toSeq == Seq(
+      "mail me at <EMAIL> today", "call <PHONE> or <PHONE>", "nothing sensitive here"))
+  }
+
   test("shuffle sharding is a deterministic permutation with dense per-shard positions") {
     val a = Curation.q70ShuffleShard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -17,6 +17,27 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r - 11.0) < 1e-9)
   }
 
+  test("graft_h60 on the SQL surface equals Portable.h60 and stays codegen'd") {
+    // same hash from SQL and from the Scala Column API — pure-SQL
+    // users get identical shard/sample/sketch keys
+    import spark.implicits._
+    val docs = Seq("alpha", "beta", "", "Zebra 123 !?").toDF("s")
+    docs.createOrReplaceTempView("h60_probe")
+    val viaSql = spark.sql("SELECT graft_h60(s) FROM h60_probe")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = docs.select(graft.functions.Portable.h60(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.forall(_ >= 0))
+    // plan assert needs a real scan — a local Seq constant-folds to
+    // LocalTableScan with no codegen stage at all
+    Tables.documents(spark, sf).createOrReplaceTempView("h60_docs")
+    val plan = spark.sql("SELECT graft_h60(text) FROM h60_docs")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cast(conv(substring(md5("),
+      s"h60 fell out of whole-stage codegen:\n$plan")
+  }
+
   test("graft_dot equals the interpreted higher-order fold bit-for-bit") {
     graft.plans.Functions.register(spark)
     val emb = Tables.embeddings(spark, sf).limit(50)
