@@ -440,7 +440,56 @@ object Dedup {
        |WHERE n_shared >= $MinSharedShingles
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Incremental dedup — the production shape none of q28-q62 cover:
+    * a NEW ingest batch deduped against the EXISTING corpus, without
+    * re-deduping the corpus against itself. Batch membership here is
+    * `doc_id % 10 >= 8` (a deterministic ~20% slice, SF-independent);
+    * a new doc is dropped when any near-dup pair (the verified q29
+    * MinHash relation) links it to a corpus doc, and reports the
+    * smallest matching corpus id as its `matched_old`.
+    *
+    * Scale: this graded form recomputes both sides' signatures so the
+    * oracle can replay it; the incremental DEPLOYMENT stores corpus
+    * band keys + shingle sets as a bucketed table (sources.Formats
+    * bucketed layouts) and only the batch side is computed per run —
+    * the band join is then batch-size × bucket, and the corpus never
+    * rescans. Within-batch duplicates are q29/q62's job on the batch
+    * alone, by design.
+    */
+  def q78IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def isNew(c: org.apache.spark.sql.Column) = c % 10 >= 8
+    val pairs = q29MinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val hits = pairs.filter(isNew(col("doc_a")) && !isNew(col("doc_b")))
+      .select(col("doc_a").as("nid"), col("doc_b").as("oid"))
+      .union(pairs.filter(isNew(col("doc_b")) && !isNew(col("doc_a")))
+        .select(col("doc_b").as("nid"), col("doc_a").as("oid")))
+    val matched = hits.groupBy(col("nid")).agg(min(col("oid")).as("matched_old"))
+    graft.sources.Tables.documents(spark, dir)
+      .filter(isNew(col("doc_id"))).select(col("doc_id"))
+      .join(matched, col("doc_id") === col("nid"), "left_outer")
+      .select(col("doc_id"), coalesce(col("matched_old"), lit(-1L)).as("matched_old"),
+        col("matched_old").isNull.cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String =
+    s"""WITH $pairsCteSql,
+       |hits AS (
+       |  SELECT doc_a AS nid, doc_b AS oid FROM pairs
+       |  WHERE doc_a % 10 >= 8 AND doc_b % 10 < 8
+       |  UNION ALL
+       |  SELECT doc_b AS nid, doc_a AS oid FROM pairs
+       |  WHERE doc_b % 10 >= 8 AND doc_a % 10 < 8),
+       |matched AS (SELECT nid, min(oid) AS matched_old FROM hits GROUP BY nid)
+       |SELECT d.doc_id, coalesce(m.matched_old, -1) AS matched_old,
+       |  CAST(m.matched_old IS NULL AS INT) AS keep
+       |FROM documents d LEFT JOIN matched m ON d.doc_id = m.nid
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_incremental_dedup" -> (q78IncrementalDedup _),
     "q28_dedup_exact" -> (q28ExactDedup _),
     "q29_dedup_minhash_lsh" -> (q29MinhashLsh _),
     "q30_simhash" -> (q30SimHash _),
@@ -451,6 +500,7 @@ object Dedup {
     "q63_contamination" -> (q63Contamination _))
 
   def oracles: Map[String, String] = Map(
+    "q78_incremental_dedup" -> q78Sql,
     "q28_dedup_exact" -> q28Sql,
     "q29_dedup_minhash_lsh" -> q29Sql,
     "q30_simhash" -> q30Sql,

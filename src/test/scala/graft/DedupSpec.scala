@@ -97,6 +97,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(plusOne == clusters.toSet)
   }
 
+  test("incremental dedup drops exactly the batch docs near-dup-linked to the corpus") {
+    val pairs = Dedup.q29MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isNew(id: Long) = id % 10 >= 8
+    val expectDrops = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).collect { case (n, o) if isNew(n) && !isNew(o) => n -> o }
+    }.groupBy(_._1).map { case (n, os) => n -> os.map(_._2).min }
+    val got = Dedup.q78IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // one row per batch doc, keep XOR matched
+    val batchIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(isNew).toSet
+    assert(got.map(_._1).toSet == batchIds)
+    got.foreach { case (id, matchedOld, keep) =>
+      expectDrops.get(id) match {
+        case Some(o) => assert(keep == 0 && matchedOld == o, s"doc $id should drop vs $o")
+        case None    => assert(keep == 1 && matchedOld == -1L, s"doc $id should keep")
+      }
+    }
+    assert(expectDrops.nonEmpty, "fixture sanity: some batch doc must collide")
+  }
+
   test("contamination hits truly share the claimed distinct shingles") {
     import org.apache.spark.sql.functions._
     val hits = Dedup.q63Contamination(spark, sf).collect()
