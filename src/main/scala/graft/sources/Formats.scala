@@ -50,6 +50,18 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro (the reference `flink-formats/flink-avro` AvroInputFormat).
+    * Spark 4's spark-sql jar ships the implementation classes
+    * (AvroFileFormat/AvroDeserializer) but NOT the service-loader
+    * registration for the short name "avro" — that lives in the
+    * external spark-avro package. Loading by fully-qualified class
+    * name bypasses the registry, so the row-oriented container format
+    * works with no extra dependency. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
   /** JDBC source (the reference `flink-connectors/flink-connector-jdbc`
     * JdbcInputFormat). `partitionOn` splits the read into
     * `numPartitions` range-parallel queries — without it a JDBC scan
@@ -135,6 +147,11 @@ object Formats {
   def writeOrc(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
+
+  /** Avro sink (flink-avro AvroOutputFormat). */
+  def writeAvro(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format(AvroFormat).save(path)
 
   /** JDBC sink (flink-connector-jdbc JdbcOutputFormat): each input
     * partition writes over its own connection in batched inserts.
