@@ -12,7 +12,9 @@ object PlanAudit {
       else Seq("q01_pricing_summary", "q03_shipping_priority", "q12_first_n_per_group",
         "q18_window_tumbling", "q29_dedup_minhash_lsh", "q31_simhash_pairs",
         "q35_ann_lsh", "q41_pagerank", "q60_weblog", "q63_contamination",
-        "q64_large_orders", "q66_asof_join", "q67_range_join")
+        "q64_large_orders", "q66_asof_join", "q67_range_join",
+        "q70_shuffle_shard", "q72_vocab_topk", "q75_packed_sequences",
+        "q77_group_sample", "q78_incremental_dedup")
     val spark = graft.engine.GraftSession.local("graft-plan-audit", "4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
