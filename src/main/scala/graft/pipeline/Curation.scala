@@ -116,6 +116,26 @@ object Curation {
        |      FROM documents)
        |ORDER BY shard, pos""".stripMargin
 
+  /** Materialize the q70 assignment as the data-loader shard files
+    * themselves: `out/shard=N/` holds that shard's documents in
+    * shuffle order (pos ascending inside every parquet file). One
+    * repartition keyed by shard, per-shard sort, one write — at 1000
+    * executors every shard is an independent write task; readers get
+    * the reproducible global permutation by scanning shard dirs in
+    * order. */
+  def writeShards(spark: SparkSession, dir: String, out: String): Unit = {
+    val assigned = q70ShuffleShard(spark, dir)
+    Tables.documents(spark, dir)
+      .join(assigned, "doc_id")
+      .repartition(NumShards, col("shard"))
+      // sort by (shard, pos), not pos alone: the partitioned write
+      // requires task rows clustered by the partition column and will
+      // insert its OWN sort by `shard` (destroying pos order) unless
+      // the incoming ordering already starts with it
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+  }
+
   // ---------------------------------------------------------------- q71
   /** Hash-based train/val/test split — membership is a pure function
     * of doc identity and a named salt, so the split is reproducible,

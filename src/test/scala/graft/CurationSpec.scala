@@ -66,6 +66,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.max < 2 * sizes.min, s"shard skew: $sizes")
   }
 
+  test("shard files land partitioned by shard with pos ascending inside each") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curation.writeShards(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == Curation.NumShards, s"got ${dirs.toSeq}")
+    val assigned = Curation.q70ShuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each shard dir holds exactly its docs, and each parquet file is
+    // internally pos-sorted (the data-loader's streaming read order)
+    dirs.foreach { d =>
+      val shard = d.stripPrefix("shard=").toLong
+      val rows = spark.read.parquet(s"$out/$d").select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = assigned.filter(_._2 == shard).map(t => (t._1, t._3)).sortBy(_._2)
+      assert(rows.sortBy(_._2).toSeq == want.toSeq, s"shard $shard content")
+      new java.io.File(s"$out/$d").listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val pos = spark.read.parquet(f.getPath).select("pos").collect().map(_.getLong(0))
+          assert(pos.toSeq == pos.sorted.toSeq, s"file ${f.getName} not pos-sorted")
+        }
+    }
+  }
+
   test("split assignment is stable and roughly 80/10/10") {
     val rows = Curation.q71SplitAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
