@@ -80,19 +80,36 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
 
-  def q29MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
-    // one hash-agg pass yields both the 16 minhashes and the set size
+  /** Shingle hashes of an arbitrary `(doc_id, text)` relation — the
+    * df-parameterized core shared by the corpus-cached path and the
+    * incremental/streaming batch path. */
+  private[pipeline] def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+
+  /** MinHash signature (m0..m{K-1}) + shingle-set size, one hash-agg. */
+  private[pipeline] def minhashSigOf(sh: DataFrame): DataFrame = {
     val minCols = (0 until MinhashK).map(i =>
       min((lit(hashA(i)) * col("hp") + lit(hashB(i))) % P).as(s"m$i")) :+
       count(lit(1)).as("sz")
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Banded LSH keys of a signature relation: (doc_id, band, key). */
+  private[pipeline] def bandKeysOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("key"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def q29MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    // one hash-agg pass yields both the 16 minhashes and the set size
+    val sig = minhashSigOf(sh)
+    val bands = bandKeysOf(sig)
     // candidate pairs bucket-locally: one shuffle groups each band
     // bucket, pairs expand inside the bucket (a self-join would
     // compute the signature aggregation twice — seen in PlanAudit)
@@ -457,6 +474,61 @@ object Dedup {
     * rescans. Within-batch duplicates are q29/q62's job on the batch
     * alone, by design.
     */
+  /** Precomputed corpus side of incremental dedup — what a deployment
+    * stores (bucketed by band key / by hp) and reuses across ingest
+    * batches: LSH band keys, shingle hashes, and set sizes. Persisted
+    * so every batch probe reads memory, not lineage. */
+  final case class DedupIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame) {
+    def unpersist(): Unit = {
+      bands.unpersist(); shingles.unpersist(); sizes.unpersist()
+    }
+  }
+
+  def buildIndex(corpus: DataFrame): DedupIndex = {
+    val sh = shingleHashesOf(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSigOf(sh)
+    val bands = bandKeysOf(sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sig.select(col("doc_id"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DedupIndex(bands, shingles = sh, sizes = sizes)
+  }
+
+  /** Dedup an arbitrary `(doc_id, text)` batch against a prebuilt
+    * corpus index: per batch doc, the smallest near-dup-matching
+    * corpus id (or −1) and a keep flag — q78's semantics with only
+    * the batch side computed per call. The band probe is an equi-join
+    * on (band, key); candidate verification touches only colliding
+    * pairs' shingles. At scale the batch is small relative to the
+    * corpus, so every join is batch-size-bounded against an indexed,
+    * persisted right side. */
+  def dedupAgainst(index: DedupIndex, batch: DataFrame): DataFrame = {
+    val bsh = shingleHashesOf(batch)
+    val bsig = minhashSigOf(bsh)
+    val bbands = bandKeysOf(bsig)
+    val cands = bbands.as("nb")
+      .join(index.bands.as("ob"),
+        col("nb.band") === col("ob.band") && col("nb.key") === col("ob.key"))
+      .select(col("nb.doc_id").as("nid"), col("ob.doc_id").as("oid"))
+      .distinct()
+    val inter = cands
+      .join(bsh.as("sa"), col("nid") === col("sa.doc_id"))
+      .join(index.shingles.as("sb"),
+        col("oid") === col("sb.doc_id") && col("sa.hp") === col("sb.hp"))
+      .groupBy(col("nid"), col("oid")).agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(bsig.select(col("doc_id"), col("sz")).as("za"), col("nid") === col("za.doc_id"))
+      .join(index.sizes.as("zb"), col("oid") === col("zb.doc_id"))
+      .filter(round(col("inter") / (col("za.sz") + col("zb.sz") - col("inter")).cast("double"), 4)
+        >= 0.8)
+      .groupBy(col("nid")).agg(min(col("oid")).as("matched_old"))
+    batch.select(col("doc_id"))
+      .join(verified, col("doc_id") === col("nid"), "left_outer")
+      .select(col("doc_id"), coalesce(col("matched_old"), lit(-1L)).as("matched_old"),
+        col("matched_old").isNull.cast("int").as("keep"))
+  }
+
   def q78IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     def isNew(c: org.apache.spark.sql.Column) = c % 10 >= 8
     val pairs = q29MinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))

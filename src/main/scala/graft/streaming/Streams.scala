@@ -463,6 +463,25 @@ object Streams {
     * answer, SURVEY.md §2.6): each micro-batch lands as a batch
     * DataFrame with its batch id, so one stream can feed several
     * batch writers transactionally-enough (idempotent by batchId). */
+  /** Streaming incremental dedup — the ingest-time shape of
+    * [[graft.pipeline.Dedup.q78IncrementalDedup]]: a stream of
+    * `(doc_id, text)` documents is checked per micro-batch against a
+    * prebuilt corpus [[graft.pipeline.Dedup.DedupIndex]] (band keys /
+    * shingles / sizes, persisted once); each batch emits one verdict
+    * row per incoming doc (matched_old, keep). The corpus never
+    * recomputes — only the batch side is hashed per trigger, so
+    * steady-state cost tracks ingest rate, not corpus size.
+    * StreamingSpec asserts batch-twin equivalence with q78's logic. */
+  def streamingIncrementalDedup(docs: DataFrame,
+      index: graft.pipeline.Dedup.DedupIndex, name: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.pipeline.Dedup.dedupAgainst(index, batch))
+      }
+      .start()
+
   def toForeachBatch(df: DataFrame, name: String)(
       handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.queryName(name)

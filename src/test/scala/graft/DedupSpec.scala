@@ -119,6 +119,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(expectDrops.nonEmpty, "fixture sanity: some batch doc must collide")
   }
 
+  test("streaming incremental dedup equals the batch q78 verdicts across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val incoming = docs.filter(col("doc_id") % 10 >= 8).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val index = graft.pipeline.Dedup.buildIndex(corpus)
+    try {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.streamingIncrementalDedup(
+        ms.toDF().toDF("doc_id", "text"), index, "inc_dedup") { verdicts =>
+        verdicts.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+      }
+      // two micro-batches: the corpus index must serve both without
+      // recomputation and verdicts must not depend on batch boundaries
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      q.stop()
+      val streamed = seen.toArray(Array.empty[(Long, Long, Int)]).sortBy(_._1)
+      val batchTwin = Dedup.q78IncrementalDedup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      assert(streamed.toSeq == batchTwin.toSeq)
+    } finally index.unpersist()
+  }
+
   test("contamination hits truly share the claimed distinct shingles") {
     import org.apache.spark.sql.functions._
     val hits = Dedup.q63Contamination(spark, sf).collect()
