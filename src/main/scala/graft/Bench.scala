@@ -27,11 +27,19 @@ object Bench {
     // grows: short keys (the qNN id prefix) + centisecond precision.
     // Full names + full precision go to stderr for local inspection.
     results.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(jsonLine(results, sfDir))
     spark.stop()
+  }
+
+  /** The qNN id prefix used as the compact metric key — BenchSpec
+    * asserts these stay unique across the registry and that the whole
+    * line fits the harness's tail-capture budget. */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

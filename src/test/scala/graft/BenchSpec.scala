@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the bench metric line — the driver's log
+  * capture keeps only the last ~2000 chars of stdout, so the line
+  * must always fit, and the compact qNN keys must never collide. No
+  * Spark session needed. */
+class BenchSpec extends AnyFunSuite {
+
+  test("short metric keys are unique across the whole query registry") {
+    val names = SparkEntry.queries.keys.toSeq
+    val shorts = names.map(Bench.shortKey)
+    assert(shorts.distinct.size == names.size,
+      s"colliding qNN prefixes: ${shorts.groupBy(identity).filter(_._2.size > 1).keys}")
+    assert(shorts.forall(_.matches("q\\d+")), "every query name must start qNN_")
+  }
+
+  test("metric line fits the tail-capture budget even with worst-case values") {
+    // worst case: every query slow (5 digits + 2 decimals) — still
+    // must leave headroom for sbt's trailing [success] line inside a
+    // 2000-char tail window
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99999.99)
+    val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"metric line ${line.length} chars — trim keys or precision")
+    assert(line.startsWith("""{"metric":"total"""") && line.endsWith("}"))
+    // crashed queries (-1) must not corrupt the JSON shape
+    val withCrash = Bench.jsonLine(Seq("q01_x" -> -1.0, "q02_y" -> 1.5), "/x")
+    assert(withCrash.contains(""""q01":-1.00""") && withCrash.contains(""""q02":1.50"""))
+    // the total excludes crashed queries
+    assert(withCrash.contains(""""value":1.50"""))
+  }
+}
