@@ -129,6 +129,22 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assertThrows[Exception] { Formats.writeGraftLog(lvl, tmp("gl_lvl")) }
   }
 
+  test("graft-log scan reports skipped malformed lines as a SQL metric") {
+    val dir = Files.createTempDirectory("graft_gl5").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      "100|INFO|ok\njunk line\n|||\n101|WARN|fine\n".getBytes("UTF-8"))
+    val df = Formats.readGraftLog(spark, dir)
+    // collect() (not count()) so the metrics land on THIS plan
+    // instance — count() builds its own QueryExecution
+    assert(df.collect().length == 2)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.metrics.contains("malformedLines"), "metric not registered")
+    assert(scan.metrics("malformedLines").value == 2,
+      s"expected 2 skipped lines, got ${scan.metrics("malformedLines").value}")
+  }
+
   test("graft-log listing skips '.'-prefixed hidden files like '_'-prefixed ones") {
     val dir = Files.createTempDirectory("graft_gl4").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),
