@@ -146,11 +146,13 @@ object Similarity {
   private def planeVec(j: Int): Seq[Double] =
     (0 until Dim).map(k => ((j * Dim + k + 1) * 2654435761L % 1000003L) / 1000003.0 - 0.5)
 
-  private def bucketCol: Column =
+  private def bucketColOf(e: Column): Column =
     (0 until Planes).map { j =>
       val p = array(planeVec(j).map(lit): _*)
-      when(dot(col("embedding"), p) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(e, p) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  private def bucketCol: Column = bucketColOf(col("embedding"))
 
   /** (vec_id, embedding, nrm, bucket) — norms on the native codegen
     * graft_dot (plane dots keep the fold expression: planes are
@@ -184,6 +186,33 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("pb"))
     rankLshCandidates(ev, q)
+  }
+
+  /** Persisted corpus side of online ANN — the bucketed, normed
+    * embedding table a serving deployment holds in memory and probes
+    * per query batch (the [[graft.pipeline.Dedup.DedupIndex]] pattern
+    * applied to similarity search). */
+  final case class AnnIndex(ev: DataFrame) {
+    def unpersist(): Unit = { ev.unpersist(); () }
+  }
+
+  def buildAnnIndex(spark: SparkSession, dir: String): AnnIndex =
+    AnnIndex(bucketedEv(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Top-k LSH search of `(qid, embedding)` queries against a prebuilt
+    * index: only the query side is hashed per call; candidates come
+    * from the query's sign bucket, exactly q35's semantics. At scale
+    * the per-call cost tracks query-batch size — the corpus is
+    * persisted, bucketed, and never rescanned beyond the probed
+    * buckets. */
+  def annSearch(index: AnnIndex, queries: DataFrame): DataFrame = {
+    graft.plans.Functions.register(queries.sparkSession)
+    val probes = queries.select(col("qid"), col("embedding").as("qe"),
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("qn"))
+      .withColumn("pb", bucketColOf(col("qe")))
+      .drop("embedding")
+    rankLshCandidates(index.ev, probes)
   }
 
   /** CTE chain ending in `ev(vec_id, embedding, nrm, bucket)` —

@@ -482,6 +482,23 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN search — the online-serving twin of
+    * [[graft.pipeline.Similarity.q35AnnLsh]]: a stream of
+    * `(qid, embedding)` query vectors probes a prebuilt
+    * [[graft.pipeline.Similarity.AnnIndex]] per micro-batch, emitting
+    * top-k (qid, rank, vec_id, cosine) rows. Same economics as
+    * [[streamingIncrementalDedup]]: the corpus is persisted once,
+    * per-trigger cost tracks the query rate. */
+  def streamingAnnSearch(queries: DataFrame,
+      index: graft.pipeline.Similarity.AnnIndex, name: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.pipeline.Similarity.annSearch(index, batch))
+      }
+      .start()
+
   def toForeachBatch(df: DataFrame, name: String)(
       handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.queryName(name)

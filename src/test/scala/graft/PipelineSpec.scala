@@ -31,6 +31,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("streaming ANN search over a persisted index equals batch q35 across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val index = Similarity.buildAnnIndex(spark, sf)
+    try {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Double)]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streams.streamingAnnSearch(
+        ms.toDF().toDF("qid", "embedding"), index, "ann_stream") { hits =>
+        hits.collect().foreach(r =>
+          seen.add((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+      }
+      val (first, second) = queries.splitAt(queries.length / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      q.stop()
+      val streamed = seen.toArray(Array.empty[(Long, Int, Long, Double)])
+        .sortBy(t => (t._1, t._2))
+      val batchTwin = Similarity.q35AnnLsh(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.toSeq == batchTwin.toSeq)
+      assert(streamed.nonEmpty)
+    } finally index.unpersist()
+  }
+
   test("multi-probe LSH recalls at least as much as single-probe, scored exactly") {
     val brute = Similarity.q34AnnBruteForce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
