@@ -36,10 +36,21 @@ object Bench {
     * line fits the harness's tail-capture budget. */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** The reference's seven benchmark workloads (BASELINE.md matrix)
+    * mapped to their graft query analogues, surfaced as their own
+    * sub-map so the baseline comparison needs no cross-referencing. */
+  val RefBenchmarks: Seq[(String, String)] = Seq(
+    "matmul" -> "q22", "kmeans" -> "q23", "dft" -> "q25", "logreg" -> "q24",
+    "iot" -> "q21", "pi" -> "q26", "vadd" -> "q27")
+
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val byShort = results.map { case (k, v) => shortKey(k) -> v }.toMap
+    val ref = RefBenchmarks.flatMap { case (name, q) =>
+      byShort.get(q).map(v => "\"" + name + "\":" + f"$v%.2f")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"ref":$ref,"sf":"$sfDir"}"""
   }
 }

@@ -30,4 +30,13 @@ class BenchSpec extends AnyFunSuite {
     // the total excludes crashed queries
     assert(withCrash.contains(""""value":1.50"""))
   }
+
+  test("every reference benchmark maps to a registered query") {
+    val shorts = SparkEntry.queries.keys.map(Bench.shortKey).toSet
+    Bench.RefBenchmarks.foreach { case (name, q) =>
+      assert(shorts.contains(q), s"ref benchmark $name maps to missing query $q")
+    }
+    val line = Bench.jsonLine(SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.0), "/x")
+    assert(line.contains(""""ref":{"matmul":1.00"""))
+  }
 }
