@@ -623,7 +623,98 @@ object Relational {
        |ORDER BY o_totalprice DESC, o_orderkey
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Min-cost supplier per part (the TPC-H Q2 core shape, adapted to
+    * this schema's lineitem-derived unit costs): a CORRELATED SCALAR
+    * subquery — the one subquery rewrite q64's IN form doesn't
+    * exercise. Catalyst's RewriteCorrelatedScalarSubquery turns the
+    * correlated `= (SELECT min ...)` into a per-part aggregate joined
+    * back on the correlation key, so the physical plan is one
+    * costs-shuffle on (part, supp), one min-agg shuffle on part, and
+    * an equi-join — no per-row re-execution, which is the property
+    * that matters at 100 TB. Unit costs stay RAW doubles: each is one
+    * division and min() picks, not sums, so both engines hold
+    * bit-identical values — rounding them would reintroduce the
+    * HALF_UP/HALF_EVEN cross-engine mismatch (verify-skill rule).
+    */
+  def q79MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g79_lineitem")
+    spark.sql(
+      """WITH costs AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM g79_lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT c.partkey, c.suppkey, c.unit_cost
+        |FROM costs c
+        |WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+        |                     WHERE c2.partkey = c.partkey)
+        |ORDER BY c.partkey, c.suppkey""".stripMargin)
+  }
+
+  val q79Sql: String =
+    """WITH costs AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT c.partkey, c.suppkey, c.unit_cost
+      |FROM costs c
+      |WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+      |                     WHERE c2.partkey = c.partkey)
+      |ORDER BY c.partkey, c.suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Full CUBE over (returnflag, linestatus) — all four grouping sets
+    * where q47's ROLLUP produces three, distinguished by
+    * grouping_id. Same single-shuffle expansion: Spark expands the
+    * sets map-side and aggregates once keyed by (gid, keys), so the
+    * cube costs one pass regardless of set count. */
+  def q80Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val q80Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Pivot — long-to-wide on a FIXED value list (the only scalable
+    * form: an unlisted pivot needs a pre-pass collecting distinct
+    * values to the driver). Catalyst compiles it to one hash-agg of
+    * conditional partials — the same plan as the oracle's explicit
+    * CASE sums, one shuffle keyed by user. */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q81Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    wide.select(col("user_id") +:
+        PivotTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val q81Sql: String = {
+    val sums = PivotTypes.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $sums
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_min_cost_supplier" -> (q79MinCostSupplier _),
+    "q80_cube" -> (q80Cube _),
+    "q81_pivot" -> (q81Pivot _),
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
     "q03_shipping_priority" -> (q03Shipping _),
@@ -650,6 +741,9 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q79_min_cost_supplier" -> q79Sql,
+    "q80_cube" -> q80Sql,
+    "q81_pivot" -> q81Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_global_agg" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

@@ -125,4 +125,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)") || plan.contains("GreaterThanOrEqual(l_quantity"))
   }
+
+  test("q79's correlated scalar subquery is rewritten to an aggregate join") {
+    // RewriteCorrelatedScalarSubquery must leave NO per-row subquery
+    // execution behind — the plan is agg + equi-join or it doesn't scale
+    val plan = graft.operators.Relational.q79MinCostSupplier(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"), s"per-row subquery survived:\n$plan")
+    assert(plan.contains("Join"), "expected the rewritten aggregate join")
+  }
+
+  test("q81's pivot compiles to one aggregation pass, not per-value scans") {
+    val plan = graft.operators.Relational.q81Pivot(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Spark pivots as two stacked aggregations (by (user, type), then
+    // PivotFirst by user) + the output sort — 3 exchanges, but still
+    // ONE scan; a per-value union of scans would show one per type
+    assert(plan.split("Exchange").length - 1 <= 3, s"too many exchanges:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1, "pivot must scan events once")
+  }
 }
