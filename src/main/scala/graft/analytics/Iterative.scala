@@ -71,7 +71,7 @@ object Iterative {
     val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cidExpr(cs: Array[Double]): Column =
-      array_min(array(cs.zipWithIndex.map { case (c, i) =>
+      array_min(array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(abs(col("value") - lit(c)).as("d"), lit(i).as("cid"))
       }: _*)).getField("cid")
     val cents = graft.engine.Iterate.loop(Array(50.0, 150.0, 250.0, 350.0), 3) { (cs, _) =>
@@ -81,7 +81,7 @@ object Iterative {
         .map(r => r.getInt(0) -> r6(r.getDouble(1))).toMap
       cs.indices.map(i => upd.getOrElse(i, cs(i))).toArray
     }
-    val centMap = map(cents.zipWithIndex.flatMap { case (c, i) => Seq(lit(i), lit(c)) }: _*)
+    val centMap = map(cents.zipWithIndex.toIndexedSeq.flatMap { case (c, i) => Seq(lit(i), lit(c)) }: _*)
     ev.withColumn("cid", cidExpr(cents))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"))

@@ -71,7 +71,7 @@ object Partitioning {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
       s"saltedJoin supports inner/left-flavored joins only, got $joinType")
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salts)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicated,

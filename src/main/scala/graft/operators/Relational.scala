@@ -711,10 +711,37 @@ object Relational {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+  /** Unpivot/melt — wide-to-long, the inverse reshape of q81: the
+    * three customer measure columns become (measure, value) rows.
+    * Spark's `unpivot` plans an Expand (each input row emits one row
+    * per measure in place), so the reshape is zero-shuffle — only the
+    * presentation sort exchanges. The oracle states the same thing as
+    * UNION ALL of one SELECT per measure. */
+  def q82Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nation_d"),
+        col("c_custkey").cast("double").as("c_key_d"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nation_d"), col("c_key_d")),
+        "measure", "value")
+      .orderBy(col("c_custkey"), col("measure"))
+
+  val q82Sql: String =
+    """SELECT c_custkey, measure, value FROM (
+      |  SELECT c_custkey, 'c_acctbal' AS measure, c_acctbal AS value FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'c_nation_d', c_nationkey::DOUBLE FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'c_key_d', c_custkey::DOUBLE FROM customer)
+      |ORDER BY c_custkey, measure""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_min_cost_supplier" -> (q79MinCostSupplier _),
     "q80_cube" -> (q80Cube _),
     "q81_pivot" -> (q81Pivot _),
+    "q82_unpivot" -> (q82Unpivot _),
     "q01_pricing_summary" -> (q01Pricing _),
     "q02_global_agg" -> (q02GlobalAgg _),
     "q03_shipping_priority" -> (q03Shipping _),
@@ -744,6 +771,7 @@ object Relational {
     "q79_min_cost_supplier" -> q79Sql,
     "q80_cube" -> q80Sql,
     "q81_pivot" -> q81Sql,
+    "q82_unpivot" -> q82Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_global_agg" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
