@@ -62,4 +62,52 @@ object Sketches {
     val test = udf((v: Long) => bc.value.mightContainLong(v))
     test(probeCol)
   }
+
+  /** Misra-Gries heavy hitters — approximate top-k frequency with a
+    * FIXED k-counter state per partition, merged across the shuffle
+    * (Agarwal et al., "Mergeable Summaries": union-sum then subtract
+    * the (k+1)-th largest and drop non-positives preserves the bound
+    * when the per-summary errors add). Guarantee after any merge
+    * tree: `reported ≤ exact ≤ reported + N/(k+1)`, so every item
+    * with true count > N/(k+1) SURVIVES — the vocabulary/heavy-user
+    * sweep (q72's shape) without shuffling the full distinct-item
+    * space: the exchange carries ≤ k counters per partition no matter
+    * the cardinality. SketchesSpec asserts both bound sides and the
+    * survival guarantee against exact counts.
+    */
+  case class MgBuf(counters: Map[String, Long])
+
+  class HeavyHittersAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, Map[String, Long]] {
+    override def zero: MgBuf = MgBuf(Map.empty)
+    override def reduce(b: MgBuf, x: String): MgBuf =
+      if (b.counters.contains(x)) MgBuf(b.counters.updated(x, b.counters(x) + 1))
+      else if (b.counters.size < k) MgBuf(b.counters.updated(x, 1L))
+      // full and unseen: the classic decrement-all step (drop zeros)
+      else MgBuf(b.counters.collect { case (t, c) if c > 1 => t -> (c - 1) })
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      val sum = (a.counters.keySet ++ b.counters.keySet).iterator
+        .map(t => t -> (a.counters.getOrElse(t, 0L) + b.counters.getOrElse(t, 0L))).toMap
+      if (sum.size <= k) MgBuf(sum)
+      else {
+        val kth = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        MgBuf(sum.collect { case (t, c) if c > kth => t -> (c - kth) })
+      }
+    }
+    override def finish(b: MgBuf): Map[String, Long] = b.counters
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
+      org.apache.spark.sql.Encoders.product[MgBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Heavy hitters of a string column as (item, est_count) rows,
+    * est_count descending. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(valueCol).cast("string")).as[String]
+      .select(new HeavyHittersAgg(k).toColumn.name("hh"))
+      .select(explode(col("hh")).as(Seq("item", "est_count")))
+      .orderBy(desc("est_count"), col("item"))
+  }
 }

@@ -58,4 +58,33 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(falsePos <= math.max(3, 0.05 * nonMembers),
       s"false-positive count $falsePos too high for fpp=0.01")
   }
+
+  test("misra-gries heavy hitters honor the survival and error bounds vs exact counts") {
+    import org.apache.spark.sql.functions._
+    val k = 32
+    val tokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .repartition(8) // force a real multi-partition merge tree
+    val exact = tokens.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1)
+    val got = graft.operators.Sketches.heavyHitters(tokens, "token", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k)
+    // two-sided Misra-Gries bound: reported <= exact <= reported + N/(k+1)
+    got.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+      assert(exact(t) - c <= bound, s"$t undercounted past the bound")
+    }
+    // survival: every item with exact count > N/(k+1) must be present
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(got.contains(t), s"heavy hitter $t (count ${exact(t)}, bound $bound) evicted")
+    }
+    // and the plan merges partials across the exchange, not raw rows
+    val plan = graft.operators.Sketches.heavyHitters(tokens, "token", k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
 }
