@@ -128,13 +128,71 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Time-series resampling with gap fill — the telemetry op between
+    * raw events and a dashboard/model: regularize each user's stream
+    * onto an hourly grid spanning their own activity window, count
+    * events per cell, and FORWARD-FILL the per-hour metric across
+    * silent hours (IGNORE NULLS running last). Plan: one hourly
+    * hash-agg keyed by (user, hour), a per-user grid explode from the
+    * tiny bounds relation (sequence is bounded by each user's span in
+    * hours, never event count), a left join back, and one user-keyed
+    * window — every shuffle is user-keyed, so 100 TB of telemetry
+    * scales by users × span, not events. The carried metric is the
+    * hourly MAX — an exact pick of one input double, bit-identical
+    * across engines with no rounding. An hourly MEAN would need
+    * rounding, and cells here hold 1-2 events, exactly where
+    * HALF_UP/HALF_EVEN tie-breaking diverges cross-engine (it did,
+    * at sf0.01).
+    */
+  val ResampleHourNs: Long = 3600L * 1000000000L
+
+  def q83Resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div ${ResampleHourNs}L").as("hour"), col("value"))
+    val hourly = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("v"))
+    val grid = hourly.groupBy(col("user_id").as("g_uid"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("g_uid"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g_uid")).orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, col("g_uid") === hourly("user_id") && grid("hour") === hourly("hour"),
+        "left_outer")
+      .select(col("g_uid").as("user_id"), grid("hour").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("v"))
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("hour")).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop("v")
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val q83Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $ResampleHourNs AS hour, value
+       |           FROM events),
+       |hourly AS (SELECT user_id, hour, count(*) AS n, max(value) AS v
+       |           FROM e GROUP BY user_id, hour),
+       |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour
+       |         FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+       |               FROM hourly GROUP BY user_id))
+       |SELECT g.user_id, g.hour, coalesce(h.n, 0) AS n_events,
+       |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+       |ORDER BY g.user_id, g.hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_resample" -> (q83Resample _),
     "q18_window_tumbling" -> (q18Tumbling _),
     "q19_window_sliding" -> (q19Sliding _),
     "q20_session_window" -> (q20Session _),
     "q21_outliers_join" -> (q21OutliersJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q83_resample" -> q83Sql,
     "q18_window_tumbling" -> q18Sql,
     "q19_window_sliding" -> q19Sql,
     "q20_session_window" -> q20Sql,
