@@ -14,7 +14,8 @@ object PlanAudit {
         "q35_ann_lsh", "q41_pagerank", "q60_weblog", "q63_contamination",
         "q64_large_orders", "q66_asof_join", "q67_range_join",
         "q70_shuffle_shard", "q72_vocab_topk", "q75_packed_sequences",
-        "q77_group_sample", "q78_incremental_dedup")
+        "q77_group_sample", "q78_incremental_dedup", "q84_importance_weight",
+        "q88_grouping_sets", "q89_tfidf_keywords", "q90_bigram_perplexity")
     val spark = graft.engine.GraftSession.local("graft-plan-audit", "4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -737,7 +737,36 @@ object Relational {
       |  SELECT c_custkey, 'c_key_d', c_custkey::DOUBLE FROM customer)
       |ORDER BY c_custkey, measure""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** GROUPING SETS — the general form of q47's rollup / q80's cube
+    * (an explicit, non-hierarchical set list: flag×status detail,
+    * per-flag subtotal, grand total — skipping the per-status slice a
+    * cube would add). Catalyst plans one Expand over the scan feeding
+    * a single hash-agg, so the three groupings cost one shuffle, not
+    * three scans; the oracle's GROUPING SETS is evaluated natively by
+    * DuckDB. grouping() flags are cast BIGINT to pin the cross-engine
+    * schema. */
+  def q88GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g88_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM g88_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
+  val q88Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_grouping_sets" -> (q88GroupingSets _),
     "q79_min_cost_supplier" -> (q79MinCostSupplier _),
     "q80_cube" -> (q80Cube _),
     "q81_pivot" -> (q81Pivot _),
@@ -768,6 +797,7 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q88_grouping_sets" -> q88Sql,
     "q79_min_cost_supplier" -> q79Sql,
     "q80_cube" -> q80Sql,
     "q81_pivot" -> q81Sql,

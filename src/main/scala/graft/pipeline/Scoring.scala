@@ -1,0 +1,319 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Model-informed corpus scoring and data-mixing operators — the
+  * selection layer of an LLM training-data pipeline, between cleaning
+  * (TextAnalysis/Curation) and dedup (Dedup): hashed-n-gram importance
+  * weighting (DSIR), corpus-level duplicate-n-gram fraction, linear
+  * quality-classifier inference, temperature-based source mixing,
+  * TF-IDF keyword extraction, and bigram-LM perplexity scoring
+  * (the CCNet-style LM quality filter).
+  *
+  * These extend the reference's surface (its closest relatives are the
+  * grouped aggregates of flink-java DataSet.java and the WordCount
+  * example) with the corpus-statistics passes a 100 TB pipeline runs:
+  * every operator is one or two well-keyed shuffles over short hashes
+  * or tokens — model statistics collapse to tiny relations (feature
+  * buckets, per-source counts, vocabularies) that broadcast back, so
+  * no pass is ever quadratic in corpus size.
+  *
+  * All hashes are md5-derived integers ([[graft.functions.Portable]])
+  * so the DuckDB oracles reproduce them bit-for-bit.
+  */
+object Scoring {
+
+  // ---------------------------------------------------------------- q84
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each doc
+    * by how much its hashed unigram features look like a target
+    * domain (here lang='en') relative to the whole corpus.
+    *
+    * Two passes, both scan-shaped: (1) count feature-bucket hits for
+    * corpus and target in ONE agg (64 bucket keys, map-side partials
+    * collapse each task to ≤64 rows); (2) broadcast the 64-row
+    * log-ratio table back and sum per doc (doc_id-keyed shuffle).
+    * At 100 TB the model is still 64 rows — the broadcast never grows
+    * with the corpus.
+    */
+  val DsirBuckets = 64
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+
+  def q84ImportanceWeight(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir)
+      .select(col("doc_id"), col("lang"), (h60(col("t")) % DsirBuckets).as("b"))
+    val stats = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("sc"),
+      count(when(col("lang") === "en", 1)).as("tc"))
+    val tot = stats.agg(sum(col("sc")).as("s_tot"), sum(col("tc")).as("t_tot"))
+    // Laplace-smoothed log-likelihood ratio per bucket; integer counts
+    // make the doubles bit-identical to the oracle's
+    val lr = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("tc") + 1.0) / (col("t_tot") + lit(DsirBuckets.toDouble))) -
+          log((col("sc") + 1.0) / (col("s_tot") + lit(DsirBuckets.toDouble)))).as("lr"))
+    toks.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      // + 0.0 folds IEEE -0.0 (a tiny negative sum rounded) to +0.0 —
+      // DuckDB prints the sign bit, the comparator sees two values
+      .agg((round(sum(col("lr")), 2) + 0.0).as("dsir_weight"))
+  }
+
+  val q84Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, ${h60Sql("t")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |stats AS (
+       |  SELECT b, count(*) AS sc,
+       |         count(*) FILTER (WHERE lang = 'en') AS tc
+       |  FROM tok GROUP BY b),
+       |tot AS (SELECT sum(sc) AS s_tot, sum(tc) AS t_tot FROM stats),
+       |lr AS (
+       |  SELECT b, ln((tc + 1.0) / (t_tot + $DsirBuckets.0))
+       |           - ln((sc + 1.0) / (s_tot + $DsirBuckets.0)) AS lr
+       |  FROM stats CROSS JOIN tot)
+       |SELECT doc_id, round(sum(lr), 2) + 0.0 AS dsir_weight
+       |FROM tok JOIN lr USING (b)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Corpus-level duplicate-n-gram fraction: for each document, the
+    * share of its distinct 5-grams that also appear in at least one
+    * OTHER document (df ≥ 2 over the per-doc-distinct posting list).
+    * The inter-document twin of q68's intra-doc repetition signal and
+    * the doc-level scoring view of the q32 inverted index.
+    *
+    * Scale shape: posting-list df is a hash-agg keyed by the 8-byte
+    * gram hash; the join back is gram-hash-keyed too — never text,
+    * never pairwise. O(corpus grams), no Σ df² term (no pair
+    * expansion, unlike candidate generation).
+    */
+  def q85DupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("gh"))
+      .distinct()
+    val dfRel = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    grams.join(dfRel, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+      // single long/long division — bit-identical, never round it
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup") / col("n_grams")).as("dup_frac"))
+  }
+
+  val q85Sql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, ${h60Sql("s")} AS gh
+       |  FROM (SELECT doc_id, unnest(${shinglesSql("text", 5)}) AS s FROM documents)),
+       |d AS (SELECT gh, count(*) AS df FROM g GROUP BY gh)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  count(*) FILTER (WHERE df >= 2) AS n_dup,
+       |  count(*) FILTER (WHERE df >= 2) / count(*) AS dup_frac
+       |FROM g JOIN d USING (gh)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Linear quality-classifier inference (the fasttext-style filter
+    * pass): hash each token into [[ClfBuckets]] feature buckets, look
+    * up a fixed per-bucket weight, and squash the mean activation
+    * through a sigmoid. The "pretrained model" is a deterministic
+    * integer-arithmetic weight table (no model files in the sandbox)
+    * — the SHAPE is the real thing: inference over a frozen linear
+    * model is a narrow projection + one doc-keyed agg, scan-speed at
+    * any corpus size, the weight table never leaves the closure.
+    */
+  val ClfBuckets = 1024
+
+  def q86QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir)
+      .select(col("doc_id"), (h60(col("t")) % ClfBuckets).as("b"))
+    // w(b) ∈ [-1, 1]: pure 64-bit integer arithmetic, then one divide
+    val per = toks
+      .withColumn("w", ((col("b") * 2654435761L) % 1000003L % 2001L - 1000L) / lit(1000.0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("sw"))
+    per.select(col("doc_id"), col("n_tok"),
+        round(lit(1.0) / (lit(1.0) + exp(col("sw") / col("n_tok") * lit(-8.0))), 4)
+          .as("quality_prob"))
+      .withColumn("keep", (col("quality_prob") > 0.5).cast("int"))
+  }
+
+  val q86Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${h60Sql("t")} % $ClfBuckets AS b
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |         sum(((b * 2654435761) % 1000003 % 2001 - 1000) / 1000.0) AS sw
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, n_tok,
+       |  round(1.0 / (1.0 + exp(sw / n_tok * -8.0)), 4) AS quality_prob,
+       |  (round(1.0 / (1.0 + exp(sw / n_tok * -8.0)), 4) > 0.5)::INT AS keep
+       |FROM per""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** Temperature-based mixture sampling: re-balance the per-source
+    * mix with α = 0.5 weighting (share_s ∝ n_s^α — the multilingual /
+    * multi-corpus sampling rule), turn shares into integer per-source
+    * quotas over a [[MixBudget]]-doc budget, and take each source's
+    * quota deterministically by hash rank.
+    *
+    * Scale shape: per-source counts are a 20-row agg; quotas broadcast
+    * back; selection is one rank-per-source window whose partial
+    * TopK is bounded by the quota (WindowGroupLimit pushes the
+    * rk <= quota cap below the shuffle — same guard as q77).
+    * floor(x + 0.5) is the tie-free cross-engine rounding.
+    */
+  val MixBudget = 200
+
+  def q87MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(sqrt(col("n_docs"))).as("wsum"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs")) / col("wsum") * MixBudget + 0.5).cast("long").as("quota"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(h60(col("doc_id").cast("string")), col("doc_id"))))
+    ranked.join(broadcast(quota), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+  }
+
+  val q87Sql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |t AS (SELECT sum(sqrt(n_docs)) AS wsum FROM c),
+       |q AS (SELECT source, n_docs,
+       |        CAST(floor(sqrt(n_docs) / wsum * $MixBudget + 0.5) AS BIGINT) AS quota
+       |      FROM c CROSS JOIN t),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY ${h60Sql("doc_id::VARCHAR")}, doc_id) AS rk
+       |      FROM documents)
+       |SELECT doc_id, source, rk, quota
+       |FROM r JOIN q USING (source)
+       |WHERE rk <= quota""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf · ln(N/df), ties broken lexically. The per-doc profile used
+    * for topic bucketing and mixture audits.
+    *
+    * Scale shape: tf is a (doc, term)-keyed agg; df reuses tf's
+    * output (already one row per doc-term) with a term-keyed agg;
+    * the df join is term-keyed; top-3 per doc runs under
+    * WindowGroupLimit so only ≤3 rows per doc survive the final
+    * shuffle. The score is a single long×double multiply of
+    * identically-derived values — bit-identical cross-engine, never
+    * rounded (verify-skill invariant).
+    */
+  def q89TfIdfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docTokens(spark, dir)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfRel, "t").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t").as("token"), col("score"))
+  }
+
+  val q89Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t <> '' GROUP BY doc_id, t),
+      |d AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.t, tf.tf * ln(n_docs::DOUBLE / df) AS score
+      |      FROM tf JOIN d USING (t) CROSS JOIN n),
+      |r AS (SELECT doc_id, t, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+      |      FROM s)
+      |SELECT doc_id, rk, t AS token, score FROM r WHERE rk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** Bigram-LM perplexity scoring — the CCNet-style quality filter:
+    * train an add-1-smoothed bigram language model ON the corpus
+    * (bigram + unigram count relations, vocab size V), then score
+    * each document by its mean negative log-likelihood
+    * avg(-ln((c2+1)/(c1+V))). Low = fluent/common phrasing,
+    * high = rare or garbled.
+    *
+    * Scale shape: model "training" is two count aggs whose shuffle
+    * keys are 8-byte portable hashes of the bigram/unigram (never the
+    * strings — the q28 invariant); inference re-joins each doc's
+    * bigrams against those counts on the same hash keys. The model
+    * relations are vocabulary-sized, not corpus-sized, so at 100 TB
+    * they shrink relative to the data; V falls out of c1's row count
+    * (no extra distinct pass) and broadcasts as 1 row.
+    */
+  def q90BigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val c1 = docTokens(spark, dir)
+      .select(h60(col("t")).as("w1h"))
+      .groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("n_vocab"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), h60(col("bg")).as("bgh"),
+        h60(split(col("bg"), " ").getItem(0)).as("w1h"))
+    val c2 = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c2"))
+    bg.join(c2, "bgh")
+      .join(c1, "w1h")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("c2") + 1.0) / (col("c1") + col("n_vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 2).as("avg_nll"))
+  }
+
+  val q90Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${h60Sql("t")} AS w1h
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |c1 AS (SELECT w1h, count(*) AS c1 FROM tok GROUP BY w1h),
+       |vt AS (SELECT count(*) AS n_vocab FROM c1),
+       |bg AS (
+       |  SELECT doc_id, ${h60Sql("bg")} AS bgh,
+       |         ${h60Sql("str_split(bg, ' ')[1]")} AS w1h
+       |  FROM (SELECT doc_id, unnest(${shinglesSql("text", 2)}) AS bg FROM documents)),
+       |c2 AS (SELECT bgh, count(*) AS c2 FROM bg GROUP BY bgh)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(-ln((c2 + 1.0) / (c1 + n_vocab))), 2) AS avg_nll
+       |FROM bg JOIN c2 USING (bgh) JOIN c1 USING (w1h) CROSS JOIN vt
+       |GROUP BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_importance_weight" -> (q84ImportanceWeight _),
+    "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
+    "q86_quality_classifier" -> (q86QualityClassifier _),
+    "q87_mixture_sample" -> (q87MixtureSample _),
+    "q89_tfidf_keywords" -> (q89TfIdfKeywords _),
+    "q90_bigram_perplexity" -> (q90BigramPerplexity _))
+
+  def oracles: Map[String, String] = Map(
+    "q84_importance_weight" -> q84Sql,
+    "q85_dup_ngram_frac" -> q85Sql,
+    "q86_quality_classifier" -> q86Sql,
+    "q87_mixture_sample" -> q87Sql,
+    "q89_tfidf_keywords" -> q89Sql,
+    "q90_bigram_perplexity" -> q90Sql)
+}

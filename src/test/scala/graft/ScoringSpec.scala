@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Scoring
+
+/** Semantic checks for the corpus scoring/mixing layer: each operator
+  * is recomputed brute-force in driver-side Scala over the sf0.001
+  * corpus (500 docs — trivially small) and compared, so a Spark-side
+  * plan bug can't hide behind an oracle that shares its SQL shape.
+  */
+class ScoringSpec extends AnyFunSuite with SparkSpec {
+
+  /** Driver-side twin of [[graft.functions.Portable.h60]]. */
+  private def h60s(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private lazy val docs: Seq[(Long, String, String, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+
+  private def tokens(text: String): Seq[String] =
+    text.split(" ").toSeq.filter(_.nonEmpty)
+
+  private def grams(text: String, w: Int): Seq[String] = {
+    val ws = text.split(" ").toSeq // unfiltered — mirrors Portable.shingles
+    if (ws.length < w) Seq.empty
+    else (0 to ws.length - w).map(i => ws.slice(i, i + w).mkString(" "))
+  }
+
+  test("q84 DSIR weights match a driver-side recomputation") {
+    val toks = docs.flatMap { case (id, text, lang, _) =>
+      tokens(text).map(t => (id, lang, h60s(t) % Scoring.DsirBuckets))
+    }
+    val sc = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tcs = toks.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val sTot = toks.size.toDouble
+    val tTot = toks.count(_._2 == "en").toDouble
+    val b = Scoring.DsirBuckets.toDouble
+    def lr(bk: Long): Double =
+      math.log((tcs.getOrElse(bk, 0L) + 1.0) / (tTot + b)) -
+        math.log((sc(bk) + 1.0) / (sTot + b))
+    val expected = toks.groupBy(_._1).view.mapValues(_.map(t => lr(t._3)).sum).toMap
+
+    val got = Scoring.q84ImportanceWeight(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - expected(id)) <= 0.011, s"doc $id: $w vs ${expected(id)}")
+    }
+    // the weighting must discriminate: not all docs identical
+    assert(got.values.toSet.size > 10)
+  }
+
+  test("q85 duplicate-5gram fraction matches a driver-side posting list") {
+    val perDoc = docs.map { case (id, text, _, _) =>
+      id -> grams(text, 5).map(h60s).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = perDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = Scoring.q85DupNgramFraction(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == perDoc.keySet)
+    rows.foreach { case (id, nGrams, nDup, frac) =>
+      val g = perDoc(id)
+      val dup = g.count(df(_) >= 2)
+      assert(nGrams == g.size, s"doc $id n_grams")
+      assert(nDup == dup, s"doc $id n_dup")
+      assert(math.abs(frac - dup.toDouble / g.size) < 1e-12)
+      assert(nDup <= nGrams && frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("q86 classifier: prob in (0,1), keep consistent, matches recompute") {
+    def w(b: Long): Double = ((b * 2654435761L) % 1000003L % 2001L - 1000L) / 1000.0
+    val rows = Scoring.q86QualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.length == docs.length)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    rows.foreach { case (id, nTok, prob, keep) =>
+      val ts = tokens(byId(id)).map(t => w(h60s(t) % Scoring.ClfBuckets))
+      assert(nTok == ts.size)
+      val exp = 1.0 / (1.0 + math.exp(ts.sum / ts.size * -8.0))
+      assert(prob > 0.0 && prob < 1.0)
+      assert(math.abs(prob - exp) <= 1.1e-4, s"doc $id: $prob vs $exp")
+      assert(keep == (if (prob > 0.5) 1 else 0))
+    }
+  }
+
+  test("q87 mixture sampling fills each source's α=0.5 quota exactly") {
+    val counts = docs.groupBy(_._4).view.mapValues(_.size).toMap
+    val wsum = counts.values.map(n => math.sqrt(n.toDouble)).sum
+    val quota = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) / wsum * Scoring.MixBudget + 0.5).toLong
+    }
+    val rows = Scoring.q87MixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3)))
+    val kept = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    quota.foreach { case (s, q) =>
+      assert(kept.getOrElse(s, 0L) == math.min(q, counts(s).toLong), s"source $s")
+    }
+    // α < 1 flattens the mix: no source exceeds ~2× its fair share of the budget
+    val fair = Scoring.MixBudget.toDouble / counts.size
+    assert(kept.values.forall(_ <= 2 * fair), s"mix too skewed: $kept")
+    // total lands within per-source rounding slack of the budget
+    assert(math.abs(rows.length - Scoring.MixBudget) <= counts.size / 2)
+  }
+
+  test("q88 grouping sets: subtotal tree is self-consistent") {
+    val rows = Relational88Rows()
+    val total = rows.filter(r => r.gRf == 1 && r.gLs == 1)
+    assert(total.size == 1)
+    val perFlag = rows.filter(r => r.gRf == 0 && r.gLs == 1)
+    val detail = rows.filter(r => r.gRf == 0 && r.gLs == 0)
+    assert(total.head.n == detail.map(_.n).sum)
+    assert(total.head.n == perFlag.map(_.n).sum)
+    perFlag.foreach { f =>
+      assert(f.n == detail.filter(_.rf == f.rf).map(_.n).sum, s"flag ${f.rf}")
+    }
+    // no per-status slice was requested — grouping sets ≠ cube
+    assert(!rows.exists(r => r.gRf == 1 && r.gLs == 0))
+  }
+
+  private case class G88(rf: String, gRf: Long, gLs: Long, n: Long)
+  private def Relational88Rows(): Seq[G88] =
+    graft.operators.Relational.q88GroupingSets(spark, sf).collect().toSeq
+      .map(r => G88(Option(r.getString(0)).getOrElse("∅"), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("q89 tf-idf: ≤3 ranked keywords per doc, scores non-increasing, plan caps under the shuffle") {
+    val q = Scoring.q89TfIdfKeywords(spark, sf)
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"doc $id ranks")
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"doc $id scores out of order")
+        case _           =>
+      }
+    }
+    // the rank<=3 filter must reach the window as a group limit
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("q90 bigram perplexity matches a driver-side LM recomputation") {
+    val toks = docs.flatMap(d => tokens(d._2))
+    val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = toks.distinct.size.toDouble
+    val allBg = docs.flatMap(d => grams(d._2, 2))
+    val c2 = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = docs.map { case (id, text, _, _) =>
+      val bgs = grams(text, 2).filter(b => c1.contains(b.split(" ")(0)))
+      id -> bgs.map(b => -math.log((c2(b) + 1.0) / (c1(b.split(" ")(0)) + v)))
+    }.filter(_._2.nonEmpty).toMap
+    val rows = Scoring.q90BigramPerplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (id, n, nll) =>
+      val e = expected(id)
+      assert(n == e.size, s"doc $id n_bigrams")
+      assert(nll > 0.0)
+      assert(math.abs(nll - e.sum / e.size) <= 0.011, s"doc $id nll")
+    }
+  }
+}
