@@ -765,7 +765,42 @@ object Relational {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Rank-family analytic windows — ntile / percent_rank / cume_dist
+    * complete the window-function surface next to q48's lag/running
+    * sum and q12/q46's row_number. The window orders by
+    * (o_totalprice, o_orderkey) — UNIQUE within each customer — so
+    * ntile bucket boundaries are deterministic cross-engine (ntile
+    * splits ties by physical row order; an orderBy with ties would
+    * diverge between engines). percent_rank and cume_dist are single
+    * integer divisions — bit-identical, emitted unrounded. Per-key
+    * window sort, no global sort: scales like q12.
+    */
+  def q91RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q91Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_rank_family" -> (q91RankFamily _),
     "q88_grouping_sets" -> (q88GroupingSets _),
     "q79_min_cost_supplier" -> (q79MinCostSupplier _),
     "q80_cube" -> (q80Cube _),
@@ -797,6 +832,7 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q91_rank_family" -> q91Sql,
     "q88_grouping_sets" -> q88Sql,
     "q79_min_cost_supplier" -> q79Sql,
     "q80_cube" -> q80Sql,

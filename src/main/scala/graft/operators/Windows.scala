@@ -184,7 +184,66 @@ object Windows {
        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
        |ORDER BY g.user_id, g.hour""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Batch sessionization via gap islands — the manual (lag → flag →
+    * running sum) twin of q20's `session_window`, emitting what q20
+    * cannot: the ordered per-session EVENT-TYPE SEQUENCE, i.e. the
+    * sample shape a behavioral-pretraining pipeline feeds a model
+    * (session → "view view click purchase"), plus duration. The
+    * islands form is also the portable one — q20's oracle already
+    * states it in SQL; here both engines run it.
+    *
+    * Scale shape: one shuffle on user_id; both window passes (lag,
+    * running sum) reuse that sort; the session agg re-keys by
+    * (user, sess_id). Session state is bounded by the gap rule, and
+    * the sequence agg sorts only within one session's rows.
+    */
+  def q92Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"))
+    val lagged = lag(col("t_us"), 1).over(w)
+    val sess = ev
+      .withColumn("new_sess",
+        when(col("t_us") - lagged >= 1800000000L || lagged.isNull, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("t_us")).as("min_us"), max(col("t_us")).as("max_us"),
+        count(lit(1)).as("n_events"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("t_us"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type"))).as("seq"))
+      .select(col("user_id"), expr("min_us div 1000000").as("sess_start"),
+        col("n_events"), expr("(max_us - min_us) div 1000000").as("duration_s"),
+        col("seq"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val q92Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, event_type, t_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, min(t_us) // 1000000 AS sess_start,
+      |  count(*) AS n_events,
+      |  (max(t_us) - min(t_us)) // 1000000 AS duration_s,
+      |  string_agg(event_type, ' ' ORDER BY t_us, event_id) AS seq
+      |FROM sessions
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_sessionize" -> (q92Sessionize _),
     "q83_resample" -> (q83Resample _),
     "q18_window_tumbling" -> (q18Tumbling _),
     "q19_window_sliding" -> (q19Sliding _),
@@ -192,6 +251,7 @@ object Windows {
     "q21_outliers_join" -> (q21OutliersJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q92_sessionize" -> q92Sql,
     "q83_resample" -> q83Sql,
     "q18_window_tumbling" -> q18Sql,
     "q19_window_sliding" -> q19Sql,

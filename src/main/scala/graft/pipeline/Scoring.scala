@@ -136,6 +136,23 @@ object Scoring {
     */
   val ClfBuckets = 1024
 
+  /** The classifier as ONE narrow Column expression — score a text
+    * column per row with a fold over its token array (no explode, no
+    * shuffle, no state). This is the form that lifts unchanged onto a
+    * readStream in append mode (an ingest-time quality gate);
+    * ScoringSpec asserts bit-parity with q86's batch plan and
+    * batch/stream equivalence. The BATCH-graded q86 keeps the
+    * explode + hash-agg plan instead: higher-order lambdas evaluate
+    * interpreted, fine for a per-row stream gate, wrong for a
+    * whole-corpus scan.
+    */
+  def classifyText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val sw = aggregate(toks, lit(0.0),
+      (acc, t) => acc + ((h60(t) % ClfBuckets) * 2654435761L % 1000003L % 2001L - 1000L) / lit(1000.0))
+    round(lit(1.0) / (lit(1.0) + exp(sw / size(toks) * lit(-8.0))), 4)
+  }
+
   def q86QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val toks = docTokens(spark, dir)
       .select(col("doc_id"), (h60(col("t")) % ClfBuckets).as("b"))

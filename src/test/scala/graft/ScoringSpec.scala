@@ -145,6 +145,60 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("classifyText (narrow single-expression form) is bit-equal to q86's batch plan") {
+    import org.apache.spark.sql.functions._
+    val batch = Scoring.q86QualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val narrow = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), Scoring.classifyText(col("text")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(narrow.keySet == batch.keySet)
+    narrow.foreach { case (id, p) => assert(p == batch(id), s"doc $id") }
+  }
+
+  test("classifyText lifts to a stream unchanged (batch/stream equivalence)") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val sample = docs.take(40).map(d => (d._1, d._2))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.addData(sample.take(20)); ms.addData(sample.drop(20))
+    val q = ms.toDF().toDF("id", "t")
+      .select(col("id"), Scoring.classifyText(col("t")).as("p"))
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("clf_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Scoring.q86QualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamed.size == sample.length)
+    streamed.foreach { case (id, p) => assert(p == batch(id), s"doc $id") }
+  }
+
+  test("q91 rank family: quartiles balanced, pct_rank/cume consistent per group") {
+    val rows = graft.operators.Relational.q91RankFamily(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, rs) =>
+      val n = rs.length
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"cust $ck ntile skew")
+      // cume_dist of the max-price row is exactly 1.0
+      val sorted = rs.sortBy(r => (r._2))
+      assert(sorted.last._5 == 1.0, s"cust $ck cume")
+      // pct_rank: 0 for the first row, (n-1)/(n-1)=1 for the last when n>1
+      assert(sorted.head._4 == 0.0, s"cust $ck first pct_rank")
+      if (n > 1) assert(sorted.last._4 == 1.0, s"cust $ck last pct_rank")
+      // quartile is non-decreasing in price order
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3, s"cust $ck quartile order")
+        case _           =>
+      }
+    }
+  }
+
   test("q90 bigram perplexity matches a driver-side LM recomputation") {
     val toks = docs.flatMap(d => tokens(d._2))
     val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap

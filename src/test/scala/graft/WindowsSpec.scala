@@ -6,6 +6,20 @@ import graft.operators.Windows
 
 class WindowsSpec extends AnyFunSuite with SparkSpec {
 
+  test("q92 gap-island sessions agree with q20's session_window partitioning") {
+    val islands = Windows.q92Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val sw = Windows.q20Session(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same gap rule ⇒ same sessions: identical (user, sess_start, n_events) sets
+    assert(islands.map(t => (t._1, t._2, t._3)).toSet == sw.toSet)
+    islands.foreach { case (_, _, n, dur, seq) =>
+      // the emitted sequence has exactly one token per event in the session
+      assert(seq.split(" ").length == n)
+      assert(dur >= 0 && dur < 24 * 3600)
+    }
+  }
+
   test("resample emits a dense per-user hourly grid with correct forward fill") {
     val rows = Windows.q83Resample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
