@@ -799,7 +799,40 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Second-moment statistical aggregates — corr / covar_samp /
+    * stddev_samp / var_samp per group, the numeric-profiling pass a
+    * feature-engineering pipeline runs before normalization. All four
+    * are single-pass mergeable co-moment aggregations (partial
+    * Welford-style states merge associatively), so they keep the q01
+    * shape: map-side partials, one 3-group exchange. Both engines
+    * accumulate co-moments in doubles with different merge orders —
+    * outputs are rounded like any aggregated sum (correlation is
+    * scale-free: 6 decimals; the rest 2).
+    */
+  def q94StatAggregates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q94Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+      |  round(stddev_samp(l_quantity), 6) AS std_qty,
+      |  round(var_samp(l_extendedprice), 2) AS var_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_stat_aggregates" -> (q94StatAggregates _),
     "q91_rank_family" -> (q91RankFamily _),
     "q88_grouping_sets" -> (q88GroupingSets _),
     "q79_min_cost_supplier" -> (q79MinCostSupplier _),
@@ -832,6 +865,7 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q94_stat_aggregates" -> q94Sql,
     "q91_rank_family" -> q91Sql,
     "q88_grouping_sets" -> q88Sql,
     "q79_min_cost_supplier" -> q79Sql,

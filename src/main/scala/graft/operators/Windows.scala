@@ -242,7 +242,40 @@ object Windows {
       |GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Trailing time-RANGE window — per event, the count and value sum
+    * of the SAME USER's events in the preceding hour (inclusive):
+    * `RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW` over
+    * epoch-micros. The frame is time-based, so it is well-defined
+    * under timestamp ties (all tie rows join the frame in both
+    * engines — no order-dependence), unlike a ROWS frame. This is the
+    * windowed-aggregation view of what q67's range JOIN computes
+    * pairwise; per-user sort, one shuffle, state is one sliding frame
+    * per user.
+    */
+  val TrailMicros = 3600000000L
+
+  def q93TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-TrailMicros, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"), col("value"))
+      .select(col("user_id"), col("event_id"), col("t_us"),
+        count(lit(1)).over(w).as("n_trail"),
+        round(sum(col("value")).over(w), 2).as("sum_trail"))
+  }
+
+  val q93Sql: String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS t_us,
+       |  count(*) OVER w AS n_trail,
+       |  round(sum(value) OVER w, 2) AS sum_trail
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN $TrailMicros PRECEDING AND CURRENT ROW)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_trailing_window" -> (q93TrailingWindow _),
     "q92_sessionize" -> (q92Sessionize _),
     "q83_resample" -> (q83Resample _),
     "q18_window_tumbling" -> (q18Tumbling _),
@@ -251,6 +284,7 @@ object Windows {
     "q21_outliers_join" -> (q21OutliersJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q93_trailing_window" -> q93Sql,
     "q92_sessionize" -> q92Sql,
     "q83_resample" -> q83Sql,
     "q18_window_tumbling" -> q18Sql,

@@ -499,6 +499,53 @@ object Streams {
       }
       .start()
 
+  /** The narrow (per-row, stateless) prefix of the ingest pipeline:
+    * score with the frozen quality classifier, gate, scrub PII.
+    * Factored out so the streaming pipeline and its batch twin are
+    * the SAME expressions by construction. */
+  private def gateAndRedact(docs: DataFrame, minProb: Double): DataFrame =
+    docs
+      .withColumn("quality_prob", graft.pipeline.Scoring.classifyText(col("text")))
+      .filter(col("quality_prob") > minProb)
+      .withColumn("text", graft.pipeline.Curation.redactPii(col("text")))
+
+  /** Composed streaming ingest pipeline — the end-to-end shape a
+    * training-data intake runs on every micro-batch of raw
+    * `(doc_id, text)` documents:
+    *
+    *   quality gate (frozen linear classifier, one narrow expression)
+    *   → PII redaction (narrow regex scrub)
+    *   → near-dup verdict against the persisted corpus
+    *     [[graft.pipeline.Dedup.DedupIndex]] (band-key probe, only
+    *     the batch side is hashed per trigger)
+    *   → one verdict row per surviving doc
+    *     (doc_id, quality_prob, text_redacted, matched_old, keep).
+    *
+    * The gate and scrub are stateless per-row expressions (run inside
+    * the stream, append mode); the dedup probe is per-batch via
+    * foreachBatch, so steady-state cost tracks ingest rate while the
+    * corpus index stays persisted. [[ingestBatchTwin]] is the same
+    * composition as one batch; DedupSpec asserts equivalence across
+    * micro-batch boundaries.
+    */
+  def ingestPipeline(docs: DataFrame, index: graft.pipeline.Dedup.DedupIndex,
+      minProb: Double, name: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    gateAndRedact(docs, minProb).writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = graft.pipeline.Dedup.dedupAgainst(index, batch.select("doc_id", "text"))
+        sink(batch.join(verdicts, "doc_id"))
+      }
+      .start()
+
+  /** One-batch twin of [[ingestPipeline]] (same composition, no stream). */
+  def ingestBatchTwin(docs: DataFrame, index: graft.pipeline.Dedup.DedupIndex,
+      minProb: Double): DataFrame = {
+    val gated = gateAndRedact(docs, minProb)
+    gated.join(graft.pipeline.Dedup.dedupAgainst(index, gated.select("doc_id", "text")), "doc_id")
+  }
+
   def toForeachBatch(df: DataFrame, name: String)(
       handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.queryName(name)

@@ -148,6 +148,52 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     } finally index.unpersist()
   }
 
+  test("composed ingest pipeline (gate → redact → dedup) equals its batch twin across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    // incoming: the held-out docs plus two synthetic PII-bearing rows
+    val incoming = docs.filter(col("doc_id") % 10 >= 8).collect()
+      .map(r => (r.getLong(0), r.getString(1))) ++ Seq(
+      (990001L, "mail me at intake.alpha@example.com " + ("data row value table " * 10)),
+      (990002L, "call 555-8142 about " + ("batch window query plan " * 10)))
+    val index = graft.pipeline.Dedup.buildIndex(corpus)
+    try {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String, Long, Int)]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.ingestPipeline(
+        ms.toDF().toDF("doc_id", "text"), index, 0.5, "ingest_pipe") { out =>
+        out.collect().foreach(r => seen.add(
+          (r.getLong(0), r.getDouble(2), r.getString(1), r.getLong(3), r.getInt(4))))
+      }
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      q.stop()
+      val streamed = seen.toArray(Array.empty[(Long, Double, String, Long, Int)]).sortBy(_._1)
+      val twin = graft.streaming.Streams.ingestBatchTwin(
+        incoming.toSeq.toDF("doc_id", "text"), index, 0.5).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getString(1), r.getLong(3), r.getInt(4)))
+        .sortBy(_._1)
+      assert(streamed.toSeq == twin.toSeq)
+      // the gate actually gates: some docs fall below the 0.5 threshold
+      assert(streamed.length < incoming.length)
+      // PII never reaches the sink; the synthetic rows survive as new docs
+      val byId = streamed.map(t => t._1 -> t).toMap
+      Seq(990001L, 990002L).foreach { id =>
+        byId.get(id).foreach { t =>
+          assert(!t._3.contains("@") && !t._3.contains("555-"), s"doc $id leaked PII")
+          assert(t._5 == 1 && t._4 == -1L, s"doc $id is novel, must keep")
+        }
+      }
+      assert(Seq(990001L, 990002L).exists(byId.contains),
+        "fixture sanity: at least one PII row must pass the gate")
+    } finally index.unpersist()
+  }
+
   test("contamination hits truly share the claimed distinct shingles") {
     import org.apache.spark.sql.functions._
     val hits = Dedup.q63Contamination(spark, sf).collect()
