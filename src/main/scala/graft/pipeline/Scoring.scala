@@ -318,13 +318,60 @@ object Scoring {
        |FROM bg JOIN c2 USING (bgh) JOIN c1 USING (w1h) CROSS JOIN vt
        |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Curriculum bucketing — assign each document a length-difficulty
+    * quartile WITHOUT a global sort: the naive form is
+    * `ntile(4) OVER (ORDER BY tok)`, a single-partition window that
+    * dies at corpus scale; the scale-first rewrite computes the three
+    * quartile cut points as a 1-row aggregate, broadcasts them, and
+    * assigns buckets with a narrow CASE — scan-shaped, one tiny
+    * exchange for the cuts, one 4-group agg for the report. Cut
+    * points use exact interpolated percentiles for oracle parity
+    * (q49 precedent); at 100 TB swap in `percentile_approx`
+    * (t-digest, mergeable) — assignment plan unchanged. Integer
+    * token counts make bucket-boundary ties exact on both engines;
+    * avg_tok is an exact-integer sum over one division, bit-identical
+    * unrounded.
+    */
+  def q95CurriculumBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+    val cuts = toks.agg(
+      percentile(col("tok"), lit(0.25)).as("c1"),
+      percentile(col("tok"), lit(0.5)).as("c2"),
+      percentile(col("tok"), lit(0.75)).as("c3"))
+    toks.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("tok") <= col("c1"), 1)
+          .when(col("tok") <= col("c2"), 2)
+          .when(col("tok") <= col("c3"), 3)
+          .otherwise(4))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("tok")).as("min_tok"),
+        max(col("tok")).as("max_tok"),
+        (sum(col("tok")) / count(lit(1))).as("avg_tok"))
+      .orderBy(col("bucket"))
+  }
+
+  val q95Sql: String =
+    """WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT quantile_cont(tok, 0.25) AS c1, quantile_cont(tok, 0.5) AS c2,
+      |             quantile_cont(tok, 0.75) AS c3 FROM t)
+      |SELECT CASE WHEN tok <= c1 THEN 1 WHEN tok <= c2 THEN 2
+      |            WHEN tok <= c3 THEN 3 ELSE 4 END AS bucket,
+      |  count(*) AS n_docs, min(tok) AS min_tok, max(tok) AS max_tok,
+      |  sum(tok) / count(*) AS avg_tok
+      |FROM t CROSS JOIN c
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
     "q86_quality_classifier" -> (q86QualityClassifier _),
     "q87_mixture_sample" -> (q87MixtureSample _),
     "q89_tfidf_keywords" -> (q89TfIdfKeywords _),
-    "q90_bigram_perplexity" -> (q90BigramPerplexity _))
+    "q90_bigram_perplexity" -> (q90BigramPerplexity _),
+    "q95_curriculum_buckets" -> (q95CurriculumBuckets _))
 
   def oracles: Map[String, String] = Map(
     "q84_importance_weight" -> q84Sql,
@@ -332,5 +379,6 @@ object Scoring {
     "q86_quality_classifier" -> q86Sql,
     "q87_mixture_sample" -> q87Sql,
     "q89_tfidf_keywords" -> q89Sql,
-    "q90_bigram_perplexity" -> q90Sql)
+    "q90_bigram_perplexity" -> q90Sql,
+    "q95_curriculum_buckets" -> q95Sql)
 }

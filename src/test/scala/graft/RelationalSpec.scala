@@ -135,6 +135,32 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Join"), "expected the rewritten aggregate join")
   }
 
+  test("q96's bloom prefilter prunes probe rows but never changes the join result") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.Relational
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hi = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > R.Q96MinPrice).select(col("o_orderkey"))
+    // the prefilter passes every true match (no false negatives)...
+    val pre = graft.operators.Sketches.bloomPrefilter(hi, "o_orderkey", 100000L, 0.01)(col("l_orderkey"))
+    val exactMatches = lineitem
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val preCount = lineitem.filter(pre).count()
+    assert(preCount >= exactMatches, "bloom dropped a true match")
+    // ...and actually prunes the probe side
+    assert(preCount < lineitem.count(), "prefilter pruned nothing")
+    // end-to-end: prefilter + exact verify ≡ plain semi join aggregate
+    val viaBloom = R.q96BloomSemiJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = lineitem
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaBloom == plain)
+  }
+
   test("q81's pivot compiles to one aggregation pass, not per-value scans") {
     val plan = graft.operators.Relational.q81Pivot(spark, sf)
       .queryExecution.executedPlan.toString

@@ -199,6 +199,24 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q95 curriculum buckets: value-ordered, exhaustive, near-quartile sized") {
+    val rows = Scoring.q95CurriculumBuckets(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._2).sum == docs.length)
+    // buckets partition the value range: no overlap between adjacent buckets
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"buckets ${a._1}/${b._1} overlap")
+      case _           =>
+    }
+    // quartile cuts: each bucket holds roughly a quarter (ties may skew)
+    rows.foreach { case (b, n, mn, mx, avg) =>
+      assert(n >= docs.length / 8 && n <= docs.length / 2, s"bucket $b size $n")
+      assert(avg >= mn && avg <= mx)
+    }
+  }
+
   test("q90 bigram perplexity matches a driver-side LM recomputation") {
     val toks = docs.flatMap(d => tokens(d._2))
     val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
