@@ -867,7 +867,37 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Schema-evolution union — `unionByName(allowMissingColumns)`
+    * merges corpus snapshots whose schemas drifted (an old snapshot
+    * without `lang`, a new one with an extra `quality` column):
+    * columns align BY NAME, absentees fill with NULL. The positional
+    * `union` (q06) would silently mis-align these. Plans as one
+    * zero-shuffle Project-per-side + Union; the oracle states the
+    * same contract with DuckDB's UNION ALL BY NAME. */
+  def q97UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val newSnap = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        (col("n_chars") > 300).cast("int").as("quality"))
+    oldSnap.unionByName(newSnap, allowMissingColumns = true)
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Sql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id, source, n_chars
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL BY NAME
+      |  SELECT doc_id, source, lang, n_chars,
+      |    (n_chars > 300)::INT AS quality
+      |  FROM documents WHERE doc_id % 3 <> 0)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_union_by_name" -> (q97UnionByName _),
     "q96_bloom_semi_join" -> (q96BloomSemiJoin _),
     "q94_stat_aggregates" -> (q94StatAggregates _),
     "q91_rank_family" -> (q91RankFamily _),
@@ -902,6 +932,7 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q97_union_by_name" -> q97Sql,
     "q96_bloom_semi_join" -> q96Sql,
     "q94_stat_aggregates" -> q94Sql,
     "q91_rank_family" -> q91Sql,
