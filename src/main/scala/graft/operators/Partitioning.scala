@@ -79,4 +79,60 @@ object Partitioning {
           saltedBig("__salt") === replicated("__salt"), joinType)
       .drop(replicated(key)).drop("__salt")
   }
+
+  /** zipWithIndex (reference `DataSetUtils.java:89`): contiguous
+    * global row index WITHOUT a single-partition window. The
+    * reference's algorithm — count per partition, broadcast prefix
+    * offsets, label per partition — is exactly what Spark's
+    * `RDD.zipWithIndex` runs (one count job + one labeling pass), so
+    * this composes range-partition + in-partition sort for a total
+    * order, then labels. The naive `row_number() OVER (ORDER BY ...)`
+    * (the oracle's statement of the same result) collapses all rows
+    * into ONE window partition at scale; this form keeps
+    * parallelism — the only global coordination is the tiny per-
+    * partition count array.
+    */
+  def zipWithIndexOrdered(df: DataFrame, order: Column, indexCol: String = "idx",
+      numPartitions: Int = 0): DataFrame = {
+    // numPartitions = 0 → let Spark/AQE size the range exchange (the
+    // default for real corpora); a positive n pins it (specs, small data)
+    val ranged = if (numPartitions > 0) df.repartitionByRange(numPartitions, order)
+      else df.repartitionByRange(order)
+    val sorted = ranged.sortWithinPartitions(order)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(indexCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val labeled = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(labeled, schema)
+  }
+
+  /** zipWithUniqueId (reference `DataSetUtils.java:149`): unique but
+    * non-contiguous 64-bit labels with ZERO coordination — the
+    * reference bit-packs (taskId, localCounter); Spark's
+    * `monotonically_increasing_id()` packs (partitionId << 33) +
+    * localCounter, the same construction as a codegen'd expression. */
+  def zipWithUniqueId(df: DataFrame, indexCol: String = "uid"): DataFrame =
+    df.withColumn(indexCol, monotonically_increasing_id())
+
+  /** q98: graded zipWithIndex — label orders by o_orderkey; the
+    * oracle states the result as row_number()-1, which is only
+    * feasible FOR THE ORACLE because DuckDB runs single-node; the
+    * graded plan is the distributed labeling above. */
+  def q98ZipWithIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    zipWithIndexOrdered(
+      graft.sources.Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+      col("o_orderkey"))
+
+  val q98Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+      |FROM orders""".stripMargin
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q98_zip_with_index" -> (q98ZipWithIndex _))
+
+  def oracles: Map[String, String] = Map(
+    "q98_zip_with_index" -> q98Sql)
 }

@@ -251,6 +251,22 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(aggPlan.split("Exchange").length == 2, s"extra exchange in:\n$aggPlan")
   }
 
+  test("zipWithIndex labels contiguously across partitions; zipWithUniqueId stays unique") {
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    // pin 4 range partitions (sf0.001 is small enough for AQE to coalesce
+    // to 1, which would vacuously pass a parallelism check)
+    val labeled = Partitioning.zipWithIndexOrdered(orders, col("o_orderkey"), numPartitions = 4)
+    // parallelism survives: labeling must NOT collapse to one partition
+    assert(labeled.rdd.getNumPartitions == 4, "zipWithIndex lost the pinned partitioning")
+    val rows = labeled.select(col("idx"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq, "index not contiguous from 0")
+    // index order is exactly key order
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    val uids = Partitioning.zipWithUniqueId(orders).select(col("uid")).collect().map(_.getLong(0))
+    assert(uids.distinct.length == uids.length, "uid collision")
+  }
+
   test("range partition + local sort yields globally sorted buckets") {
     val df = Partitioning.sortedBuckets(Tables.orders(spark, sf), 4, col("o_orderkey"))
     assert(df.queryExecution.executedPlan.toString.contains("rangepartitioning"))
