@@ -121,4 +121,48 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(other == graded)
     assert(graded.nonEmpty)
   }
+
+  test("classifyText matches the driver-side fold on random edge-shaped texts") {
+    import spark.implicits._
+    def h60s(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def w(b: Long): Double = ((b * 2654435761L) % 1000003L % 2001L - 1000L) / 1000.0
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "Zq", "x9", "müller", "日本", "-", "0")
+    // edge shapes: single token, repeated token, doubled spaces,
+    // leading/trailing spaces, long repetition
+    val texts = Seq("a", "bb bb bb", " a", "a ", "a  bb", "ccc " * 50) ++
+      (1 to 10).map(_ => Seq.fill(1 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), graft.pipeline.Scoring.classifyText(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").toSeq.filter(_.nonEmpty)
+      val exp = 1.0 / (1.0 + math.exp(
+        toks.map(x => w(h60s(x) % graft.pipeline.Scoring.ClfBuckets)).sum / toks.size * -8.0))
+      assert(math.abs(got(i.toLong) - exp) <= 1.1e-4, s"text '$t'")
+    }
+  }
+
+  test("shingles() equals the driver-side slice on random short texts (guard incl.)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val words = Vector("k", "row", "plan", "agg", "x")
+    // lengths 0..7 straddle the w=5 guard boundary; include doubled spaces
+    val texts = (0 to 7).map(n => Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")) ++
+      Seq("k  row plan agg x k", "k row  plan")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.Portable.shingles(col("t"), 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.split(" ").toSeq // split keeps empty tokens — mirror exactly
+      val exp = if (ws.length < 5) Seq.empty
+        else (0 to ws.length - 5).map(j => ws.slice(j, j + 5).mkString(" "))
+      assert(got(i.toLong) == exp, s"text '$t'")
+    }
+  }
 }
