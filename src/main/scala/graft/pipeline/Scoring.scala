@@ -93,18 +93,20 @@ object Scoring {
     * The inter-document twin of q68's intra-doc repetition signal and
     * the doc-level scoring view of the q32 inverted index.
     *
-    * Scale shape: posting-list df is a hash-agg keyed by the 8-byte
-    * gram hash; the join back is gram-hash-keyed too — never text,
-    * never pairwise. O(corpus grams), no Σ df² term (no pair
-    * expansion, unlike candidate generation).
+    * Scale shape: df is a COUNT WINDOW over the gram-hash partition
+    * of the single distinct posting relation — one lineage, one scan;
+    * the separate-count-relation + join-back form reads the corpus
+    * (and pays the shingle md5s) twice because the pruned subtrees
+    * defeat exchange reuse. Shuffle keys are the 8-byte gram hash —
+    * never text, never pairwise: O(corpus grams), no Σ df² term.
     */
   def q85DupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
       .select(col("doc_id"), h60(col("g")).as("gh"))
       .distinct()
-    val dfRel = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    grams.join(dfRel, "gh")
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") >= 2, 1)).as("n_dup"))
@@ -232,11 +234,12 @@ object Scoring {
     * tf · ln(N/df), ties broken lexically. The per-doc profile used
     * for topic bucketing and mixture audits.
     *
-    * Scale shape: tf is a (doc, term)-keyed agg; df reuses tf's
-    * output (already one row per doc-term) with a term-keyed agg;
-    * the df join is term-keyed; top-3 per doc runs under
-    * WindowGroupLimit so only ≤3 rows per doc survive the final
-    * shuffle. The score is a single long×double multiply of
+    * Scale shape: tf is a (doc, term)-keyed agg; df is a COUNT
+    * WINDOW over tf's term partition (tf is already one row per
+    * doc-term) — one lineage, one scan, where a separate df relation
+    * plus term-keyed join would recompute tf twice; top-3 per doc
+    * runs under WindowGroupLimit so only ≤3 rows per doc survive the
+    * final shuffle. The score is a single long×double multiply of
     * identically-derived values — bit-identical cross-engine, never
     * rounded (verify-skill invariant).
     */
@@ -244,9 +247,9 @@ object Scoring {
     val docs = Tables.documents(spark, dir)
     val tf = docTokens(spark, dir)
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val dfRel = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfRel, "t").crossJoin(broadcast(nDocs))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))))
@@ -275,13 +278,15 @@ object Scoring {
     * avg(-ln((c2+1)/(c1+V))). Low = fluent/common phrasing,
     * high = rare or garbled.
     *
-    * Scale shape: model "training" is two count aggs whose shuffle
-    * keys are 8-byte portable hashes of the bigram/unigram (never the
-    * strings — the q28 invariant); inference re-joins each doc's
-    * bigrams against those counts on the same hash keys. The model
-    * relations are vocabulary-sized, not corpus-sized, so at 100 TB
-    * they shrink relative to the data; V falls out of c1's row count
-    * (no extra distinct pass) and broadcasts as 1 row.
+    * Scale shape: all shuffle keys are 8-byte portable hashes of the
+    * bigram/unigram (never the strings — the q28 invariant). The
+    * bigram counts ride a count window over the bigram relation's own
+    * hash partition (one lineage — train and inference share the
+    * scan); the unigram model is a separate count relation because it
+    * aggregates a DIFFERENT relation (tokens, not bigrams), joined on
+    * the first-word hash. Model relations are vocabulary-sized, so at
+    * 100 TB they shrink relative to the data; V falls out of c1's row
+    * count (no extra distinct pass) and broadcasts as 1 row.
     */
   def q90BigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val c1 = docTokens(spark, dir)
@@ -292,8 +297,10 @@ object Scoring {
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
       .select(col("doc_id"), h60(col("bg")).as("bgh"),
         h60(split(col("bg"), " ").getItem(0)).as("w1h"))
-    val c2 = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c2"))
-    bg.join(c2, "bgh")
+    // bigram model count as a WINDOW over the bigram-hash partition —
+    // one lineage for train + inference (a separate c2 relation joined
+    // back re-scans documents and re-pays every md5)
+    bg.withColumn("c2", count(lit(1)).over(Window.partitionBy(col("bgh"))))
       .join(c1, "w1h")
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c2") + 1.0) / (col("c1") + col("n_vocab"))))
