@@ -187,6 +187,49 @@ object Iterative {
       |  round((cm.tp + cm.tn) / CAST(cm.tp + cm.fp + cm.fn + cm.tn AS DOUBLE), 4) AS accuracy
       |FROM w2, cm""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Linear regression by batch gradient descent — the reference's
+    * stock ML example (`flink-examples-batch ml/LinearRegression.java`:
+    * iterate { map SubUpdate (broadcast params) → reduce sum → map
+    * Update }), the last §2.8 stock example: fit
+    * y ≈ θ0 + θ1·x on (quantity, price), 2 supersteps with the same
+    * driver-state/broadcast-literal shape as q24 — gradients are one
+    * partial-aggregated avg pass per step, θ re-enters as literals
+    * (no lineage growth), model state rounded per superstep (HALF_UP
+    * on both engines) so the oracle's unrolled CTEs match bit-for-bit.
+    * Residual MSE is reported the same way.
+    */
+  def q99LinReg(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir).select(
+      (col("l_quantity") / 50.0).as("x"),
+      (col("l_extendedprice") / 100000.0).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val alpha = 0.5
+    def pred(ts: Array[Double]): Column = lit(ts(0)) + lit(ts(1)) * col("x")
+    val t = graft.engine.Iterate.loop(Array(0.0, 0.0), 2) { (ts, _) =>
+      val g = pts.agg(
+        avg(pred(ts) - col("y")).as("g0"),
+        avg((pred(ts) - col("y")) * col("x")).as("g1")).first()
+      Array(r6(ts(0) - alpha * g.getDouble(0)), r6(ts(1) - alpha * g.getDouble(1)))
+    }
+    val e = pred(t) - col("y")
+    pts.agg(round(avg(e * e), 6).as("mse"))
+      .select(lit(t(0)).as("theta0"), lit(t(1)).as("theta1"), col("mse"))
+  }
+
+  val q99Sql: String =
+    """WITH f AS (SELECT l_quantity/50.0 AS x, l_extendedprice/100000.0 AS y
+      |           FROM lineitem),
+      |s1 AS (SELECT round(0 - 0.5*avg(0 + 0*x - y), 6)     AS t0,
+      |              round(0 - 0.5*avg((0 + 0*x - y)*x), 6) AS t1
+      |       FROM f),
+      |s2 AS (SELECT round(s1.t0 - 0.5*avg(s1.t0 + s1.t1*x - y), 6)     AS t0,
+      |              round(s1.t1 - 0.5*avg((s1.t0 + s1.t1*x - y)*x), 6) AS t1
+      |       FROM f, s1 GROUP BY s1.t0, s1.t1)
+      |SELECT s2.t0 AS theta0, s2.t1 AS theta1,
+      |  round(avg((s2.t0 + s2.t1*x - y)*(s2.t0 + s2.t1*x - y)), 6) AS mse
+      |FROM f, s2 GROUP BY s2.t0, s2.t1""".stripMargin
+
   // ---------------------------------------------------------------- q25
   /** DFT (TestDFT.java:83-84,151-177): out[k] = Σₙ x[n]·cos(2πkn/N),
     * −Σₙ x[n]·sin(2πkn/N) over the first N=64 event values. The
@@ -277,6 +320,7 @@ object Iterative {
     "q22_matmul" -> (q22MatMul _),
     "q23_kmeans" -> (q23KMeans _),
     "q24_logreg" -> (q24LogReg _),
+    "q99_linreg" -> (q99LinReg _),
     "q25_dft" -> (q25Dft _),
     "q26_pi" -> (q26Pi _),
     "q27_vadd" -> (q27VAdd _))
@@ -285,6 +329,7 @@ object Iterative {
     "q22_matmul" -> q22Sql,
     "q23_kmeans" -> q23Sql,
     "q24_logreg" -> q24Sql,
+    "q99_linreg" -> q99Sql,
     "q25_dft" -> q25Sql,
     "q26_pi" -> q26Sql,
     "q27_vadd" -> q27Sql)

@@ -58,6 +58,19 @@ class IterativeSpec extends AnyFunSuite with SparkSpec {
     assert(out == in.map(x => x.toDouble + x.toDouble))
   }
 
+  test("q99 linreg: two GD steps beat the zero model and slope is positive") {
+    import org.apache.spark.sql.functions._
+    val r = graft.analytics.Iterative.q99LinReg(spark, sf).head()
+    val (t0, t1, mse) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    // price grows with quantity on this data: learned slope must be positive
+    assert(t1 > 0.0, s"slope $t1")
+    // fitting must beat predicting zero (the initial model)
+    val zeroMse = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_extendedprice") / 100000.0).as("y"))
+      .agg(avg(col("y") * col("y"))).head.getDouble(0)
+    assert(mse < zeroMse, s"mse $mse not below zero-model $zeroMse")
+  }
+
   test("Iterate.loopDF truncates lineage via localCheckpoint") {
     val out = graft.engine.Iterate.loopDF(spark.range(10).toDF("v"), 6, checkpointEvery = 2) {
       (df, _) => df.withColumn("v", col("v") + 1)
