@@ -15,7 +15,9 @@ object PlanAudit {
         "q64_large_orders", "q66_asof_join", "q67_range_join",
         "q70_shuffle_shard", "q72_vocab_topk", "q75_packed_sequences",
         "q77_group_sample", "q78_incremental_dedup", "q84_importance_weight",
-        "q88_grouping_sets", "q89_tfidf_keywords", "q90_bigram_perplexity")
+        "q88_grouping_sets", "q89_tfidf_keywords", "q90_bigram_perplexity",
+        "q92_sessionize", "q95_curriculum_buckets", "q96_bloom_semi_join",
+        "q98_zip_with_index")
     val spark = graft.engine.GraftSession.local("graft-plan-audit", "4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
