@@ -196,8 +196,8 @@ object Curation {
        |  WHERE token <> '' GROUP BY token
        |  ORDER BY cnt DESC, token LIMIT $VocabSize)
        |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt,
-       |  sum(cnt) OVER (ORDER BY cnt DESC, token
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+       |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
        |FROM c ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------- q73

@@ -30,13 +30,42 @@ def norm_cell(v):
     return str(v)
 
 
+def type_family(t):
+    """Coarse physical-type family of a DuckDB column type.
+
+    The driver's compare goes through pandas/arrow, where e.g. a
+    DuckDB HUGEINT (the result type of sum(BIGINT)) renders as
+    decimal128/float64 and hash-mismatches a Spark int64 even when
+    every value is equal. fetchall() hides that (HUGEINT -> int), so
+    we check declared types separately from cell values.
+    """
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT") or s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if s.startswith("VARCHAR") or s == "TEXT":
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "BLOB":
+        return "bytes"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "list"
+    return s
+
+
 def table_to_rows(rel):
     cols = list(rel.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    fams = [type_family(t) for t in rel.types]
     rows = rel.fetchall()
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [fams[i] for i in order], out
 
 
 def main():
@@ -58,9 +87,9 @@ def main():
             status = "ROWS-ONLY" if n > 0 else "EMPTY!"
             print(f"[{status:9s}] {name}: {n} rows")
             continue
-        gcols, got = table_to_rows(got_rel)
+        gcols, gfams, got = table_to_rows(got_rel)
         try:
-            ecols, exp = table_to_rows(con.sql(oracle[name]))
+            ecols, efams, exp = table_to_rows(con.sql(oracle[name]))
         except Exception as e:
             failures.append(name)
             print(f"[FAIL] {name}: oracle SQL error: {e}")
@@ -68,6 +97,11 @@ def main():
         if gcols != ecols:
             failures.append(name)
             print(f"[FAIL] {name}: columns differ spark={gcols} duckdb={ecols}")
+            continue
+        if gfams != efams:
+            failures.append(name)
+            mism = [(c, g, e) for c, g, e in zip(gcols, gfams, efams) if g != e]
+            print(f"[FAIL] {name}: column type families differ: {mism}")
             continue
         if got != exp:
             failures.append(name)
