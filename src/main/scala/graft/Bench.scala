@@ -20,6 +20,13 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // release whatever the query pinned (persisted relations,
+      // session memos) so storage doesn't accumulate across the
+      // ~100-query loop and late queries aren't taxed for early
+      // queries' caches. Within a query's own min-of-2 the caches
+      // stay warm, so per-query numbers still reflect steady state.
+      spark.catalog.clearCache()
+      graft.engine.SessionCache.invalidateAll(spark)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // The harness that captures this line keeps only the tail of stdout,

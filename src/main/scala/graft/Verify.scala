@@ -15,6 +15,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same between-queries hygiene as Bench: don't let one query's
+      // pinned caches ride into the next hundred
+      spark.catalog.clearCache()
+      graft.engine.SessionCache.invalidateAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -26,6 +26,19 @@ object Iterative {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Run the final job of an iterative query NOW, release its
+    * persisted working set, and hand the (tiny — a handful of model/
+    * summary rows) result back as a local relation. Without this,
+    * every invocation leaks one pinned MEMORY_AND_DISK relation into
+    * the session's block manager — harmless once, ruinous across a
+    * 99-query bench loop. */
+  private def localized(spark: SparkSession, result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val rows = result.collect()
+    cached.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   // ---------------------------------------------------------------- q22
   /** Matrix multiply (TestMatrixMultiplication.java:59-78): C = A×Bᵀ
     * for A = embeddings[0,32), B = embeddings[32,64). The reference
@@ -82,12 +95,12 @@ object Iterative {
       cs.indices.map(i => upd.getOrElse(i, cs(i))).toArray
     }
     val centMap = map(cents.zipWithIndex.toIndexedSeq.flatMap { case (c, i) => Seq(lit(i), lit(c)) }: _*)
-    ev.withColumn("cid", cidExpr(cents))
+    localized(spark, ev.withColumn("cid", cidExpr(cents))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"))
       .withColumn("centroid", element_at(centMap, col("cid")))
       .select(col("cid"), col("n"), col("centroid"))
-      .orderBy(col("cid"))
+      .orderBy(col("cid")), ev)
   }
 
   val q23Sql: String =
@@ -147,7 +160,7 @@ object Iterative {
     }
     val pred = (z(w) > 0).cast("int")
     val yi = col("y").cast("int")
-    li.agg(
+    localized(spark, li.agg(
       sum(when(pred === 1 && yi === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(pred === 1 && yi === 0, 1L).otherwise(0L)).as("fp"),
       sum(when(pred === 0 && yi === 1, 1L).otherwise(0L)).as("fn"),
@@ -155,7 +168,7 @@ object Iterative {
       .select(
         lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"), lit(w(3)).as("w3"),
         col("tp"), col("fp"), col("fn"), col("tn"),
-        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 4).as("accuracy"))
+        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 4).as("accuracy")), li)
   }
 
   /** Oracle: identical GD unrolled as CTEs; iteration 1 has w=0 so
@@ -213,8 +226,8 @@ object Iterative {
       Array(r6(ts(0) - alpha * g.getDouble(0)), r6(ts(1) - alpha * g.getDouble(1)))
     }
     val e = pred(t) - col("y")
-    pts.agg(round(avg(e * e), 6).as("mse"))
-      .select(lit(t(0)).as("theta0"), lit(t(1)).as("theta1"), col("mse"))
+    localized(spark, pts.agg(round(avg(e * e), 6).as("mse"))
+      .select(lit(t(0)).as("theta0"), lit(t(1)).as("theta1"), col("mse")), pts)
   }
 
   val q99Sql: String =

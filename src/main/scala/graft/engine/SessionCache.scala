@@ -19,9 +19,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     build wins and the loser unpersists, leaving no orphan pinned
   *     in the block manager.
   */
+object SessionCache {
+  private val instances =
+    new java.util.concurrent.ConcurrentLinkedQueue[SessionCache]()
+
+  private def register(c: SessionCache): Unit = instances.add(c)
+
+  /** Invalidate every cache's entries for `spark` — the between-
+    * queries hygiene hook for bench/serve loops. */
+  def invalidateAll(spark: SparkSession): Unit =
+    instances.forEach(_.invalidate(spark))
+}
+
 final class SessionCache(build: (SparkSession, String) => DataFrame) {
 
+  SessionCache.register(this)
+
   private val cache = TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
+
+  /** Drop (and unpersist) every entry owned by `spark`. Needed by
+    * harnesses that clear the session's cached storage between
+    * queries (`spark.catalog.clearCache()` strips the persist marker
+    * off the memoized DataFrame, so keeping the entry would serve an
+    * un-cached relation that recomputes on every downstream use —
+    * worse than rebuilding it once). */
+  def invalidate(spark: SparkSession): Unit =
+    cache.filterInPlace { case (_, (s, df)) =>
+      if (s eq spark) { df.unpersist(blocking = false); false } else true
+    }
 
   def get(spark: SparkSession, dir: String): DataFrame = {
     cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }

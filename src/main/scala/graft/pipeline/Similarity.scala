@@ -306,9 +306,12 @@ object Similarity {
     val ids = emb.agg(min("vec_id"), max("vec_id")).head()
     val (lo, hi) = (ids.getLong(0), ids.getLong(1))
     val blocks = (lo to hi by blockSize).map(b => (b, math.min(b + blockSize - 1, hi)))
+    val bcasts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[Array[Vec]]]
     val parts = blocks.map { case (blo, bhi) =>
       val block = broadcastVecs(spark,
         emb.filter(col("vec_id") >= blo && col("vec_id") <= bhi))
+      bcasts += block
       // stream rows with id <= bhi: pairs (a < b) with b in this block
       emb.filter(col("vec_id") <= bhi)
         .select(col("vec_id"), col("embedding"))
@@ -325,7 +328,15 @@ object Similarity {
         }
         .toDF("vec_a", "vec_b", "cosine")
     }
-    parts.reduce(_ union _).orderBy(col("vec_a"), col("vec_b"))
+    // The pair set above the threshold is tiny by construction, but
+    // the union plan pins one executor broadcast PER BLOCK: run the
+    // passes now, hand back a local relation, and destroy the blocks
+    // so a long bench/serve session doesn't accumulate them.
+    val pairs = parts.reduce(_ union _)
+    val rows = pairs.collect()
+    bcasts.foreach(_.destroy())
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   // ---------------------------------------------------------------- q52
