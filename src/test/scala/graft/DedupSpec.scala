@@ -42,6 +42,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.q32NgramJaccard(spark, sf, 1).count() == 0)
   }
 
+  test("LSH bucket cap at the graded default is result-neutral on this corpus") {
+    // no test-corpus (band,key) bucket approaches 1000 members, so
+    // the cap drops nothing: capped == uncapped for both band styles
+    def p29(cap: Int) = Dedup.q29MinhashLsh(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def p31(cap: Int) = Dedup.q31SimHashPairs(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c29 = p29(Dedup.MaxBucket)
+    val c31 = p31(Dedup.MaxBucket)
+    assert(c29 == p29(Int.MaxValue) && c29.nonEmpty)
+    assert(c31 == p31(Int.MaxValue) && c31.nonEmpty)
+  }
+
+  test("LSH bucket cap prunes a forced hot bucket but keeps honest pairs") {
+    // five byte-identical boilerplate docs collide in EVERY band
+    // bucket (size 5); one genuine near-dup pair shares its own
+    // buckets (size 2). Cap 4 must kill the boilerplate bucket before
+    // pair expansion while the honest pair survives.
+    import spark.implicits._
+    val boiler = (0L until 5L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val nearDup = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"))
+    val docs = (boiler ++ nearDup).toDF("doc_id", "text")
+    val bands = Dedup.bandKeysOf(Dedup.minhashSigOf(Dedup.shingleHashesOf(docs)))
+    val uncapped = Dedup.bucketCandidates(bands, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.bucketCandidates(bands, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boilerPairs = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    assert(boilerPairs.toSet.subsetOf(uncapped))
+    assert(capped.intersect(boilerPairs.toSet).isEmpty)
+    assert(capped.contains((10L, 11L)), s"honest pair lost: $capped")
+  }
+
   test("near-dup pairs have near-identical simhash fingerprints") {
     val sig = Dedup.q30SimHash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
