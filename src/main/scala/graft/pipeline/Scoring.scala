@@ -201,7 +201,10 @@ object Scoring {
   def q87MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val tot = counts.agg(sum(sqrt(col("n_docs"))).as("wsum"))
+    // the aggregated sqrt-sum is rounded on BOTH engines before the
+    // floor quantization: engine-dependent summation order could
+    // otherwise flip a quota at a floor boundary by one ulp
+    val tot = counts.agg(round(sum(sqrt(col("n_docs"))), 6).as("wsum"))
     val quota = counts.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
         floor(sqrt(col("n_docs")) / col("wsum") * MixBudget + 0.5).cast("long").as("quota"))
@@ -217,7 +220,7 @@ object Scoring {
 
   val q87Sql: String =
     s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-       |t AS (SELECT sum(sqrt(n_docs)) AS wsum FROM c),
+       |t AS (SELECT round(sum(sqrt(n_docs)), 6) AS wsum FROM c),
        |q AS (SELECT source, n_docs,
        |        CAST(floor(sqrt(n_docs) / wsum * $MixBudget + 0.5) AS BIGINT) AS quota
        |      FROM c CROSS JOIN t),
@@ -239,9 +242,11 @@ object Scoring {
     * doc-term) — one lineage, one scan, where a separate df relation
     * plus term-keyed join would recompute tf twice; top-3 per doc
     * runs under WindowGroupLimit so only ≤3 rows per doc survive the
-    * final shuffle. The score is a single long×double multiply of
-    * identically-derived values — bit-identical cross-engine, never
-    * rounded (verify-skill invariant).
+    * final shuffle. Ranking uses the raw score (identical-fold
+    * comparisons are safe cross-engine), but the EMITTED score is
+    * rounded to 6 decimals: ln() is a transcendental with no
+    * bit-identity guarantee between JVM Math.log and DuckDB's libm,
+    * so the raw double is not a stable compare target.
     */
   def q89TfIdfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -254,7 +259,8 @@ object Scoring {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))))
       .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk"), col("t").as("token"), col("score"))
+      .select(col("doc_id"), col("rk"), col("t").as("token"),
+        round(col("score"), 6).as("score"))
   }
 
   val q89Sql: String =
@@ -268,7 +274,8 @@ object Scoring {
       |r AS (SELECT doc_id, t, score,
       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
       |      FROM s)
-      |SELECT doc_id, rk, t AS token, score FROM r WHERE rk <= 3""".stripMargin
+      |SELECT doc_id, rk, t AS token, round(score, 6) AS score
+      |FROM r WHERE rk <= 3""".stripMargin
 
   // ---------------------------------------------------------------- q90
   /** Bigram-LM perplexity scoring — the CCNet-style quality filter:
