@@ -14,9 +14,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * declares an incremental plan — the same Catalyst operators as the
   * batch forms in [[graft.operators.Windows]], so batch and stream
   * share semantics (and tests cross-check them). Watermarks bound
-  * state; late data beyond the watermark is dropped (Flink's
-  * allowed-lateness side output has no Structured Streaming analogue
-  * — documented gap, unused by the benchmarks).
+  * state; late data beyond the watermark is dropped by the stateful
+  * operators themselves, so Flink's allowed-lateness side output is
+  * recovered one level up: [[LateAudit]] classifies the raw stream
+  * against the watermark rule and ROUTES the late rows (with their
+  * window key) to a late sink, while the update-mode agg keeps
+  * refining windows for late-but-inside-watermark rows.
   */
 object Streams {
 
@@ -262,21 +265,31 @@ object Streams {
       }
   }
 
-  /** Late-data accounting (the reference's allowed-lateness + late
-    * side output, WindowedStream.java:158,177). Structured Streaming
-    * has no side outputs, so the pattern that closes most of the
-    * semantic gap is: run the windowed agg in UPDATE mode — rows that
-    * are late but inside the watermark still refine their window,
-    * like Flink's allowedLateness re-firing — and audit the raw
-    * stream in a foreachBatch that classifies each event against the
-    * stream's own watermark rule (max event time seen in PRIOR
-    * batches minus the delay — Spark applies the updated watermark
-    * from the NEXT batch on), counting what Flink would have routed
-    * to the side output instead of silently vanishing.
+  /** A routed late row: the event plus the tumbling-window key it
+    * WOULD have belonged to — what a downstream reprocessor needs. */
+  case class LateRow(event_id: Long, user_id: Long, ts_ms: Long, w_start_ms: Long)
+
+  /** Late-data accounting AND routing (the reference's
+    * allowed-lateness + late side output, WindowedStream.java:158,177).
+    * Structured Streaming has no side outputs, so the pattern that
+    * closes the semantic gap is: run the windowed agg in UPDATE mode —
+    * rows that are late but inside the watermark still refine their
+    * window, like Flink's allowedLateness re-firing — and classify the
+    * raw stream in a foreachBatch against the stream's own watermark
+    * rule (max event time seen in PRIOR batches minus the delay —
+    * Spark applies the updated watermark from the NEXT batch on).
+    * Beyond-watermark rows are counted AND routed, stamped with their
+    * tumbling-window start, to `lateSink` — the side-output stream a
+    * Flink job would reprocess. The default sink is the in-memory
+    * [[lateRows]] queue (late data is the exceptional tail by
+    * construction); production plugs a durable writer.
     */
-  class LateAudit(delayMs: Long) {
+  class LateAudit(delayMs: Long, windowMs: Long = 5 * 60000L,
+      lateSink: DataFrame => Unit = null) {
     val onTime = new java.util.concurrent.atomic.LongAdder
     val late = new java.util.concurrent.atomic.LongAdder
+    /** Routed late rows when no external `lateSink` is plugged. */
+    val lateRows = new java.util.concurrent.ConcurrentLinkedQueue[LateRow]()
     @volatile private var maxTsMs = Long.MinValue
     /** Current watermark in epoch millis (MinValue until a batch lands). */
     def watermarkMs: Long =
@@ -292,6 +305,14 @@ object Streams {
         late.add(row.getLong(0))
         onTime.add(row.getLong(1))
         maxTsMs = math.max(maxTsMs, row.getLong(2))
+      }
+      if (wm != Long.MinValue) {
+        val lateDf = batch.filter(tsMs < wm)
+          .select(col("event_id"), col("user_id"), tsMs.as("ts_ms"),
+            (tsMs - pmod(tsMs, lit(windowMs))).as("w_start_ms"))
+        if (lateSink != null) lateSink(lateDf)
+        else lateDf.collect().foreach(r => lateRows.add(
+          LateRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
       }
     }
   }

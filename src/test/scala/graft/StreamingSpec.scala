@@ -234,6 +234,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("late audit counts beyond-watermark rows; update mode keeps refining") {
+    import scala.jdk.CollectionConverters._
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
@@ -242,6 +243,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(30), 1, "a", 2.0))
     agg.processAllAvailable(); aq.processAllAvailable()
     assert(audit.late.sum == 0 && audit.onTime.sum == 2)
+    assert(audit.lateRows.isEmpty)
     // watermark is now 20min: ts(5) is beyond-watermark late (Flink
     // would side-output it), ts(31) is on time
     ms.addData(Ev(3, ts(5), 1, "a", 3.0), Ev(4, ts(31), 1, "a", 4.0))
@@ -249,7 +251,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     agg.stop(); aq.stop()
     assert(audit.late.sum == 1 && audit.onTime.sum == 3)
     assert(audit.watermarkMs == 21 * 60000L)
-    assert(spark.table("late_tumb").count() > 0)
+    // the late row itself is ROUTED to the side sink, stamped with
+    // the 5-minute window it would have belonged to ([5min, 10min))
+    assert(audit.lateRows.asScala.toList ==
+      List(Streams.LateRow(3L, 1L, 5 * 60000L, 5 * 60000L)))
+    // on-time results unchanged: the agg table holds the refined
+    // windows and never saw a side-output row as a window of its own
+    val aggRows = spark.table("late_tumb").collect()
+    assert(aggRows.nonEmpty)
+    val winStarts = spark.table("late_tumb")
+      .select(col("window.start").cast("long") * 1000).collect()
+      .map(_.getLong(0)).toSet
+    assert(!winStarts.contains(5 * 60000L))
   }
 
   test("session stream merges gap-overlapping events") {
