@@ -228,6 +228,50 @@ object Streams {
       }
   }
 
+  /** Delta trigger over an evicted global window — the reference's
+    * DeltaTrigger.of(threshold, deltaFn) composed with
+    * CountEvictor.of(size) (windowing/triggers/DeltaTrigger.java;
+    * WindowedStream.java:137,190): the trigger fires when the delta
+    * between the CURRENT element and the element that LAST fired
+    * exceeds `threshold`. Flink's semantics, kept exactly: the first
+    * element only seeds the comparison point (no fire), and the
+    * comparison point advances ONLY on fire. The delta function here
+    * is |current − lastFire| on `value` (Flink takes a user lambda;
+    * any numeric delta slots into the same state machine). State per
+    * key is the `size`-bounded ring (the evictor) + one seed double +
+    * two counters — same bound the reference's evictor enforces.
+    */
+  case class DeltaWinState(seeded: Boolean, lastFire: Double,
+      fired: Long, ring: Vector[Double])
+  case class DeltaWin(user_id: Long, fire_idx: Long, trigger_v: Double,
+      n: Long, sum_v: Double)
+
+  def deltaWindow(events: Dataset[Ev], threshold: Double, size: Int): Dataset[DeltaWin] = {
+    require(threshold > 0 && size > 0, s"threshold/size must be positive, got $threshold/$size")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DeltaWinState, DeltaWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[DeltaWinState]) =>
+          var s = state.getOption.getOrElse(DeltaWinState(seeded = false, 0.0, 0L, Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DeltaWin]
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            val ring = (s.ring :+ e.value).takeRight(size) // CountEvictor.of(size)
+            if (!s.seeded) { // first element seeds, never fires
+              s = DeltaWinState(seeded = true, e.value, s.fired, ring)
+            } else if (math.abs(e.value - s.lastFire) > threshold) { // DeltaTrigger
+              out += DeltaWin(uid, s.fired, e.value, ring.length,
+                math.rint(ring.sum * 100) / 100)
+              s = DeltaWinState(seeded = true, e.value, s.fired + 1, ring)
+            } else {
+              s = s.copy(ring = ring)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Timer-driven stateful op (the reference KeyedProcessFunction
     * timer surface, KeyedStream.java:372 `process`): per-user session
     * timeout alerts. Each arriving event refreshes the key's state

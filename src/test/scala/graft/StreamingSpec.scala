@@ -175,6 +175,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(all == afterB1 + ((2L, 3L, 15.0)))
   }
 
+  test("delta trigger fires on threshold-exceeding deltas vs the LAST FIRE, per a hand trace") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.deltaWindow(ms.toDS(), threshold = 5.0, size = 3).writeStream
+      .format("memory").queryName("dw").outputMode(OutputMode.Append()).start()
+    // hand trace (threshold 5, evictor size 3), values per event:
+    //   1.0  -> seeds lastFire=1, no fire
+    //   2.0  -> |2-1|=1,  no fire            ring (1,2)
+    //   7.0  -> |7-1|=6 > 5: FIRE 0 over ring (1,2,7)=10.0; lastFire=7
+    //   11.0 -> |11-7|=4, no fire            ring (2,7,11)
+    //   13.0 -> |13-7|=6 > 5: FIRE 1 over ring (7,11,13)=31.0; lastFire=13
+    ms.addData(Seq(1.0, 2.0, 7.0, 11.0, 13.0).zipWithIndex.map {
+      case (v, i) => Ev(i + 1, ts(i + 1), 1, "a", v) }: _*)
+    q.processAllAvailable()
+    val afterB1 = spark.table("dw").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(afterB1 == Set((0L, 7.0, 3L, 10.0), (1L, 13.0, 3L, 31.0)))
+    // the comparison point survives the batch boundary and only
+    // advances on fire: 16.0 is |16-13|=3 (no fire), then 20.0 is
+    // |20-13|=7 > 5 -> FIRE 2 over the evicted ring (13,16,20)=49.0
+    ms.addData(Ev(6, ts(6), 1, "a", 16.0), Ev(7, ts(7), 1, "a", 20.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("dw").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(all == afterB1 + ((2L, 20.0, 3L, 49.0)))
+  }
+
   test("count window state carries across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
