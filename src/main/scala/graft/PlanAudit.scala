@@ -4,8 +4,32 @@ package graft
   * so plan regressions (lost pushdown, surprise shuffles, broken
   * broadcasts, codegen fallbacks) are visible at a glance.
   * Usage: graft.PlanAudit [sfDir] [queryName ...]
+  *
+  * [[planCounts]] is the mechanized form: PlanBudgetSpec pins the
+  * scan/exchange node counts of the heaviest queries so the
+  * "count relation joined back to its own source defeats exchange
+  * reuse" regression class (it cost q85/q90 2× in round 3) fails a
+  * test instead of a bench read-through.
   */
 object PlanAudit {
+
+  /** Node census of the pre-execution physical plan, subqueries
+    * included. Run it on an AQE-DISABLED session: under AQE the
+    * executed plan is an opaque AdaptiveSparkPlanExec leaf and the
+    * census sees nothing. */
+  case class PlanCounts(fileScans: Int, memScans: Int, shuffles: Int, broadcasts: Int)
+
+  def planCounts(df: org.apache.spark.sql.DataFrame): PlanCounts = {
+    val plan = df.queryExecution.executedPlan
+    val nodes = plan.collectWithSubqueries { case n => n.getClass.getSimpleName }
+    def cnt(name: String) = nodes.count(_ == name)
+    PlanCounts(
+      fileScans = cnt("FileSourceScanExec"),
+      memScans = cnt("InMemoryTableScanExec"),
+      shuffles = cnt("ShuffleExchangeExec"),
+      broadcasts = cnt("BroadcastExchangeExec"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq

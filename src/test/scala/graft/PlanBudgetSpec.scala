@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.PlanAudit.PlanCounts
+
+/** Pins the physical-plan node census (parquet scans, cached scans,
+  * shuffles, broadcasts) of the heaviest queries. The plans these
+  * counts encode were audited by hand (PlanAudit + round-2/3 verdict
+  * review); a count going UP means a scan or shuffle crept back in —
+  * the exchange-reuse regression class that silently doubled q85/q90
+  * in round 3. A count going DOWN is an improvement: update the
+  * budget alongside the change, consciously.
+  *
+  * Counted on an AQE-disabled twin session: AQE hides the plan behind
+  * an adaptive leaf pre-execution, and these queries' static and
+  * adaptive shapes only differ by runtime coalescing, which the
+  * census ignores anyway.
+  */
+class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val noAqe: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  val budgets: Map[String, PlanCounts] = Map(
+    // 4 cached-shingle reads (sig + posting self-join + sizes), never
+    // a second documents scan; broadcasts: bucket-cap hot set + sizes
+    "q29_dedup_minhash_lsh" -> PlanCounts(0, 4, 6, 4),
+    "q31_simhash_pairs" -> PlanCounts(1, 0, 6, 1),
+    "q32_ngram_jaccard" -> PlanCounts(0, 4, 4, 3),
+    // superstep loops run over one localCheckpoint/cache: the final
+    // plan re-reads the corpus zero times
+    "q41_pagerank" -> PlanCounts(0, 1, 1, 1),
+    "q57_transitive_closure" -> PlanCounts(0, 0, 1, 0),
+    "q62_dedup_clusters" -> PlanCounts(0, 0, 3, 0),
+    "q73_bpe_pairs" -> PlanCounts(1, 0, 1, 0),
+    "q75_packed_sequences" -> PlanCounts(3, 0, 5, 2),
+    // ONE corpus scan: the dup-ngram count rides a window over its
+    // own lineage (a join-back to a count relation = 2 scans = the
+    // round-3 regression this spec exists to catch)
+    "q85_dup_ngram_frac" -> PlanCounts(1, 0, 3, 0),
+    "q89_tfidf_keywords" -> PlanCounts(2, 0, 4, 1),
+    "q90_bigram_perplexity" -> PlanCounts(3, 0, 5, 2))
+
+  test("heavy-query plan census matches the audited budget") {
+    val got = budgets.keys.toSeq.sorted.map { name =>
+      name -> PlanAudit.planCounts(SparkEntry.queries(name)(noAqe, sf))
+    }
+    val bad = got.filter { case (n, c) => c != budgets(n) }
+    assert(bad.isEmpty, "plan census drifted:\n" + got.map { case (n, c) =>
+      s"    \"$n\" -> PlanCounts(${c.fileScans}, ${c.memScans}, ${c.shuffles}, ${c.broadcasts})," +
+        (if (c == budgets(n)) "" else s"  // budget was ${budgets(n)}")
+    }.mkString("\n"))
+  }
+}
