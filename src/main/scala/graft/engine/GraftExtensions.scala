@@ -37,5 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
       }))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)
+    // phase-6 accelerator seam (SURVEY §7): swap graft_dot-bearing
+    // projections for the batch kernel operator. Opt-in via
+    // spark.graft.kernelProject.enabled — codegen is the CPU fast
+    // path; this proves the plugin seam (see graft.plans.DotKernel).
+    ext.injectColumnar(_ => new org.apache.spark.sql.execution.ColumnarRule {
+      override def postColumnarTransitions
+          : org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.execution.SparkPlan] =
+        graft.plans.DotKernelProjectRule
+    })
   }
 }
