@@ -194,11 +194,12 @@ object Streams {
     * composition (KeyedStream.java:663-666: GlobalWindows +
     * CountTrigger.of(slide) + CountEvictor.of(size)): every `slide`-th
     * event per key fires an aggregate over the last `size` events.
-    * Structured Streaming has no trigger/evictor SPI, so the pair is
-    * expressed directly as custom state: a bounded ring of the last
+    * Expressed directly as custom state: a bounded ring of the last
     * `size` values (the evictor) plus an arrival counter firing every
     * `slide` (the trigger). State is exactly `size` doubles + two
-    * longs per key — same bound Flink's evictor enforces.
+    * longs per key — same bound Flink's evictor enforces. The GENERAL
+    * composition surface is [[WindowSpi.globalWindow]]; WindowSpiSpec
+    * proves it reproduces this fused form element-for-element.
     */
   case class SlideWinState(seen: Long, fired: Long, ring: Vector[Double])
   case class SlideWin(user_id: Long, fire_idx: Long, n: Long, sum_v: Double)
