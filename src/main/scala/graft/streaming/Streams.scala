@@ -273,6 +273,57 @@ object Streams {
       }
   }
 
+  /** Punctuated watermarks (the reference's
+    * AssignerWithPunctuatedWatermarks.java): the watermark advances on
+    * MARKER RECORDS in the stream, not on a periodic max-event-time
+    * estimate. Structured Streaming's `withWatermark` is periodic-only,
+    * so the punctuated contract runs one level up as keyed state:
+    * ordinary events accumulate into tumbling windows; a marker record
+    * (`event_type == marker`) carries the upstream promise "nothing
+    * older than my timestamp follows on this key" and IMMEDIATELY
+    * closes — emits — every window ending at or before it (Flink's
+    * punctuated emit path, zero latency between promise and output);
+    * events arriving behind the key-local punctuated watermark are
+    * dropped, Flink's default late-data behavior. State per key is the
+    * open-window aggregates plus one watermark long.
+    */
+  case class PunctState(wmMs: Long, open: Seq[(Long, Long, Double)])
+  case class PunctWin(user_id: Long, w_start_ms: Long, n: Long, sum_v: Double)
+
+  def punctuatedTumbling(events: Dataset[Ev], widthMs: Long,
+      marker: String = "wm"): Dataset[PunctWin] = {
+    require(widthMs > 0, s"window width must be positive, got $widthMs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PunctState, PunctWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[PunctState]) =>
+          var s = state.getOption.getOrElse(PunctState(Long.MinValue, Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PunctWin]
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == marker) {
+              val wm = math.max(s.wmMs, t)
+              val (closed, open) = s.open.partition { case (ws, _, _) => ws + widthMs <= wm }
+              closed.sortBy(_._1).foreach { case (ws, n, sum) =>
+                out += PunctWin(uid, ws, n, math.rint(sum * 100) / 100)
+              }
+              s = PunctState(wm, open)
+            } else if (s.wmMs != Long.MinValue && t < s.wmMs) {
+              // behind the punctuated watermark: dropped (Flink default)
+            } else {
+              val ws = t - java.lang.Math.floorMod(t, widthMs)
+              val open = s.open.toVector
+              val i = open.indexWhere(_._1 == ws)
+              s = s.copy(open = if (i < 0) open :+ ((ws, 1L, e.value))
+                else open.updated(i, (ws, open(i)._2 + 1, open(i)._3 + e.value)))
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Timer-driven stateful op (the reference KeyedProcessFunction
     * timer surface, KeyedStream.java:372 `process`): per-user session
     * timeout alerts. Each arriving event refreshes the key's state

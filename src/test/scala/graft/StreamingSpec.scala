@@ -203,6 +203,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(all == afterB1 + ((2L, 20.0, 3L, 49.0)))
   }
 
+  test("punctuated watermark markers close windows immediately and drop older arrivals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.punctuatedTumbling(ms.toDS(), widthMs = 5 * 60000L).writeStream
+      .format("memory").queryName("punct").outputMode(OutputMode.Append()).start()
+    // events in [0,5min) then a marker at 5min: the marker ALONE
+    // closes window [0,5) — no periodic estimate, no extra batch
+    ms.addData(Ev(1, ts(1), 1, "ev", 1.0), Ev(2, ts(2), 1, "ev", 2.0),
+      Ev(3, ts(5), 1, "wm", 0.0))
+    q.processAllAvailable()
+    val afterMarker = spark.table("punct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(afterMarker == Set((1L, 0L, 2L, 3.0)))
+    // behind-the-watermark arrival (3min < wm 5min) is dropped; the
+    // next window accumulates across the batch boundary and only the
+    // next marker closes it
+    ms.addData(Ev(4, ts(3), 1, "ev", 100.0), Ev(5, ts(6), 1, "ev", 4.0))
+    q.processAllAvailable()
+    assert(spark.table("punct").count() == 1) // nothing new closed yet
+    ms.addData(Ev(6, ts(7), 1, "ev", 5.0), Ev(7, ts(10), 1, "wm", 0.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("punct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // the dropped 100.0 never surfaces in any window
+    assert(all == afterMarker + ((1L, 5 * 60000L, 2L, 9.0)))
+  }
+
   test("count window state carries across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
