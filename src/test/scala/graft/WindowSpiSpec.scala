@@ -84,6 +84,55 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
     assert(spi == fused && spi.nonEmpty)
   }
 
+  test("globalWindow equals a single-pass driver simulator on random traces and batch splits") {
+    // the strategy logic is hand-traced elsewhere; THIS property pins
+    // the Spark plumbing — state round-trip, intra-batch ordering,
+    // arbitrary micro-batch boundaries — against one in-memory fold
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(20)
+      val vals = Vector.fill(n)(math.rint(rnd.nextDouble() * 4000 - 1000) / 10)
+      val trigger: GraftTrigger = rnd.nextInt(3) match {
+        case 0 => CountTrigger(1 + rnd.nextInt(4))
+        case 1 => DeltaTrigger(1.0 + rnd.nextInt(20))
+        case _ => PurgingTrigger(CountTrigger(1 + rnd.nextInt(4)))
+      }
+      val evictor: GraftEvictor = rnd.nextInt(3) match {
+        case 0 => CountEvictor(1 + rnd.nextInt(5))
+        case 1 => TimeEvictor((1 + rnd.nextInt(5)) * 60000L)
+        case _ => NoEvictor
+      }
+      val events = vals.zipWithIndex.map { case (v, i) => Ev(i + 1, ts(i + 1), 1, "a", v) }
+      // random micro-batch boundaries
+      val cut1 = 1 + rnd.nextInt(n - 2)
+      val cut2 = cut1 + 1 + rnd.nextInt(n - cut1 - 1)
+      val split = Seq(events.take(cut1), events.slice(cut1, cut2), events.drop(cut2))
+
+      // driver simulator: the same strategy objects, one fold, no Spark
+      var regs = TriggerRegs()
+      var buf = Vector.empty[WinElem]
+      var fired = 0L
+      val expect = Set.newBuilder[(Long, Long, Long, Double)]
+      events.foreach { e =>
+        val elem = WinElem(e.event_id, e.ts.getTime, e.value)
+        buf :+= elem
+        val (res, r2) = trigger.onElement(elem, regs)
+        regs = r2
+        if (res.fire) {
+          val kept = evictor.evict(buf)
+          expect += ((1L, fired, kept.length.toLong,
+            math.rint(kept.map(_.value).sum * 100) / 100))
+          fired += 1
+          buf = kept
+        }
+        if (res.purge) buf = Vector.empty
+      }
+      val got = runSpi(s"spi_prop_$trial", trigger, evictor, split)
+      assert(got == expect.result(),
+        s"trial $trial trigger=$trigger evictor=$evictor cuts=($cut1,$cut2)")
+    }
+  }
+
   test("TimeEvictor keeps only the trailing event-time span at fire, per a hand trace") {
     // user 2 values 5,8,2,6,30 at minutes 1..5; CountTrigger(5) fires
     // once on the 5th element; TimeEvictor(2min) keeps ts >= 5min-2min
