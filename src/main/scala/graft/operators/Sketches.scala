@@ -110,4 +110,59 @@ object Sketches {
       .select(explode(col("hh")).as(Seq("item", "est_count")))
       .orderBy(desc("est_count"), col("item"))
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan) — point-frequency
+    * estimates over unbounded key cardinality in d×w longs of state:
+    * each of d hash rows increments one of w counters per item;
+    * estimate = min over rows. One-sided error: `exact ≤ est`, and
+    * `est ≤ exact + e·N/w` with probability `1 − e^−d` per query.
+    * Merge is element-wise sum — fully associative/commutative, so
+    * the sketch is IDENTICAL under any partitioning or merge tree
+    * (SketchesSpec asserts table equality across repartitionings, the
+    * property Misra-Gries above only has in bound form). Complements
+    * [[HeavyHittersAgg]]: MG answers "which items are frequent",
+    * CM answers "how often is THIS item" for arbitrary later probes.
+    */
+  case class CmBuf(t: Vector[Long])
+
+  /** The queryable sketch (driver-side model state, d·w longs). */
+  case class CountMin(d: Int, w: Int, table: IndexedSeq[Long]) {
+    def estimate(x: String): Long =
+      (0 until d).map(i => table(CountMin.idx(d, w, i, x))).min
+  }
+
+  object CountMin {
+    private[operators] def idx(d: Int, w: Int, i: Int, x: String): Int =
+      i * w + math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(x, i * 0x9E3779B9 + 1), w)
+  }
+
+  class CountMinAgg(d: Int, w: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, CmBuf, Seq[Long]] {
+    require(d > 0 && w > 0, s"d/w must be positive, got $d/$w")
+    override def zero: CmBuf = CmBuf(Vector.fill(d * w)(0L))
+    override def reduce(b: CmBuf, x: String): CmBuf = {
+      var t = b.t
+      var i = 0
+      while (i < d) { val j = CountMin.idx(d, w, i, x); t = t.updated(j, t(j) + 1); i += 1 }
+      CmBuf(t)
+    }
+    override def merge(a: CmBuf, b: CmBuf): CmBuf =
+      CmBuf(Vector.tabulate(d * w)(j => a.t(j) + b.t(j)))
+    override def finish(b: CmBuf): Seq[Long] = b.t
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CmBuf] =
+      org.apache.spark.sql.Encoders.product[CmBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Build the sketch over a string column. Distributed partial
+    * aggregation; only the d·w table crosses the final exchange. */
+  def countMin(df: DataFrame, valueCol: String, d: Int = 4, w: Int = 256): CountMin = {
+    import df.sparkSession.implicits._
+    val table = df.select(col(valueCol).cast("string")).as[String]
+      .select(new CountMinAgg(d, w).toColumn.name("cm"))
+      .head()
+    CountMin(d, w, table.toIndexedSeq)
+  }
 }

@@ -87,4 +87,27 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
   }
+
+  test("count-min estimates are one-sided and the table is partition-invariant") {
+    val tokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val exact = tokens.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val w = 256
+    val cm = Sketches.countMin(tokens, "token", d = 4, w = w)
+    // one-sided error: never undercounts; overcount bounded by ~eN/w
+    // per probe whp (deterministic for this fixed corpus + seeds)
+    val slack = 3L * n / w
+    exact.foreach { case (t, c) =>
+      val est = cm.estimate(t)
+      assert(est >= c, s"$t undercounted: $est < $c")
+      assert(est - c <= slack, s"$t overcounted past $slack: $est vs $c")
+    }
+    // merge is element-wise sum, so ANY partitioning / merge tree must
+    // produce the IDENTICAL table — the mergeable-summary contract
+    val cm7 = Sketches.countMin(tokens.repartition(7), "token", d = 4, w = w)
+    assert(cm.table == cm7.table)
+  }
 }
