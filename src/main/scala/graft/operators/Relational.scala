@@ -896,7 +896,142 @@ object Relational {
       |  FROM documents WHERE doc_id % 3 <> 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** Order-priority check (TPC-H Q4 shape): EXISTS correlated on the
+    * join key PLUS a non-equi outer reference (l_shipdate >
+    * o_orderdate) — Catalyst plans the DataFrame left-semi with the
+    * mixed condition directly: one equi-keyed shuffle, the non-equi
+    * part evaluated in the join, no per-row subquery re-execution.
+    * Dates live only in predicates; output is (priority, count). */
+  def q100OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q100Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q101
+  /** Shipping mix (TPC-H Q12 shape): conditional case-sums over an
+    * order–lineitem join, partial-aggregated before the one
+    * returnflag-keyed shuffle. Counts cast to BIGINT on the DuckDB
+    * side — sum(int) is HUGEINT there (the q72 lesson). */
+  def q101PriorityShipmix(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q101Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |               THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+    * brand/size/quantity branches across a part–lineitem join. The
+    * join key is still the pure equi p_partkey = l_partkey, so
+    * Catalyst keeps a broadcast/shuffled hash join and evaluates the
+    * disjunction as a post-join filter — the shape that degrades to a
+    * nested loop if the ORs are (wrongly) folded into the join
+    * condition. Revenue is one rounded aggregated sum. */
+  def q102DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def branch(brand: String, sLo: Int, sHi: Int, qLo: Int, qHi: Int): org.apache.spark.sql.Column =
+      col("p_brand") === brand && col("p_size").between(sLo, sHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+      .filter(branch("Brand#1", 1, 15, 1, 20) ||
+        branch("Brand#2", 10, 30, 10, 30) ||
+        branch("Brand#3", 20, 50, 20, 50))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val q102Sql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  /** Waiting suppliers (TPC-H Q21 shape, adapted: "late" = shipped
+    * more than 60 days after order date): the dual correlated
+    * subquery — EXISTS another supplier on the order AND NOT EXISTS
+    * another LATE supplier on it, the second correlating on TWO outer
+    * relations (l1 and orders). Enters through `spark.sql` like
+    * q64/q79: Catalyst's RewritePredicateSubquery turns the pair into
+    * a left-semi plus a left-anti join on orderkey, both equi-keyed
+    * shuffles — never a per-row re-execution. */
+  def q103WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("g103_supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("g103_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g103_lineitem")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM g103_supplier JOIN g103_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN g103_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM g103_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM g103_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  val q103Sql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_order_priority" -> (q100OrderPriority _),
+    "q101_priority_shipmix" -> (q101PriorityShipmix _),
+    "q102_disjunctive_revenue" -> (q102DisjunctiveRevenue _),
+    "q103_waiting_supplier" -> (q103WaitingSupplier _),
     "q97_union_by_name" -> (q97UnionByName _),
     "q96_bloom_semi_join" -> (q96BloomSemiJoin _),
     "q94_stat_aggregates" -> (q94StatAggregates _),
@@ -932,6 +1067,10 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q100_order_priority" -> q100Sql,
+    "q101_priority_shipmix" -> q101Sql,
+    "q102_disjunctive_revenue" -> q102Sql,
+    "q103_waiting_supplier" -> q103Sql,
     "q97_union_by_name" -> q97Sql,
     "q96_bloom_semi_join" -> q96Sql,
     "q94_stat_aggregates" -> q94Sql,
