@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[graft.plans.CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => graft.plans.CosineSim(exprs.head, exprs(1))))
     // graft_h60(s): the engine's portable 60-bit hash
     // ([[graft.functions.Portable.h60]]) on the SQL surface, so pure-SQL
     // users get the same reproducible sharding/sampling/sketch keys as

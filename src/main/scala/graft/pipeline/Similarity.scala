@@ -537,7 +537,46 @@ object Similarity {
       |  list_sum(list_transform(q, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT)))::BIGINT AS q_energy
       |FROM qz ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Cosine top pairs through the NATIVE EXPRESSION path
+    * ([[graft.plans.CosineSim]], SQL `graft_cosine`): the same
+    * semantics as the kernel-based q33/q34 but expressed entirely in
+    * whole-stage codegen — dot and both norms fuse into one generated
+    * loop per pair, no mapPartitions, no boxing. This is the form
+    * composable inside ANY Catalyst plan (filters, joins, window
+    * functions), where the kernel needs its own operator; grading it
+    * proves the expression end-to-end against the oracle's
+    * list-arithmetic twin. */
+  val Q104Vecs = 64
+  val Q104Pairs = 40
+
+  def q104CosineExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < Q104Vecs)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("graft_cosine(ea, eb)"), 4).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(Q104Pairs)
+  }
+
+  val q104Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings WHERE vec_id < $Q104Vecs)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_sum(list_transform(range($Dim),
+       |    k -> CAST(a.embedding[k+1] AS DOUBLE) * CAST(b.embedding[k+1] AS DOUBLE)))
+       |    / (a.nrm * b.nrm), 4) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a, vec_b
+       |LIMIT $Q104Pairs""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_cosine_expr" -> (q104CosineExpr _),
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_filtered_ann" -> (q52FilteredAnn _),
@@ -546,6 +585,7 @@ object Similarity {
     "q65_ann_lsh_multiprobe" -> (q65AnnLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
+    "q104_cosine_expr" -> q104Sql,
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
     "q52_filtered_ann" -> q52Sql,

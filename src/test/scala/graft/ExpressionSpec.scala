@@ -76,6 +76,29 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(e.eval(null) == 11.0)
   }
 
+  test("graft_cosine equals the composed dot/norm expression bit-for-bit and stays codegen'd") {
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+    // the composed form shares graft_cosine's exact fold order (each
+    // accumulator sums ascending), so equality must be bitwise
+    val both = pairs.select(
+      call_function("graft_cosine", col("ea"), col("eb")).as("native"),
+      (call_function("graft_dot", col("ea"), col("eb")) /
+        (sqrt(call_function("graft_dot", col("ea"), col("ea"))) *
+          sqrt(call_function("graft_dot", col("eb"), col("eb"))))).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    val plan = emb.select(call_function("graft_cosine", col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_cosine"), plan)
+    // zero-norm convention: 0.0, never NaN
+    val z = spark.sql(
+      "SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+    assert(z.head.getDouble(0) == 0.0)
+  }
+
   test("typed Aggregator stats match declarative avg/stddev") {
     val agg = Aggregators.q43AggregatorStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
