@@ -139,13 +139,76 @@ object Typed {
       |WHERE abs(value - mu) > 2 * coalesce(CASE WHEN n < 2 THEN 0.0 ELSE sigma END, 0.0)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Delta-trigger fire sequence as a BATCH groupReduce — the graded
+    * twin of [[graft.streaming.Streams.deltaWindow]]'s trigger rule
+    * (reference DeltaTrigger.java): walking each user's events in
+    * event_id order, the first value seeds a reference point and a
+    * fire is emitted whenever |value − ref| > [[Q105Threshold]], the
+    * reference advancing only on fire. Sequential-by-construction, so
+    * the oracle is a DuckDB RECURSIVE CTE walking row_number order —
+    * an independent engine re-deriving the same state machine. The
+    * comparison operands are raw column values (ref is always a
+    * previously SEEN value, never an accumulation), so cross-engine
+    * bit-identity needs no rounding anywhere. Scoped to user_id <
+    * [[Q105Users]]: 12 bounded sequences (≤ ~81 events at every SF)
+    * keep the oracle's recursion depth fixed while the Spark side
+    * stays the ordinary flatMapGroups shape that runs at any scale.
+    */
+  val Q105Threshold = 50.0
+  val Q105Users = 12
+
+  def q105DeltaFires(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(col("user_id") < Q105Users)
+      .select(col("event_id"), col("user_id"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        var seeded = false
+        var ref = 0.0
+        var idx = 0L
+        it.toSeq.sortBy(_.event_id).iterator.flatMap { e =>
+          if (!seeded) { seeded = true; ref = e.value; Iterator.empty }
+          else if (math.abs(e.value - ref) > Q105Threshold) {
+            ref = e.value
+            idx += 1
+            Iterator((uid, idx - 1, e.event_id, e.value))
+          } else Iterator.empty
+        }
+      }
+      .toDF("user_id", "fire_idx", "event_id", "trigger_v")
+      .orderBy(col("user_id"), col("fire_idx"))
+  }
+
+  val q105Sql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT event_id, user_id, value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+       |  FROM events WHERE user_id < $Q105Users),
+       |walk(user_id, rn, ref, fired, fire, event_id, value) AS (
+       |  SELECT user_id, rn, value, CAST(0 AS BIGINT), false, event_id, value
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.rn,
+       |    CASE WHEN abs(s.value - w.ref) > $Q105Threshold THEN s.value ELSE w.ref END,
+       |    w.fired + CASE WHEN abs(s.value - w.ref) > $Q105Threshold THEN 1 ELSE 0 END,
+       |    abs(s.value - w.ref) > $Q105Threshold,
+       |    s.event_id, s.value
+       |  FROM walk w JOIN s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+       |SELECT user_id, fired - 1 AS fire_idx, event_id, value AS trigger_v
+       |FROM walk WHERE fire
+       |ORDER BY user_id, fire_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_wordcount" -> (q15WordCount _),
     "q16_cogroup" -> (q16CoGroup _),
-    "q17_groupreduce_outliers" -> (q17GroupReduceOutliers _))
+    "q17_groupreduce_outliers" -> (q17GroupReduceOutliers _),
+    "q105_delta_fires" -> (q105DeltaFires _))
 
   def oracles: Map[String, String] = Map(
     "q15_wordcount" -> q15Sql,
     "q16_cogroup" -> q16Sql,
-    "q17_groupreduce_outliers" -> q17Sql)
+    "q17_groupreduce_outliers" -> q17Sql,
+    "q105_delta_fires" -> q105Sql)
 }
