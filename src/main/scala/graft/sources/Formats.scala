@@ -62,6 +62,18 @@ object Formats {
   def readAvro(spark: SparkSession, path: String): DataFrame =
     spark.read.format(AvroFormat).load(path)
 
+  /** XML (the reference ecosystem reads feed/config XML through
+    * custom input formats; Spark ≥4.0 ships the XML data source in
+    * spark-sql). `rowTag` names the repeated record element; schema
+    * passed explicitly like every other format here — inference is a
+    * full extra pass at 100 TB. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).format("xml").load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(path)
+
   /** JDBC source (the reference `flink-connectors/flink-connector-jdbc`
     * JdbcInputFormat). `partitionOn` splits the read into
     * `numPartitions` range-parallel queries — without it a JDBC scan

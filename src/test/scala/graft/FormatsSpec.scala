@@ -76,6 +76,16 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
       orig.filter(col("n_regionkey") === 1).count())
   }
 
+  test("xml sink/source roundtrip preserves schema and rows") {
+    val dir = tmp("xml")
+    val orig = Tables.nation(spark, sf)
+    Formats.writeXml(orig, dir, rowTag = "nation")
+    val back = Formats.readXml(spark, dir, orig.schema, rowTag = "nation")
+    assert(back.schema == orig.schema)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq ==
+      orig.orderBy(col("n_nationkey")).collect().toSeq)
+  }
+
   test("jdbc sink/source roundtrip against an embedded DB, pushdown + partitioned read") {
     val url = "jdbc:duckdb:" + tmp("duck") + ".db"
     val driver = "org.duckdb.DuckDBDriver"

@@ -274,6 +274,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 1 && got.peek() == ((1L, 0L, 3L, 6.0)))
   }
 
+  test("stateful operators run unchanged on the RocksDB state store") {
+    // the large-state deployment shape: at 100 TB keyspaces the HDFS-
+    // backed in-memory store OOMs and RocksDB spills per key to local
+    // disk. The operator code must be provider-agnostic — same
+    // results, only the store conf changes.
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val ctx = rocks.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.countWindow(ms.toDS(), 3).writeStream
+      .format("memory").queryName("rocks_cw").outputMode(OutputMode.Append()).start()
+    ms.addData((1 to 7).map(i => Ev(i, ts(i), 1, "a", i.toDouble)): _*)
+    q.processAllAvailable()
+    // cross-batch state must round-trip through RocksDB too
+    ms.addData(Ev(8, ts(8), 1, "a", 8.0), Ev(9, ts(9), 1, "a", 9.0))
+    q.processAllAvailable(); q.stop()
+    val rows = rocks.table("rocks_cw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set((1L, 0L, 3L, 6.0), (1L, 1L, 3L, 15.0), (1L, 2L, 3L, 24.0)))
+  }
+
   test("file-stream source processes the events table end-to-end") {
     val table = Streams.runTumblingOnce(spark, sf, "file_tumb")
     val batch = graft.operators.Windows.q18Tumbling(spark, sf).count()
