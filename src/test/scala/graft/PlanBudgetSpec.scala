@@ -44,7 +44,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // round-3 regression this spec exists to catch)
     "q85_dup_ngram_frac" -> PlanCounts(1, 0, 3, 0),
     "q89_tfidf_keywords" -> PlanCounts(2, 0, 4, 1),
-    "q90_bigram_perplexity" -> PlanCounts(3, 0, 5, 2))
+    "q90_bigram_perplexity" -> PlanCounts(3, 0, 5, 2),
+    // five scans = supplier + orders + lineitem l1/l2/l3 — the semi
+    // and anti legs each rescan lineitem ONCE, never per-row
+    "q103_waiting_supplier" -> PlanCounts(5, 0, 1, 4),
+    // pair scoring is scan + one broadcast; zero shuffles pre-TopK
+    "q104_cosine_expr" -> PlanCounts(2, 0, 0, 1))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
