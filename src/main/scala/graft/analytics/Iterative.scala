@@ -26,18 +26,11 @@ object Iterative {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Run the final job of an iterative query NOW, release its
-    * persisted working set, and hand the (tiny — a handful of model/
-    * summary rows) result back as a local relation. Without this,
-    * every invocation leaks one pinned MEMORY_AND_DISK relation into
-    * the session's block manager — harmless once, ruinous across a
-    * 99-query bench loop. */
+  /** [[graft.engine.Localize]] with the working-set unpersist as the
+    * release action — see that object for the why. */
   private def localized(spark: SparkSession, result: DataFrame,
-      cached: DataFrame*): DataFrame = {
-    val rows = result.collect()
-    cached.foreach(_.unpersist(blocking = false))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-  }
+      cached: DataFrame*): DataFrame =
+    graft.engine.Localize(result) { cached.foreach(_.unpersist(blocking = false)) }
 
   // ---------------------------------------------------------------- q22
   /** Matrix multiply (TestMatrixMultiplication.java:59-78): C = A×Bᵀ

@@ -123,7 +123,7 @@ object Sketches {
     * [[HeavyHittersAgg]]: MG answers "which items are frequent",
     * CM answers "how often is THIS item" for arbitrary later probes.
     */
-  case class CmBuf(t: Vector[Long])
+  case class CmBuf(t: Array[Long])
 
   /** The queryable sketch (driver-side model state, d·w longs). */
   case class CountMin(d: Int, w: Int, table: IndexedSeq[Long]) {
@@ -140,16 +140,20 @@ object Sketches {
   class CountMinAgg(d: Int, w: Int)
       extends org.apache.spark.sql.expressions.Aggregator[String, CmBuf, Seq[Long]] {
     require(d > 0 && w > 0, s"d/w must be positive, got $d/$w")
-    override def zero: CmBuf = CmBuf(Vector.fill(d * w)(0L))
+    override def zero: CmBuf = CmBuf(new Array[Long](d * w))
+    // the Aggregator contract allows mutating and returning the buffer
+    // — reduce stays allocation-free on the per-row hot path
     override def reduce(b: CmBuf, x: String): CmBuf = {
-      var t = b.t
       var i = 0
-      while (i < d) { val j = CountMin.idx(d, w, i, x); t = t.updated(j, t(j) + 1); i += 1 }
-      CmBuf(t)
+      while (i < d) { b.t(CountMin.idx(d, w, i, x)) += 1; i += 1 }
+      b
     }
-    override def merge(a: CmBuf, b: CmBuf): CmBuf =
-      CmBuf(Vector.tabulate(d * w)(j => a.t(j) + b.t(j)))
-    override def finish(b: CmBuf): Seq[Long] = b.t
+    override def merge(a: CmBuf, b: CmBuf): CmBuf = {
+      var j = 0
+      while (j < a.t.length) { a.t(j) += b.t(j); j += 1 }
+      a
+    }
+    override def finish(b: CmBuf): Seq[Long] = b.t.toVector
     override def bufferEncoder: org.apache.spark.sql.Encoder[CmBuf] =
       org.apache.spark.sql.Encoders.product[CmBuf]
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
@@ -157,10 +161,12 @@ object Sketches {
   }
 
   /** Build the sketch over a string column. Distributed partial
-    * aggregation; only the d·w table crosses the final exchange. */
+    * aggregation; only the d·w table crosses the final exchange.
+    * NULLs carry no frequency and are skipped. */
   def countMin(df: DataFrame, valueCol: String, d: Int = 4, w: Int = 256): CountMin = {
     import df.sparkSession.implicits._
-    val table = df.select(col(valueCol).cast("string")).as[String]
+    val table = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull).as[String]
       .select(new CountMinAgg(d, w).toColumn.name("cm"))
       .head()
     CountMin(d, w, table.toIndexedSeq)

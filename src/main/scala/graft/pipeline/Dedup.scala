@@ -176,8 +176,12 @@ object Dedup {
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key
+       |        HAVING count(*) <= $MaxBucket),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM bands x JOIN bands y
+       |          FROM bands x
+       |          JOIN okb ON x.band = okb.band AND x.key = okb.key
+       |          JOIN bands y
        |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -278,9 +282,13 @@ object Dedup {
     s"""WITH $simhashCteSql,
        |bands AS (SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS key
        |          FROM sig CROSS JOIN (SELECT unnest(range(6)) AS band)),
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key
+       |        HAVING count(*) <= $MaxBucket),
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |                 x.simhash AS ha, y.simhash AS hb
-       |          FROM bands x JOIN bands y
+       |          FROM bands x
+       |          JOIN okb ON x.band = okb.band AND x.key = okb.key
+       |          JOIN bands y
        |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
        |FROM pairs WHERE bit_count(xor(ha, hb)) <= $HammingMax

@@ -330,12 +330,9 @@ object Similarity {
     }
     // The pair set above the threshold is tiny by construction, but
     // the union plan pins one executor broadcast PER BLOCK: run the
-    // passes now, hand back a local relation, and destroy the blocks
-    // so a long bench/serve session doesn't accumulate them.
-    val pairs = parts.reduce(_ union _)
-    val rows = pairs.collect()
-    bcasts.foreach(_.destroy())
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
+    // passes now (graft.engine.Localize), destroying the blocks so a
+    // long bench/serve session doesn't accumulate them.
+    graft.engine.Localize(parts.reduce(_ union _)) { bcasts.foreach(_.destroy()) }
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

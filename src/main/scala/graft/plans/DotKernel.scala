@@ -62,7 +62,7 @@ case class DotKernelProjectExec(projectList: Seq[NamedExpression], child: SparkP
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val pl = projectList
-    child.execute().mapPartitions { it =>
+    child.execute().mapPartitionsWithIndex { (partIdx, it) =>
       // kernel slots, in projection order
       val dots = pl.collect { case Alias(d: DotProduct, _) => d }
       val dotInputs = dots.map { d =>
@@ -80,6 +80,7 @@ case class DotKernelProjectExec(projectList: Seq[NamedExpression], child: SparkP
         case e => BindReferences.bindReference(e, childOutput)
       }
       val outProj = UnsafeProjection.create(rewritten)
+      outProj.initialize(partIdx)
       val joined = new JoinedRow
 
       it.grouped(DotKernel.BatchSize).flatMap { batch =>
@@ -138,7 +139,9 @@ object DotKernelProjectRule extends Rule[SparkPlan] {
       case Alias(_: DotProduct, _) => false
       case e => e.exists(_.isInstanceOf[DotProduct])
     }
-    topLevel > 0 && !nested
+    // nondeterministic expressions need ProjectExec's per-partition
+    // initialize contract — leave them on the stock path
+    topLevel > 0 && !nested && pl.forall(_.deterministic)
   }
 
   override def apply(plan: SparkPlan): SparkPlan =

@@ -309,8 +309,11 @@ object Streams {
                 out += PunctWin(uid, ws, n, math.rint(sum * 100) / 100)
               }
               s = PunctState(wm, open)
-            } else if (s.wmMs != Long.MinValue && t < s.wmMs) {
-              // behind the punctuated watermark: dropped (Flink default)
+            } else if (s.wmMs != Long.MinValue &&
+                (t - java.lang.Math.floorMod(t, widthMs)) + widthMs <= s.wmMs) {
+              // dropped ONLY when the event's window is ENTIRELY late
+              // (window end <= watermark) — Flink's WindowOperator
+              // rule; a late event whose window is still open joins it
             } else {
               val ws = t - java.lang.Math.floorMod(t, widthMs)
               val open = s.open.toVector
@@ -393,16 +396,18 @@ object Streams {
     private[streaming] def observe(batch: DataFrame): Unit = {
       val wm = watermarkMs
       val tsMs = (col("ts").cast("double") * 1000).cast("long")
-      val row = batch.agg(
-        sum(when(tsMs < wm, 1L).otherwise(0L)).as("late"),
-        sum(when(tsMs >= wm, 1L).otherwise(0L)).as("on_time"),
-        max(tsMs).as("mx")).head()
-      if (!row.isNullAt(2)) {
-        late.add(row.getLong(0))
-        onTime.add(row.getLong(1))
-        maxTsMs = math.max(maxTsMs, row.getLong(2))
+      // one classification pass per micro-batch; the late-row fetch
+      // below is a second job ONLY on batches that actually have late
+      // rows (the exceptional tail), so steady-state cost is one scan
+      val cls = batch.groupBy((tsMs < wm).as("is_late"))
+        .agg(count(lit(1)).as("n"), max(tsMs).as("mx")).collect()
+      var lateN = 0L
+      cls.foreach { r =>
+        val n = r.getLong(1)
+        if (r.getBoolean(0)) { late.add(n); lateN = n } else onTime.add(n)
+        if (!r.isNullAt(2)) maxTsMs = math.max(maxTsMs, r.getLong(2))
       }
-      if (wm != Long.MinValue) {
+      if (wm != Long.MinValue && (lateN > 0 || lateSink != null)) {
         val lateDf = batch.filter(tsMs < wm)
           .select(col("event_id"), col("user_id"), tsMs.as("ts_ms"),
             (tsMs - pmod(tsMs, lit(windowMs))).as("w_start_ms"))

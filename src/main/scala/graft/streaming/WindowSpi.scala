@@ -95,13 +95,15 @@ object WindowSpi {
     override def evict(buf: Vector[WinElem]): Vector[WinElem] = buf.takeRight(size)
   }
 
-  /** TimeEvictor.of(windowMs): keep elements within windowMs of the
-    * newest element's event time. */
+  /** TimeEvictor.of(windowMs): evict elements with event time AT OR
+    * BEFORE maxTs − windowMs (Flink's cutoff is inclusive on the
+    * evict side — an element exactly windowMs older than the newest
+    * goes). */
   case class TimeEvictor(windowMs: Long) extends GraftEvictor {
     require(windowMs > 0, s"TimeEvictor needs windowMs > 0, got $windowMs")
     override def evict(buf: Vector[WinElem]): Vector[WinElem] =
       if (buf.isEmpty) buf
-      else { val hi = buf.map(_.ts_ms).max; buf.filter(_.ts_ms >= hi - windowMs) }
+      else { val hi = buf.map(_.ts_ms).max; buf.filter(_.ts_ms > hi - windowMs) }
   }
 
   case class SpiWinState(regs: TriggerRegs, buf: Seq[WinElem], fired: Long)

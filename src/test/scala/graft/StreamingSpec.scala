@@ -217,17 +217,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val afterMarker = spark.table("punct").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(afterMarker == Set((1L, 0L, 2L, 3.0)))
-    // behind-the-watermark arrival (3min < wm 5min) is dropped; the
-    // next window accumulates across the batch boundary and only the
-    // next marker closes it
-    ms.addData(Ev(4, ts(3), 1, "ev", 100.0), Ev(5, ts(6), 1, "ev", 4.0))
+    // entirely-late arrival (window [0,5) closed at wm 5min) is
+    // dropped; a marker mid-window then advances wm to 7min, and a
+    // LATE event at 6min must still JOIN the open [5,10) window —
+    // Flink drops only when the whole window is late, not the event
+    ms.addData(Ev(4, ts(3), 1, "ev", 100.0), Ev(5, ts(8), 1, "ev", 4.0),
+      Ev(6, ts(7), 1, "wm", 0.0))
     q.processAllAvailable()
-    assert(spark.table("punct").count() == 1) // nothing new closed yet
-    ms.addData(Ev(6, ts(7), 1, "ev", 5.0), Ev(7, ts(10), 1, "wm", 0.0))
+    assert(spark.table("punct").count() == 1) // [5,10) still open at wm 7min
+    ms.addData(Ev(7, ts(6), 1, "ev", 5.0), // behind wm, window end 10 > 7: kept
+      Ev(8, ts(10), 1, "wm", 0.0))
     q.processAllAvailable(); q.stop()
     val all = spark.table("punct").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    // the dropped 100.0 never surfaces in any window
+    // the entirely-late 100.0 never surfaces; the in-window late 5.0 does
     assert(all == afterMarker + ((1L, 5 * 60000L, 2L, 9.0)))
   }
 

@@ -135,10 +135,11 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
 
   test("TimeEvictor keeps only the trailing event-time span at fire, per a hand trace") {
     // user 2 values 5,8,2,6,30 at minutes 1..5; CountTrigger(5) fires
-    // once on the 5th element; TimeEvictor(2min) keeps ts >= 5min-2min
-    // = minutes 3,4,5 -> (2,6,30): n=3, sum=38
+    // once on the 5th element; TimeEvictor(2min) evicts ts <= 5min-2min
+    // = minute 3 and older (Flink's inclusive evict cutoff), keeping
+    // minutes 4,5 -> (6,30): n=2, sum=36
     val spi = runSpi("spi_te", CountTrigger(5), TimeEvictor(2 * 60000L),
       Seq(evs.filter(_.user_id == 2)))
-    assert(spi == Set((2L, 0L, 3L, 38.0)))
+    assert(spi == Set((2L, 0L, 2L, 36.0)))
   }
 }
