@@ -13,13 +13,29 @@ object Bench {
     // min of 2 runs per query: this container's CPU noise is ±15%,
     // and the second run also reflects warm library caches. A crashed
     // query must NOT masquerade as a fast one: it reports -1.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_GC=true inserts a full GC + settle pause
+    // between queries: isolates each query from its predecessors'
+    // garbage when attributing slowdowns (costs ~0.2s/query).
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("true")
+    // SPARK_GRAFT_BENCH_ONLY=q29,q103 runs just the named short ids —
+    // for targeted reruns (scale rehearsals, regression attribution)
+    // without paying for the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(shortKey(name))) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // Both raw run times go to stderr: run1>>run2 is cold-cache
+      // cost, run1~run2-slow is genuine cost, and a one-off spike in
+      // either is machine noise — min-of-2 alone can't distinguish.
+      System.err.println(
+        f"[bench-runs] $name run1=${times(0)}%.3f run2=${times(1)}%.3f")
       // release whatever the query pinned (persisted relations,
       // session memos) so storage doesn't accumulate across the
       // ~100-query loop and late queries aren't taxed for early
@@ -27,6 +43,7 @@ object Bench {
       // stay warm, so per-query numbers still reflect steady state.
       spark.catalog.clearCache()
       graft.engine.SessionCache.invalidateAll(spark)
+      if (gcBetween) { System.gc(); Thread.sleep(200) }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // The harness that captures this line keeps only the tail of stdout,
@@ -50,12 +67,17 @@ object Bench {
     "matmul" -> "q22", "kmeans" -> "q23", "dft" -> "q25", "logreg" -> "q24",
     "iot" -> "q21", "pi" -> "q26", "vadd" -> "q27")
 
+  /** Centiseconds below 100 s, whole seconds above — a 100 s query's
+    * centiseconds are noise, and the trim keeps the worst-case line
+    * inside the tail-capture budget as the registry grows. */
+  private def fmt(v: Double): String = if (v >= 100) f"$v%.0f" else f"$v%.2f"
+
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val byShort = results.map { case (k, v) => shortKey(k) -> v }.toMap
     val ref = RefBenchmarks.flatMap { case (name, q) =>
-      byShort.get(q).map(v => "\"" + name + "\":" + f"$v%.2f")
+      byShort.get(q).map(v => "\"" + name + "\":" + fmt(v))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"ref":$ref,"sf":"$sfDir"}"""

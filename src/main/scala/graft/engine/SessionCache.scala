@@ -20,22 +20,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     in the block manager.
   */
 object SessionCache {
-  private val instances =
-    new java.util.concurrent.ConcurrentLinkedQueue[SessionCache]()
+  // Weak refs: the registry must not pin caches created per-query
+  // (the engine's own are static, but callers may not be), and a
+  // cleared ref doubles as the deregistration path.
+  private val instances = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[SessionCache]]()
 
-  private def register(c: SessionCache): Unit = instances.add(c)
+  private def register(c: SessionCache): Unit =
+    instances.add(new java.lang.ref.WeakReference(c))
 
   /** Invalidate every cache's entries for `spark` — the between-
     * queries hygiene hook for bench/serve loops. */
   def invalidateAll(spark: SparkSession): Unit =
-    instances.forEach(_.invalidate(spark))
+    instances.removeIf { ref =>
+      ref.get match {
+        case null => true
+        case c => c.invalidate(spark); false
+      }
+    }
 }
 
 final class SessionCache(build: (SparkSession, String) => DataFrame) {
 
-  SessionCache.register(this)
-
   private val cache = TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
+
+  // Publish only after `cache` is initialized: a concurrent
+  // invalidateAll must never see a half-constructed instance.
+  SessionCache.register(this)
 
   /** Drop (and unpersist) every entry owned by `spark`. Needed by
     * harnesses that clear the session's cached storage between

@@ -17,12 +17,13 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("metric line fits the tail-capture budget even with worst-case values") {
-    // worst case: every query slow (5 digits + 2 decimals) — still
-    // must leave headroom for sbt's trailing [success] line inside a
-    // 2000-char tail window
+    // worst case: every query slow — still must leave headroom for
+    // sbt's trailing [success] line inside a 2000-char tail window;
+    // values >= 100s drop their (noise) centiseconds to stay compact
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99999.99)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
     assert(line.length < 1800, s"metric line ${line.length} chars — trim keys or precision")
+    assert(line.contains(""""q01":100000"""), "slow queries render without decimals")
     assert(line.startsWith("""{"metric":"total"""") && line.endsWith("}"))
     // crashed queries (-1) must not corrupt the JSON shape
     val withCrash = Bench.jsonLine(Seq("q01_x" -> -1.0, "q02_y" -> 1.5), "/x")

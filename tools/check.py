@@ -53,7 +53,13 @@ def type_family(t):
         return "bool"
     if s == "BLOB":
         return "bytes"
-    if s.endswith("[]") or s.startswith("LIST"):
+    if s.endswith("[]"):
+        # recurse into the element type: DOUBLE[] vs BIGINT[] is the
+        # same class of drift this gate exists to catch
+        return "list<" + type_family(s[:-2]) + ">"
+    if s.startswith("LIST(") and s.endswith(")"):
+        return "list<" + type_family(s[5:-1]) + ">"
+    if s.startswith("LIST"):
         return "list"
     return s
 
