@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.sources.Tables
 import graft.streaming.Streams.Ev
 
 /** General trigger/evictor SPI over a keyed global window — the
@@ -106,6 +108,170 @@ object WindowSpi {
       else { val hi = buf.map(_.ts_ms).max; buf.filter(_.ts_ms > hi - windowMs) }
   }
 
+  // ------------------------------------------------------------------
+  // Event-time windows with trigger/evictor overrides — the reference
+  // allows the same Trigger/Evictor objects on Tumbling/Sliding
+  // EventTimeWindows (WindowedStream.java:137,190), with
+  // ContinuousEventTimeTrigger.java the canonical non-default choice.
+  // ------------------------------------------------------------------
+
+  /** Trigger for event-time windows — Flink's Trigger<T, TimeWindow>:
+    * element hook + timer hook. The driver owns the window's cleanup
+    * timer at maxTs (= windowEnd − 1 ms, GC at watermark ≥ maxTs with
+    * zero allowed lateness); the trigger may keep ONE recurring timer
+    * of its own in the regs (exposed via [[pendingTimer]]).
+    *
+    * SPI contract: `onEventTime(t, …)` for `t == pendingTimer(regs)`
+    * must fire, clear, or advance that timer — a Continue that leaves
+    * it pending would spin the timer loop forever (Flink's timer
+    * service has the same implicit rule: a timer fires once). */
+  trait GraftTimeTrigger extends Serializable {
+    /** Called per element AFTER it joins its window buffer. */
+    def onElement(e: WinElem, windowMaxTs: Long, regs: TriggerRegs): (TriggerResult, TriggerRegs)
+    /** Called when the (key-local) watermark passes a due timer —
+      * either the trigger's own [[pendingTimer]] or the window's
+      * cleanup timer at `windowMaxTs`. */
+    def onEventTime(time: Long, windowMaxTs: Long, regs: TriggerRegs): (TriggerResult, TriggerRegs)
+    /** The trigger's own pending timer, if armed. */
+    def pendingTimer(regs: TriggerRegs): Option[Long]
+  }
+
+  /** EventTimeTrigger.java — the default: fire once, when the
+    * watermark passes the window's max timestamp. */
+  case object EventTimeTrigger extends GraftTimeTrigger {
+    override def onElement(e: WinElem, windowMaxTs: Long, regs: TriggerRegs): (TriggerResult, TriggerRegs) =
+      (TriggerResult.Continue, regs)
+    override def onEventTime(time: Long, windowMaxTs: Long, regs: TriggerRegs): (TriggerResult, TriggerRegs) =
+      if (time == windowMaxTs) (TriggerResult.Fire, regs) else (TriggerResult.Continue, regs)
+    override def pendingTimer(regs: TriggerRegs): Option[Long] = None
+  }
+
+  /** ContinuousEventTimeTrigger.java: early-fire every `intervalMs`
+    * of event time. The first element arms a timer at
+    * `floor(ts/interval)*interval + interval` (the reference's
+    * nextFireTimestamp); each firing re-arms at `t + interval`, so a
+    * watermark jump catches up through every grid point — Flink's
+    * timer loop drains newly registered timers ≤ the watermark in the
+    * same advance. The window-end fire at maxTs is kept, as in the
+    * reference's `time == window.maxTimestamp()` branch. The armed
+    * timestamp lives in `regs.ref` (exact: ms values < 2^53). */
+  case class ContinuousEventTimeTrigger(intervalMs: Long) extends GraftTimeTrigger {
+    require(intervalMs > 0, s"ContinuousEventTimeTrigger needs interval > 0, got $intervalMs")
+    override def onElement(e: WinElem, windowMaxTs: Long, regs: TriggerRegs): (TriggerResult, TriggerRegs) =
+      if (regs.seeded) (TriggerResult.Continue, regs)
+      else (TriggerResult.Continue, regs.copy(seeded = true,
+        ref = (e.ts_ms - java.lang.Math.floorMod(e.ts_ms, intervalMs) + intervalMs).toDouble))
+    override def onEventTime(time: Long, windowMaxTs: Long, regs: TriggerRegs): (TriggerResult, TriggerRegs) =
+      if (time == windowMaxTs) (TriggerResult.Fire, regs)
+      else if (regs.seeded && time == regs.ref.toLong)
+        (TriggerResult.Fire, regs.copy(ref = regs.ref + intervalMs))
+      else (TriggerResult.Continue, regs)
+    override def pendingTimer(regs: TriggerRegs): Option[Long] =
+      if (regs.seeded) Some(regs.ref.toLong) else None
+  }
+
+  /** One open tumbling window: start, trigger registers, buffer. */
+  case class TimeWin(ws: Long, regs: TriggerRegs, buf: Seq[WinElem])
+  /** Per-key state: key-local watermark + open windows. */
+  case class TimeWinState(wmMs: Long, wins: Seq[TimeWin])
+  /** One firing: window start, the event-time the fire happened at,
+    * aggregate over the surviving buffer. */
+  case class SpiTimeWin(user_id: Long, w_start_ms: Long, fire_ms: Long, n: Long, sum_v: Double)
+
+  /** One key's tumbling-event-time fold, shared by the streaming
+    * driver [[tumblingEventTime]] and the graded batch twin (q106).
+    * Elements must arrive in (ts, event_id) order per call; the
+    * key-local watermark is the running max event time (advanced
+    * AFTER each element, then due timers fire in timestamp order —
+    * the reference's advanceWatermark loop, which also drains timers
+    * re-armed ≤ the watermark during the same advance). A window is
+    * GC'd when the watermark passes its max timestamp (allowed
+    * lateness 0); an element whose window is already GC-eligible is
+    * dropped (WindowOperator.isWindowLate). Emits raw sums — callers
+    * round at the emission edge. */
+  private[graft] def timeWindowFold(s0: TimeWinState, elems: Iterator[WinElem],
+      widthMs: Long, trigger: GraftTimeTrigger, evictor: GraftEvictor)
+      : (TimeWinState, Seq[(Long, Long, Long, Double)]) = {
+    var wm = s0.wmMs
+    val wins = scala.collection.mutable.LinkedHashMap.empty[Long, (TriggerRegs, Vector[WinElem])]
+    s0.wins.foreach(w => wins(w.ws) = (w.regs, w.buf.toVector))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+
+    def fire(ws: Long, t: Long, regs: TriggerRegs, res: TriggerResult): Unit = {
+      var buf = wins(ws)._2
+      if (res.fire) {
+        val kept = evictor.evict(buf)
+        out += ((ws, t, kept.length.toLong, kept.map(_.value).sum))
+        buf = kept
+      }
+      if (res.purge) buf = Vector.empty
+      wins(ws) = (regs, buf)
+    }
+
+    def fireDue(): Unit = {
+      var progressed = true
+      while (progressed) {
+        progressed = false
+        // earliest due timer across open windows: the trigger's own
+        // (strictly before the cleanup slot) or the cleanup at maxTs
+        val due = wins.iterator.flatMap { case (ws, (regs, _)) =>
+          val maxTs = ws + widthMs - 1
+          trigger.pendingTimer(regs).filter(t => t <= wm && t < maxTs).map(t => (t, ws, false)) ++
+            (if (maxTs <= wm) Iterator.single((maxTs, ws, true)) else Iterator.empty)
+        }.toSeq.sortBy(d => (d._1, d._2))
+        due.headOption.foreach { case (t, ws, cleanup) =>
+          val (regs, _) = wins(ws)
+          val (res, regs2) = trigger.onEventTime(t, ws + widthMs - 1, regs)
+          fire(ws, t, regs2, res)
+          if (cleanup) wins.remove(ws) // GC: state cleared at maxTs
+          progressed = true
+        }
+      }
+    }
+
+    elems.foreach { e =>
+      val ws = e.ts_ms - java.lang.Math.floorMod(e.ts_ms, widthMs)
+      val maxTs = ws + widthMs - 1
+      if (wm != Long.MinValue && maxTs <= wm) {
+        // isWindowLate: the window is already GC-eligible — drop
+      } else {
+        val (regs0, buf0) = wins.getOrElse(ws, (TriggerRegs(), Vector.empty[WinElem]))
+        wins(ws) = (regs0, buf0 :+ e)
+        val (res, regs) = trigger.onElement(e, maxTs, regs0)
+        fire(ws, e.ts_ms, regs, res)
+      }
+      wm = if (wm == Long.MinValue) e.ts_ms else math.max(wm, e.ts_ms)
+      fireDue()
+    }
+    (TimeWinState(wm, wins.iterator.map { case (ws, (r, b)) => TimeWin(ws, r, b) }.toSeq), out.toSeq)
+  }
+
+  /** TumblingEventTimeWindows + a custom trigger/evictor as a
+    * streaming operator — WindowedStream.window(Tumbling…)
+    * .trigger(…).evictor(…). Each micro-batch's elements are applied
+    * in (ts, event_id) order; the watermark is key-local (same rule
+    * as [[Streams.punctuatedTumbling]]), so cross-batch stragglers
+    * hit the late-drop rule exactly as a Flink watermark straggler
+    * would. Sums are rounded at emission (2dp) like [[globalWindow]]. */
+  def tumblingEventTime(events: Dataset[Ev], widthMs: Long,
+      trigger: GraftTimeTrigger, evictor: GraftEvictor = NoEvictor): Dataset[SpiTimeWin] = {
+    require(widthMs > 0, s"window width must be positive, got $widthMs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimeWinState, SpiTimeWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TimeWinState]) =>
+          val s0 = state.getOption.getOrElse(TimeWinState(Long.MinValue, Nil))
+          val elems = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => WinElem(e.event_id, e.ts.getTime, e.value))
+          val (s, fires) = timeWindowFold(s0, elems.iterator, widthMs, trigger, evictor)
+          state.update(s)
+          fires.iterator.map { case (ws, t, n, sum) =>
+            SpiTimeWin(uid, ws, t, n, math.rint(sum * 100) / 100)
+          }
+      }
+  }
+
   case class SpiWinState(regs: TriggerRegs, buf: Seq[WinElem], fired: Long)
   case class SpiWin(user_id: Long, fire_idx: Long, n: Long, sum_v: Double)
 
@@ -140,4 +306,145 @@ object WindowSpi {
           out.iterator
       }
   }
+
+  // ---------------------------------------------------------------- q106
+  /** ContinuousEventTimeTrigger fire trace as a BATCH groupReduce —
+    * the graded twin of [[tumblingEventTime]] with
+    * [[ContinuousEventTimeTrigger]](1 min) over 5-minute windows:
+    * walking each user's events in (ts, event_id) order (an in-order
+    * stream, so the key-local watermark is each element's own
+    * timestamp), every fire the trigger would emit — the 1-minute
+    * early-fire grid from the first element's aligned next-interval
+    * plus the window-end fire — with the window contents AT that
+    * fire. Runs [[timeWindowFold]], the exact streaming state
+    * machine. The oracle re-derives the grid declaratively: per
+    * window, fires at t ∈ {align(first_ts)+k·60s} ∩ (first_ts,
+    * min(window_max, user_max_ts)] plus window_max when the watermark
+    * reaches it, each aggregating the window's elements that arrived
+    * up to the first element with ts ≥ t (per-user timestamps are
+    * distinct at every SF, so arrival order ≡ ts order and the
+    * boundary element is unique). Scoped to user_id < [[Q106Users]];
+    * `value` is cent-precise, so round(sum, 2) is tie-free on both
+    * engines. */
+  val Q106Users = 12
+  val Q106WidthMs: Long = 300000L
+  val Q106IntervalMs: Long = 60000L
+
+  def q106ContinuousFires(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(col("user_id") < Q106Users)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val elems = it.toSeq.sortBy(e => (e._3, e._2))
+          .map(e => WinElem(e._2, e._3, e._4))
+        val (_, fires) = timeWindowFold(TimeWinState(Long.MinValue, Nil),
+          elems.iterator, Q106WidthMs,
+          ContinuousEventTimeTrigger(Q106IntervalMs), NoEvictor)
+        fires.iterator.map { case (ws, t, n, sum) =>
+          (uid, ws, t, n, math.rint(sum * 100) / 100)
+        }
+      }
+      .toDF("user_id", "w_start_ms", "fire_ms", "n", "sum_v")
+      .orderBy(col("user_id"), col("w_start_ms"), col("fire_ms"))
+  }
+
+  val q106Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) // 1000 AS ts_ms,
+       |    (epoch_us(ts) // 1000) - (epoch_us(ts) // 1000) % ${Q106WidthMs} AS ws
+       |  FROM events WHERE user_id < $Q106Users),
+       |u AS (SELECT user_id, max(ts_ms) AS wm_max FROM e GROUP BY 1),
+       |w AS (SELECT user_id, ws, min(ts_ms) AS first_ts FROM e GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT w.user_id, w.ws, unnest(generate_series(
+       |      w.first_ts - w.first_ts % ${Q106IntervalMs} + ${Q106IntervalMs},
+       |      least(w.ws + ${Q106WidthMs - 1}, u.wm_max), ${Q106IntervalMs})) AS t
+       |  FROM w JOIN u USING (user_id)
+       |  UNION ALL
+       |  SELECT w.user_id, w.ws, w.ws + ${Q106WidthMs - 1} AS t
+       |  FROM w JOIN u USING (user_id) WHERE u.wm_max >= w.ws + ${Q106WidthMs - 1}),
+       |bnd AS (
+       |  SELECT g.user_id, g.ws, g.t, min(e2.ts_ms) AS bts
+       |  FROM grid g JOIN e e2 ON e2.user_id = g.user_id AND e2.ts_ms >= g.t
+       |  GROUP BY 1, 2, 3)
+       |SELECT b.user_id, b.ws AS w_start_ms, b.t AS fire_ms,
+       |  count(*) AS n, round(sum(x.value), 2) AS sum_v
+       |FROM bnd b JOIN e x
+       |  ON x.user_id = b.user_id AND x.ws = b.ws AND x.ts_ms <= b.bts
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+  /** Punctuated-watermark window closes as a BATCH groupReduce — the
+    * graded twin of [[Streams.punctuatedTumbling]], running the SAME
+    * [[Streams.punctFold]] state machine over the events table with
+    * `signup` rows as the markers: walking each user's events in
+    * event_id order, a marker advances the key-local watermark to its
+    * timestamp and immediately closes (emits) every 5-minute window
+    * ending at or before it; non-marker events behind the watermark
+    * are dropped when their window is entirely late, else join their
+    * window. The oracle derives the same closes declaratively: a
+    * window's closing marker is the FIRST marker whose running-max
+    * watermark reaches the window end, and its contents are the
+    * window's events that arrived (event_id order) before that
+    * marker — the drop rule falls out, because an event dropped by
+    * the machine necessarily sits after its window's closing marker. */
+  val Q107WidthMs: Long = 300000L
+  val Q107Marker = "signup"
+
+  def q107PunctuatedCloses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        (col("event_type") === Q107Marker).as("is_marker"), col("value"))
+      .as[(Long, Long, Long, Boolean, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val (_, closes) = Streams.punctFold(
+          Streams.PunctState(Long.MinValue, Vector.empty),
+          it.toSeq.sortBy(_._2).iterator.map(e => (e._3, e._4, e._5)),
+          Q107WidthMs)
+        closes.iterator.map { case (ws, n, sum) => (uid, ws, n, sum) }
+      }
+      .toDF("user_id", "w_start_ms", "n", "sum_v")
+      .orderBy(col("user_id"), col("w_start_ms"))
+  }
+
+  val q107Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    epoch_us(ts) // 1000 AS ts_ms
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, event_id,
+       |    max(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id) AS wm
+       |  FROM e WHERE event_type = '$Q107Marker'),
+       |ev AS (
+       |  SELECT user_id, event_id, value,
+       |    ts_ms - ts_ms % ${Q107WidthMs} AS ws
+       |  FROM e WHERE event_type <> '$Q107Marker'),
+       |closes AS (
+       |  SELECT w.user_id, w.ws, min(m.event_id) AS close_id
+       |  FROM (SELECT DISTINCT user_id, ws FROM ev) w
+       |  JOIN m ON m.user_id = w.user_id AND w.ws + ${Q107WidthMs} <= m.wm
+       |  GROUP BY 1, 2)
+       |SELECT c.user_id, c.ws AS w_start_ms,
+       |  count(*) AS n, round(sum(ev.value), 2) AS sum_v
+       |FROM closes c JOIN ev
+       |  ON ev.user_id = c.user_id AND ev.ws = c.ws AND ev.event_id < c.close_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_continuous_fires" -> (q106ContinuousFires _),
+    "q107_punctuated_closes" -> (q107PunctuatedCloses _))
+
+  def oracles: Map[String, String] = Map(
+    "q106_continuous_fires" -> q106Sql,
+    "q107_punctuated_closes" -> q107Sql)
 }

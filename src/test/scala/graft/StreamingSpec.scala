@@ -375,6 +375,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!winStarts.contains(5 * 60000L))
   }
 
+  test("late-row flood caps the default sink, counts drops, on-time unchanged") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // tiny cap so the flood trips it without thousands of rows
+    val audit = new Streams.LateAudit(10 * 60000L, maxLateRows = 5)
+    val (agg, aq) = Streams.tumblingWithLateAudit(ms.toDF(), "late_flood", audit)
+    ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(30), 1, "a", 2.0))
+    agg.processAllAvailable(); aq.processAllAvailable()
+    // misconfigured-upstream-clock flood: 20 rows all beyond the
+    // 20min watermark
+    ms.addData((100 to 119).map(i => Ev(i, ts(1), 2, "b", 1.0)): _*)
+    agg.processAllAvailable(); aq.processAllAvailable()
+    agg.stop(); aq.stop()
+    assert(audit.late.sum == 20, s"all flood rows counted: ${audit.late.sum}")
+    assert(audit.lateRows.size == 5, "default sink capped at maxLateRows")
+    assert(audit.droppedLate.sum == 15, "overflow recorded, not silently lost")
+    assert(audit.onTime.sum == 2, "on-time accounting unaffected by the flood")
+    // on-time results unchanged: no [0,5min) window grew from flood rows
+    val n = spark.table("late_flood")
+      .filter(col("window.start").cast("long") === 0L)
+      .select(col("n")).collect().map(_.getLong(0)).max
+    assert(n == 1L, s"flood rows must not refine on-time windows, n=$n")
+  }
+
+  test("external lateSink is invoked only on batches that have late rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val sinkCalls = new java.util.concurrent.atomic.AtomicInteger
+    val audit = new Streams.LateAudit(10 * 60000L,
+      lateSink = _ => sinkCalls.incrementAndGet())
+    val (agg, aq) = Streams.tumblingWithLateAudit(ms.toDF(), "late_sink_gate", audit)
+    ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(30), 1, "a", 2.0))
+    agg.processAllAvailable(); aq.processAllAvailable()
+    assert(sinkCalls.get == 0, "no-late batches must not reach the sink")
+    ms.addData(Ev(3, ts(5), 1, "a", 3.0))
+    agg.processAllAvailable(); aq.processAllAvailable()
+    agg.stop(); aq.stop()
+    assert(sinkCalls.get == 1, "one late batch, one sink invocation")
+  }
+
   test("session stream merges gap-overlapping events") {
     val evs = Seq(
       Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 2.0), // one session

@@ -133,6 +133,118 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def runTimeSpi(name: String, trigger: GraftTimeTrigger, evictor: GraftEvictor,
+      batches: Seq[Seq[Ev]], widthMs: Long = 300000L): Set[(Long, Long, Long, Long, Double)] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.tumblingEventTime(ms.toDS(), widthMs, trigger, evictor).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+  }
+
+  // minutes 1,2,4,7,11 — exercises grid fires, watermark catch-up
+  // (minute 4 fires both the 3min and 4min timers), window GC, and a
+  // second window early-firing after its own grid point
+  private val etEvs = Seq(
+    Ev(1, ts(1), 1, "a", 10.0), Ev(2, ts(2), 1, "a", 20.0),
+    Ev(3, ts(4), 1, "a", 30.0), Ev(4, ts(7), 1, "a", 40.0),
+    Ev(5, ts(11), 1, "a", 50.0))
+
+  test("ContinuousEventTimeTrigger matches the hand-computed Flink trace, incl. cross-batch") {
+    // Flink semantics, 5-min tumbling, 1-min continuous trigger:
+    //  e1@1min seeds the fire timer at 2min (aligned next interval)
+    //  e2@2min: wm=2min -> fire@2min  n=2 sum=30, re-arm 3min
+    //  e3@4min: wm=4min -> fire@3min AND fire@4min (timer loop drains
+    //    the re-armed timer in the same advance), n=3 sum=60 each
+    //  e4@7min: wm=7min passes w0's maxTs 299999 -> window-end fire
+    //    n=3 sum=60, state GC'd; w300000 opens, fire timer armed 8min
+    //  e5@11min: wm passes 8min and 9min grid fires (n=1 sum=40 each)
+    //    then w300000's maxTs 599999 -> final fire n=1 sum=40, GC
+    val expect = Set(
+      (1L, 0L, 120000L, 2L, 30.0),
+      (1L, 0L, 180000L, 3L, 60.0),
+      (1L, 0L, 240000L, 3L, 60.0),
+      (1L, 0L, 299999L, 3L, 60.0),
+      (1L, 300000L, 480000L, 1L, 40.0),
+      (1L, 300000L, 540000L, 1L, 40.0),
+      (1L, 300000L, 599999L, 1L, 40.0))
+    val oneBatch = runTimeSpi("spi_cet1", ContinuousEventTimeTrigger(60000L), NoEvictor, Seq(etEvs))
+    assert(oneBatch == expect, s"single batch:\n$oneBatch")
+    val split = runTimeSpi("spi_cet2", ContinuousEventTimeTrigger(60000L), NoEvictor,
+      Seq(etEvs.take(2), etEvs.slice(2, 4), etEvs.drop(4)))
+    assert(split == expect, s"cross-batch state round-trip:\n$split")
+  }
+
+  test("EventTimeTrigger (default) fires each window exactly once, at the watermark pass") {
+    val got = runTimeSpi("spi_ett", EventTimeTrigger, NoEvictor, Seq(etEvs))
+    assert(got == Set(
+      (1L, 0L, 299999L, 3L, 60.0),
+      (1L, 300000L, 599999L, 1L, 40.0)))
+  }
+
+  test("CountEvictor composes with ContinuousEventTimeTrigger on event-time windows") {
+    // same trace, buffer trimmed to the newest 2 at every fire, and
+    // the trim PERSISTS into window state (evictBefore)
+    val got = runTimeSpi("spi_cet_ce", ContinuousEventTimeTrigger(60000L), CountEvictor(2), Seq(etEvs))
+    assert(got == Set(
+      (1L, 0L, 120000L, 2L, 30.0),
+      (1L, 0L, 180000L, 2L, 50.0), // [20,30] after trim-persist
+      (1L, 0L, 240000L, 2L, 50.0),
+      (1L, 0L, 299999L, 2L, 50.0),
+      (1L, 300000L, 480000L, 1L, 40.0),
+      (1L, 300000L, 540000L, 1L, 40.0),
+      (1L, 300000L, 599999L, 1L, 40.0)))
+  }
+
+  test("cross-batch straggler behind a GC'd window is dropped; an open window accepts it") {
+    // batch 1 ends with wm=7min: w0 is GC'd, w300000 open
+    // batch 2: minute-2 straggler (w0, dead) dropped; minute-6
+    // straggler (w300000, alive) joins and appears in the final fire
+    val got = runTimeSpi("spi_late", EventTimeTrigger, NoEvictor, Seq(
+      etEvs.take(4),
+      Seq(Ev(6, ts(2), 1, "a", 999.0), Ev(7, ts(6), 1, "a", 5.0), Ev(5, ts(11), 1, "a", 50.0))))
+    assert(got == Set(
+      (1L, 0L, 299999L, 3L, 60.0),
+      (1L, 300000L, 599999L, 2L, 45.0))) // 40 + 5, straggler joined
+  }
+
+  test("q106 batch twin equals the streaming operator on real events") {
+    import spark.implicits._
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .where("user_id < 12").collect().map { r =>
+        Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
+          r.getString(3), r.getDouble(4))
+      }.toSeq
+    val streamed = runTimeSpi("spi_q106", ContinuousEventTimeTrigger(WindowSpi.Q106IntervalMs),
+      NoEvictor, Seq(evs), WindowSpi.Q106WidthMs)
+    val twin = WindowSpi.q106ContinuousFires(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == twin && twin.nonEmpty)
+  }
+
+  test("q107 batch twin equals the streaming punctuated operator on real events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = spark.read.parquet(s"$sf/events.parquet").collect().map { r =>
+      Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
+        r.getString(3), r.getDouble(4))
+    }.toSeq
+    val ms = MemoryStream[Ev]
+    val q = Streams.punctuatedTumbling(ms.toDS(), WindowSpi.Q107WidthMs, WindowSpi.Q107Marker)
+      .writeStream.format("memory").queryName("spi_q107")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(evs: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("spi_q107").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val twin = WindowSpi.q107PunctuatedCloses(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == twin && twin.nonEmpty)
+  }
+
   test("TimeEvictor keeps only the trailing event-time span at fire, per a hand trace") {
     // user 2 values 5,8,2,6,30 at minutes 1..5; CountTrigger(5) fires
     // once on the 5th element; TimeEvictor(2min) evicts ts <= 5min-2min
