@@ -100,7 +100,14 @@ object Graph {
     val ed = edgesWithDeg(spark, dir).select("src", "dst")
     val init = ed.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val labels = graft.engine.Iterate.loopDF(init, Iters, checkpointEvery = 2) { (ls, _) =>
+    // checkpointEvery=1, unlike q41's 2: this step references `ls`
+    // TWICE (join leg + union leg), so an uncheckpointed superstep
+    // DOUBLES the label lineage per step — re-evaluating the whole
+    // history 2^k times. Materializing the (node-cardinality, tiny)
+    // label relation each step keeps every superstep one join + one
+    // hash-agg over the persisted edges, at any iteration count.
+    val labels = graft.engine.Iterate.loopDF(init.localCheckpoint(true), Iters,
+        checkpointEvery = 1) { (ls, _) =>
       // label' = min(own ∪ neighbors): folding the self-label into the
       // aggregation replaces the join-back-then-least shape with ONE
       // join + ONE hash-agg per superstep (map-side partial min keeps

@@ -181,5 +181,23 @@ object Functions {
         },
         "built-in")
     }
+    // Sketch aggregates on the SQL surface: `graft_hh(col)` —
+    // Misra-Gries heavy hitters (k=32) as map<item, est_count> — and
+    // `graft_cm(col)` — the Count-Min table (d=4, w=256) as
+    // array<bigint> — so sketches compose in spark.sql text alongside
+    // the built-in HLL family (hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate covers that slot natively). Parameters are
+    // fixed at registration (SQL UDAFs take column args only);
+    // callers needing other k/d/w use the Sketches API directly.
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hh"))) {
+      spark.udf.register("graft_hh", org.apache.spark.sql.functions.udaf(
+        new graft.operators.Sketches.HeavyHittersAgg(32)))
+    }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cm"))) {
+      spark.udf.register("graft_cm", org.apache.spark.sql.functions.udaf(
+        new graft.operators.Sketches.CountMinAgg(4, 256)))
+    }
   }
 }

@@ -143,6 +143,20 @@ object Streams {
     * same readStream surface, schema (timestamp, value), different
     * format string). Derives the same (ts, user_id, value) shape the
     * event pipelines use, so every transform above composes with it.
+    *
+    * Why not a LIVE Kafka exercise (reference
+    * flink-connectors/flink-connector-kafka-*): `spark.readStream
+    * .format("kafka")` needs the spark-sql-kafka-0-10 connector plus
+    * kafka-clients, and an embedded broker needs the kafka server
+    * jars — none ship in /opt/spark/jars, the offline coursier cache
+    * holds no org.apache.kafka artifacts (verified by listing it),
+    * and the sandbox has zero egress to fetch them, so even an
+    * in-JVM localhost KRaft broker cannot be linked. The production
+    * path is config-only from here: the SAME plan with
+    * `.format("kafka").option("kafka.bootstrap.servers", …)` swapped
+    * for the source — no operator code changes — which is why every
+    * stateful operator in this file is exercised against file, rate
+    * and memory sources instead.
     */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
@@ -296,6 +310,11 @@ object Streams {
     * code the streaming operator runs. Elements arrive in event_id
     * order as (ts_ms, isMarker, value); emits (w_start_ms, n, sum_2dp)
     * per closed window. */
+  /** Scale note: callers materialize each key's PER-MICRO-BATCH
+    * iterator to sort by event_id (order-sensitive fold). Bounded by
+    * a key's rows per micro-batch — fine for keyed streams, but a
+    * mega-key (one key carrying a whole partition's traffic) buffers
+    * that batch slice in memory; shard such keys upstream. */
   private[graft] def punctFold(s0: PunctState,
       elems: Iterator[(Long, Boolean, Double)],
       widthMs: Long): (PunctState, Seq[(Long, Long, Double)]) = {

@@ -191,6 +191,19 @@ object WindowSpi {
     * round at the emission edge. */
   private[graft] def timeWindowFold(s0: TimeWinState, elems: Iterator[WinElem],
       widthMs: Long, trigger: GraftTimeTrigger, evictor: GraftEvictor)
+      : (TimeWinState, Seq[(Long, Long, Long, Double)]) =
+    timeWindowFoldAssigned(s0, elems, widthMs, trigger, evictor,
+      ts => Seq(ts - java.lang.Math.floorMod(ts, widthMs)))
+
+  /** [[timeWindowFold]] generalized over the window ASSIGNER —
+    * Flink's WindowAssigner seam: tumbling assigns one window per
+    * element, sliding assigns size/slide of them (see
+    * [[slidingEventTime]]); every window runs the same per-window
+    * trigger registers, evictor, late-drop and maxTs-GC machinery.
+    * `sizeMs` is the window LENGTH (maxTs = start + sizeMs − 1). */
+  private[graft] def timeWindowFoldAssigned(s0: TimeWinState, elems: Iterator[WinElem],
+      sizeMs: Long, trigger: GraftTimeTrigger, evictor: GraftEvictor,
+      assign: Long => Seq[Long])
       : (TimeWinState, Seq[(Long, Long, Long, Double)]) = {
     var wm = s0.wmMs
     val wins = scala.collection.mutable.LinkedHashMap.empty[Long, (TriggerRegs, Vector[WinElem])]
@@ -215,13 +228,13 @@ object WindowSpi {
         // earliest due timer across open windows: the trigger's own
         // (strictly before the cleanup slot) or the cleanup at maxTs
         val due = wins.iterator.flatMap { case (ws, (regs, _)) =>
-          val maxTs = ws + widthMs - 1
+          val maxTs = ws + sizeMs - 1
           trigger.pendingTimer(regs).filter(t => t <= wm && t < maxTs).map(t => (t, ws, false)) ++
             (if (maxTs <= wm) Iterator.single((maxTs, ws, true)) else Iterator.empty)
         }.toSeq.sortBy(d => (d._1, d._2))
         due.headOption.foreach { case (t, ws, cleanup) =>
           val (regs, _) = wins(ws)
-          val (res, regs2) = trigger.onEventTime(t, ws + widthMs - 1, regs)
+          val (res, regs2) = trigger.onEventTime(t, ws + sizeMs - 1, regs)
           fire(ws, t, regs2, res)
           if (cleanup) wins.remove(ws) // GC: state cleared at maxTs
           progressed = true
@@ -230,15 +243,17 @@ object WindowSpi {
     }
 
     elems.foreach { e =>
-      val ws = e.ts_ms - java.lang.Math.floorMod(e.ts_ms, widthMs)
-      val maxTs = ws + widthMs - 1
-      if (wm != Long.MinValue && maxTs <= wm) {
-        // isWindowLate: the window is already GC-eligible — drop
-      } else {
-        val (regs0, buf0) = wins.getOrElse(ws, (TriggerRegs(), Vector.empty[WinElem]))
-        wins(ws) = (regs0, buf0 :+ e)
-        val (res, regs) = trigger.onElement(e, maxTs, regs0)
-        fire(ws, e.ts_ms, regs, res)
+      // per-window late check (Flink's WindowOperator: skip late
+      // windows, join the alive ones; an element is fully dropped
+      // only when EVERY assigned window is GC-eligible)
+      assign(e.ts_ms).foreach { ws =>
+        val maxTs = ws + sizeMs - 1
+        if (wm == Long.MinValue || maxTs > wm) {
+          val (regs0, buf0) = wins.getOrElse(ws, (TriggerRegs(), Vector.empty[WinElem]))
+          wins(ws) = (regs0, buf0 :+ e)
+          val (res, regs) = trigger.onElement(e, maxTs, regs0)
+          fire(ws, e.ts_ms, regs, res)
+        }
       }
       wm = if (wm == Long.MinValue) e.ts_ms else math.max(wm, e.ts_ms)
       fireDue()
@@ -272,12 +287,53 @@ object WindowSpi {
       }
   }
 
+  /** SlidingEventTimeWindows.assignWindows: every start in
+    * (ts − size, ts] aligned to the slide. */
+  private[graft] def slidingAssign(sizeMs: Long, slideMs: Long)(ts: Long): Seq[Long] = {
+    val lastStart = ts - java.lang.Math.floorMod(ts, slideMs)
+    Iterator.iterate(lastStart)(_ - slideMs).takeWhile(_ > ts - sizeMs).toSeq
+  }
+
+  /** SlidingEventTimeWindows + a custom trigger/evictor — the other
+    * assigner the reference's WindowedStream accepts trigger/evictor
+    * overrides on. Same per-window state machine as
+    * [[tumblingEventTime]]; an element joins size/slide windows and
+    * each keeps its own trigger registers (Flink's per-window
+    * partitioned trigger state). */
+  def slidingEventTime(events: Dataset[Ev], sizeMs: Long, slideMs: Long,
+      trigger: GraftTimeTrigger, evictor: GraftEvictor = NoEvictor): Dataset[SpiTimeWin] = {
+    require(sizeMs > 0 && slideMs > 0 && sizeMs % slideMs == 0,
+      s"need size > 0, slide > 0, size % slide == 0; got $sizeMs/$slideMs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimeWinState, SpiTimeWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TimeWinState]) =>
+          val s0 = state.getOption.getOrElse(TimeWinState(Long.MinValue, Nil))
+          val elems = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => WinElem(e.event_id, e.ts.getTime, e.value))
+          val (s, fires) = timeWindowFoldAssigned(s0, elems.iterator, sizeMs,
+            trigger, evictor, slidingAssign(sizeMs, slideMs))
+          state.update(s)
+          fires.iterator.map { case (ws, t, n, sum) =>
+            SpiTimeWin(uid, ws, t, n, math.rint(sum * 100) / 100)
+          }
+      }
+  }
+
   case class SpiWinState(regs: TriggerRegs, buf: Seq[WinElem], fired: Long)
   case class SpiWin(user_id: Long, fire_idx: Long, n: Long, sum_v: Double)
 
   /** GlobalWindows + trigger + evictor: per key, buffer elements;
     * when the trigger fires, evict, emit count+sum over the surviving
-    * window contents, persist the trimmed buffer; purge clears it. */
+    * window contents, persist the trimmed buffer; purge clears it.
+    *
+    * Scale note: the per-key micro-batch iterator is materialized to
+    * sort by event_id (order-sensitive trigger fold), and a
+    * non-purging trigger without a bounding evictor grows the window
+    * buffer — both bounded for keyed traffic, both hazards for a
+    * mega-key; pair a CountEvictor/TimeEvictor or PurgingTrigger,
+    * exactly as Flink's docs warn. */
   def globalWindow(events: Dataset[Ev], trigger: GraftTrigger,
       evictor: GraftEvictor): Dataset[SpiWin] = {
     import events.sparkSession.implicits._
@@ -378,6 +434,68 @@ object WindowSpi {
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** [[q106ContinuousFires]]'s sliding sibling — the graded twin of
+    * [[slidingEventTime]] with [[ContinuousEventTimeTrigger]](1 min)
+    * over 10-minute windows sliding by 5: every element joins two
+    * windows, each window runs its OWN fire grid seeded from its own
+    * first element (Flink's per-window trigger state). The oracle is
+    * the q106 grid reconstruction with the element relation expanded
+    * by the two slide offsets (q19's assigner trick). */
+  val Q108SizeMs: Long = 600000L
+  val Q108SlideMs: Long = 300000L
+
+  def q108SlidingContinuousFires(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(col("user_id") < Q106Users)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val elems = it.toSeq.sortBy(e => (e._3, e._2))
+          .map(e => WinElem(e._2, e._3, e._4))
+        val (_, fires) = timeWindowFoldAssigned(TimeWinState(Long.MinValue, Nil),
+          elems.iterator, Q108SizeMs,
+          ContinuousEventTimeTrigger(Q106IntervalMs), NoEvictor,
+          slidingAssign(Q108SizeMs, Q108SlideMs))
+        fires.iterator.map { case (ws, t, n, sum) =>
+          (uid, ws, t, n, math.rint(sum * 100) / 100)
+        }
+      }
+      .toDF("user_id", "w_start_ms", "fire_ms", "n", "sum_v")
+      .orderBy(col("user_id"), col("w_start_ms"), col("fire_ms"))
+  }
+
+  val q108Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, ts_ms,
+       |    ts_ms - ts_ms % ${Q108SlideMs} - k * ${Q108SlideMs} AS ws
+       |  FROM (SELECT user_id, event_id, value, epoch_us(ts) // 1000 AS ts_ms
+       |        FROM events WHERE user_id < $Q106Users)
+       |  CROSS JOIN (VALUES (0), (1)) AS offsets(k)),
+       |u AS (SELECT user_id, max(ts_ms) AS wm_max FROM e GROUP BY 1),
+       |w AS (SELECT user_id, ws, min(ts_ms) AS first_ts FROM e GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT w.user_id, w.ws, unnest(generate_series(
+       |      w.first_ts - w.first_ts % ${Q106IntervalMs} + ${Q106IntervalMs},
+       |      least(w.ws + ${Q108SizeMs - 1}, u.wm_max), ${Q106IntervalMs})) AS t
+       |  FROM w JOIN u USING (user_id)
+       |  UNION ALL
+       |  SELECT w.user_id, w.ws, w.ws + ${Q108SizeMs - 1} AS t
+       |  FROM w JOIN u USING (user_id) WHERE u.wm_max >= w.ws + ${Q108SizeMs - 1}),
+       |bnd AS (
+       |  SELECT g.user_id, g.ws, g.t, min(e2.ts_ms) AS bts
+       |  FROM grid g JOIN e e2 ON e2.user_id = g.user_id AND e2.ts_ms >= g.t
+       |  GROUP BY 1, 2, 3)
+       |SELECT b.user_id, b.ws AS w_start_ms, b.t AS fire_ms,
+       |  count(*) AS n, round(sum(x.value), 2) AS sum_v
+       |FROM bnd b JOIN e x
+       |  ON x.user_id = b.user_id AND x.ws = b.ws AND x.ts_ms <= b.bts
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- q107
   /** Punctuated-watermark window closes as a BATCH groupReduce — the
     * graded twin of [[Streams.punctuatedTumbling]], running the SAME
@@ -442,9 +560,11 @@ object WindowSpi {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_continuous_fires" -> (q106ContinuousFires _),
-    "q107_punctuated_closes" -> (q107PunctuatedCloses _))
+    "q107_punctuated_closes" -> (q107PunctuatedCloses _),
+    "q108_sliding_continuous" -> (q108SlidingContinuousFires _))
 
   def oracles: Map[String, String] = Map(
     "q106_continuous_fires" -> q106Sql,
-    "q107_punctuated_closes" -> q107Sql)
+    "q107_punctuated_closes" -> q107Sql,
+    "q108_sliding_continuous" -> q108Sql)
 }

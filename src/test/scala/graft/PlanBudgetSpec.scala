@@ -35,6 +35,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // superstep loops run over one localCheckpoint/cache: the final
     // plan re-reads the corpus zero times
     "q41_pagerank" -> PlanCounts(0, 1, 1, 1),
+    // per-step localCheckpoint (the step reads its state TWICE — join
+    // + union legs — so uncheckpointed lineage doubles per superstep):
+    // the final plan is one hash-agg + one output sort over the
+    // checkpointed labels
+    "q42_connected_components" -> PlanCounts(0, 0, 2, 0),
     "q57_transitive_closure" -> PlanCounts(0, 0, 1, 0),
     "q62_dedup_clusters" -> PlanCounts(0, 0, 3, 0),
     "q73_bpe_pairs" -> PlanCounts(1, 0, 1, 0),

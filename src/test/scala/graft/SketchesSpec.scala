@@ -110,4 +110,59 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val cm7 = Sketches.countMin(tokens.repartition(7), "token", d = 4, w = w)
     assert(cm.table == cm7.table)
   }
+
+  test("graft_cm composes in SQL text and stays partition-invariant there") {
+    graft.plans.Functions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").createOrReplaceTempView("cm_tokens")
+    val viaSql = spark.sql("SELECT graft_cm(token) AS cm FROM cm_tokens")
+      .head().getSeq[Long](0)
+    // the SQL surface runs the same aggregator: table equality vs API
+    val viaApi = Sketches.countMin(spark.table("cm_tokens"), "token", d = 4, w = 256)
+    assert(viaSql == viaApi.table)
+    val viaSql11 = spark.sql(
+      "SELECT graft_cm(token) AS cm FROM (SELECT /*+ REPARTITION(11) */ token FROM cm_tokens)")
+      .head().getSeq[Long](0)
+    assert(viaSql11 == viaSql, "partition-invariance must hold on the SQL path")
+  }
+
+  test("graft_hh composes in SQL text and honors the Misra-Gries bounds") {
+    graft.plans.Functions.register(spark)
+    val tokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    tokens.createOrReplaceTempView("hh_tokens")
+    val exact = tokens.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 32
+    val reported = spark.sql("SELECT graft_hh(token) AS hh FROM hh_tokens")
+      .head().getMap[String, Long](0)
+    assert(reported.nonEmpty && reported.size <= k)
+    reported.foreach { case (t, est) =>
+      val c = exact.getOrElse(t, 0L)
+      assert(est <= c && c <= est + n / (k + 1),
+        s"$t: reported $est outside [exact-N/(k+1), exact] for exact $c")
+    }
+    // survival: every item with true count > N/(k+1) must be reported
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+      assert(reported.contains(t), s"heavy item $t missing from graft_hh")
+    }
+  }
+
+  test("the HLL sketch family on the SQL surface: agg, union, estimate") {
+    // hll_sketch_agg / hll_union_agg / hll_sketch_estimate are the
+    // built-in (DataSketches) mergeable-HLL slot — assert the full
+    // build-union-estimate composition lands within error of exact
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("hll_docs")
+    val exact = docs.select(countDistinct(col("source"))).head().getLong(0)
+    val est = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union_agg(s)) FROM (
+        |  SELECT hll_sketch_agg(source) AS s FROM hll_docs GROUP BY doc_id % 8)
+        |""".stripMargin).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.1,
+      s"HLL union estimate $est vs exact $exact")
+  }
 }

@@ -212,6 +212,59 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
       (1L, 300000L, 599999L, 2L, 45.0))) // 40 + 5, straggler joined
   }
 
+  test("sliding windows run per-window fire grids, per the hand trace") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.slidingEventTime(ms.toDS(), 600000L, 300000L,
+      ContinuousEventTimeTrigger(60000L), NoEvictor).writeStream
+      .format("memory").queryName("spi_slide").outputMode(OutputMode.Append()).start()
+    Seq(etEvs.take(3), etEvs.drop(3)).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("spi_slide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // w[0,10min): events at minutes 1,2,4,7 — grid fires every minute
+    // from 2min; the minute-7 element joins before the 5/6/7-min
+    // timers fire (n=4 from there), window-end fire at 599999
+    val w0 = Set[(Long, Long, Long, Long, Double)](
+      (1L, 0L, 120000L, 2L, 30.0), (1L, 0L, 180000L, 3L, 60.0),
+      (1L, 0L, 240000L, 3L, 60.0), (1L, 0L, 300000L, 4L, 100.0),
+      (1L, 0L, 360000L, 4L, 100.0), (1L, 0L, 420000L, 4L, 100.0),
+      (1L, 0L, 480000L, 4L, 100.0), (1L, 0L, 540000L, 4L, 100.0),
+      (1L, 0L, 599999L, 4L, 100.0))
+    assert(got.filter(_._2 == 0L) == w0, s"w0 trace:\n${got.filter(_._2 == 0L)}")
+    // w[-5min,5min) mirrors the tumbling w0 trace (same 3 elements)
+    assert(got.filter(_._2 == -300000L) == Set(
+      (1L, -300000L, 120000L, 2L, 30.0), (1L, -300000L, 180000L, 3L, 60.0),
+      (1L, -300000L, 240000L, 3L, 60.0), (1L, -300000L, 299999L, 3L, 60.0)))
+    // w[5min,15min): its OWN grid seeded at 8min by the minute-7
+    // element; the minute-11 element joins before the due timers fire
+    assert(got.filter(_._2 == 300000L) == Set(
+      (1L, 300000L, 480000L, 2L, 90.0), (1L, 300000L, 540000L, 2L, 90.0),
+      (1L, 300000L, 600000L, 2L, 90.0), (1L, 300000L, 660000L, 2L, 90.0)))
+  }
+
+  test("q108 batch twin equals the streaming sliding operator on real events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .where("user_id < 12").collect().map { r =>
+        Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
+          r.getString(3), r.getDouble(4))
+      }.toSeq
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.slidingEventTime(ms.toDS(), WindowSpi.Q108SizeMs,
+      WindowSpi.Q108SlideMs, ContinuousEventTimeTrigger(WindowSpi.Q106IntervalMs), NoEvictor)
+      .writeStream.format("memory").queryName("spi_q108")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(evs: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("spi_q108").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val twin = WindowSpi.q108SlidingContinuousFires(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == twin && twin.nonEmpty)
+  }
+
   test("q106 batch twin equals the streaming operator on real events") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sf/events.parquet")
