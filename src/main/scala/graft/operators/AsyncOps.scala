@@ -56,4 +56,55 @@ object AsyncOps {
       }
     }
   }
+
+  /** The reference's unorderedWait sibling: results are emitted in
+    * COMPLETION order — a slow call never head-of-line-blocks the
+    * fast ones behind it, so per-partition latency is bounded by the
+    * slowest in-flight call, not the slowest prefix. Same bounded
+    * in-flight window and task-completion teardown as
+    * [[asyncMapOrdered]]. */
+  def asyncMapUnordered[I, O: Encoder](ds: Dataset[I], capacity: Int,
+      timeout: Duration = Duration.Inf)(f: I => O): Dataset[O] = {
+    ds.mapPartitions { it =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity, r => {
+        val t = new Thread(r); t.setDaemon(true); t
+      })
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // completion funnel: pool threads enqueue as they finish; the
+      // (single-threaded) consuming iterator drains — in-flight count
+      // is only touched by the consumer, so no lock is needed
+      val done = new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, O]]()
+      var inFlight = 0
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inFlight < capacity && it.hasNext) {
+            val rec = it.next()
+            inFlight += 1
+            Future(f(rec)).onComplete {
+              case scala.util.Success(v) => done.put(Right(v))
+              case scala.util.Failure(e) => done.put(Left(e))
+            }
+          }
+        override def hasNext: Boolean = { fill(); inFlight > 0 }
+        override def next(): O = {
+          fill()
+          if (inFlight == 0) throw new NoSuchElementException("next() past end of async iterator")
+          val r =
+            if (timeout.isFinite) {
+              val v = done.poll(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+              if (v == null) throw new java.util.concurrent.TimeoutException(
+                s"no async result within $timeout")
+              v
+            } else done.take()
+          inFlight -= 1
+          r match {
+            case Right(v) => v
+            case Left(e) => throw e
+          }
+        }
+      }
+    }
+  }
 }

@@ -319,6 +319,26 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(peak.get() >= 2) // genuinely concurrent
   }
 
+  test("asyncMapUnordered emits in completion order: slow heads don't block") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    val input = spark.range(0, 40).coalesce(1).sortWithinPartitions("id").as[Long]
+    // the FIRST element of each in-flight window sleeps long; ordered
+    // semantics would emit it first anyway — unordered must let the
+    // fast ones overtake it
+    val out = graft.operators.AsyncOps.asyncMapUnordered(
+      input, capacity = 8, timeout = 30.seconds) { i =>
+      if (i % 8 == 0) Thread.sleep(120) else Thread.sleep(1)
+      i
+    }
+    val seq = out.mapPartitions(it => Iterator(it.toSeq)).collect().head
+    assert(seq.toSet == (0L until 40L).toSet, "no result lost or duplicated")
+    assert(seq != seq.sorted, "completion order must be able to overtake input order")
+    // every slow element is overtaken by at least one later fast one
+    val posOfSlow = seq.indexOf(0L)
+    assert(seq.take(posOfSlow).exists(_ > 0L), s"fast results should precede slow head: $seq")
+  }
+
   test("custom partitioner routes rows by the computed expression") {
     import spark.implicits._
     val df = spark.range(0, 1000).toDF("id")

@@ -265,6 +265,119 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == twin && twin.nonEmpty)
   }
 
+  test("allowed lateness: late arrivals re-fire accumulated windows until cleanup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.tumblingEventTime(ms.toDS(), 300000L, EventTimeTrigger,
+      NoEvictor, latenessMs = 600000L).writeStream
+      .format("memory").queryName("spi_late_refire").outputMode(OutputMode.Append()).start()
+    val batches = Seq(
+      Seq(Ev(1, ts(1), 1, "a", 10.0), Ev(2, ts(2), 1, "a", 20.0), Ev(4, ts(7), 1, "a", 40.0)),
+      // e5 is late for w0 (end fired) but inside lateness -> re-fire;
+      // e6 pushes the watermark past w0's cleanup (16min >= 5min-1ms+10min)
+      Seq(Ev(5, ts(3), 1, "a", 5.0), Ev(6, ts(16), 1, "a", 60.0)),
+      // e7 arrives after w0's cleanup -> dropped; e8 is late for
+      // w300000 (end fired at 599999) but inside ITS lateness -> re-fire
+      Seq(Ev(7, ts(4), 1, "a", 7.0), Ev(8, ts(8), 1, "a", 8.0)))
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("spi_late_refire").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 299999L, 2L, 30.0), // on-time end fire
+      (1L, 0L, 180000L, 3L, 35.0), // e5's immediate accumulated re-fire
+      (1L, 300000L, 599999L, 1L, 40.0), // second window's end fire
+      (1L, 300000L, 480000L, 2L, 48.0)), // e8's re-fire; e7 dropped
+      s"got:\n$got")
+  }
+
+  test("session SPI: perfect watermark closes eagerly; stragglers backward-extend open sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.sessionEventTime(ms.toDS(), 600000L).writeStream
+      .format("memory").queryName("spi_sess").outputMode(OutputMode.Append()).start()
+    // lag 0: e2@76min's arrival closes e1's session immediately (the
+    // perfect watermark passes its end); then e3@68min — not yet
+    // behind the watermark — BACKWARD-EXTENDS e2's open session to
+    // start at 68min; e4@100min closes it; e5 closes e4's
+    val batches = Seq(
+      Seq(Ev(1, ts(60), 1, "a", 10.0), Ev(2, ts(76), 1, "a", 20.0)),
+      Seq(Ev(3, ts(68), 1, "a", 5.0), Ev(4, ts(100), 1, "a", 7.0)),
+      Seq(Ev(5, ts(120), 1, "a", 9.0)))
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("spi_sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 3600000L, 4199999L, 1L, 10.0), // e1's session closed by e2's arrival
+      (1L, 4080000L, 5159999L, 2L, 25.0), // e3 backward-extended e2's session
+      (1L, 6000000L, 6599999L, 1L, 7.0)), // e4's session; e5's never closes
+      s"got:\n$got")
+  }
+
+  test("session SPI with a lagging watermark BRIDGES two open sessions (MergingWindowSet)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // 30-min bounded out-of-orderness: both sessions stay open long
+    // enough for the straggler to merge them into one
+    val q = WindowSpi.sessionEventTime(ms.toDS(), 600000L, lagMs = 1800000L).writeStream
+      .format("memory").queryName("spi_sess_lag").outputMode(OutputMode.Append()).start()
+    val batches = Seq(
+      Seq(Ev(1, ts(60), 1, "a", 10.0), Ev(2, ts(76), 1, "a", 20.0)),
+      Seq(Ev(3, ts(68), 1, "a", 5.0), Ev(4, ts(100), 1, "a", 7.0)),
+      Seq(Ev(5, ts(120), 1, "a", 9.0)))
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("spi_sess_lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // e3 overlaps BOTH [60,70min) and [76,86min) -> one session
+    // [60min, 86min); fires when the lagged watermark (120-30=90min)
+    // passes 86min-1ms. e4's session end (110min-1) stays ahead of
+    // the final watermark -> never fires.
+    assert(got == Set((1L, 3600000L, 5159999L, 3L, 35.0)), s"got:\n$got")
+  }
+
+  test("q110 batch twin equals the streaming session operator on real events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .where("user_id < 12").collect().map { r =>
+        Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
+          r.getString(3), r.getDouble(4))
+      }.toSeq
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.sessionEventTime(ms.toDS(), WindowSpi.Q110GapMs)
+      .writeStream.format("memory").queryName("spi_q110")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(evs: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("spi_q110").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val twin = WindowSpi.q110SessionFires(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == twin && twin.nonEmpty)
+  }
+
+  test("an element trigger REPLACES the end fire on event-time windows (Flink contract)") {
+    // CountTrigger(2) on 5-min tumbling windows: only every-2nd-element
+    // fires; partial window tails are GC'd silently at the watermark
+    val got = runTimeSpi("spi_elem_trig", ElementTrigger(CountTrigger(2)), NoEvictor, Seq(etEvs))
+    assert(got == Set((1L, 0L, 120000L, 2L, 30.0)),
+      s"only w0's second element fires; no window-end fires:\n$got")
+  }
+
+  test("q109 twin produces both end fires and late re-fires on real events") {
+    val rows = WindowSpi.q109LateRefires(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    val (endFires, lateFires) = rows.partition { case (ws, t) => t == ws + 299999L }
+    assert(endFires.nonEmpty, "no end fires — watermark never passed a window end?")
+    assert(lateFires.nonEmpty,
+      "no late re-fires — the events table should arrive out of event-time order")
+  }
+
   test("q106 batch twin equals the streaming operator on real events") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sf/events.parquet")
