@@ -619,6 +619,45 @@ object WindowSpi {
       }
   }
 
+  /** Processing-time tumbling windows with the trigger/evictor SPI —
+    * the reference's ProcessingTimeTrigger.java /
+    * ContinuousProcessingTimeTrigger.java family. Windows bucket by
+    * the CLOCK at arrival, not event time, so the same
+    * [[timeWindowFold]] machine runs with clock timestamps: the
+    * "watermark" is the processing clock and
+    * [[ContinuousEventTimeTrigger]] doubles as the continuous
+    * processing-time trigger over it (identical grid semantics).
+    * The clock is injected — `System.currentTimeMillis` in
+    * production, a scripted virtual clock in specs, which is the
+    * honest check for an inherently nondeterministic surface (no
+    * cross-engine oracle can exist). Timers fire as the clock
+    * advances at the next arrival (micro-batch model; a
+    * GroupStateTimeout.ProcessingTimeTimeout is the no-input firing
+    * path, demonstrated by [[Streams.sessionTimeoutAlerts]]'s
+    * event-time twin). */
+  def processingTimeTumbling(events: Dataset[Ev], widthMs: Long,
+      trigger: GraftTimeTrigger, evictor: GraftEvictor = NoEvictor,
+      clock: () => Long = () => System.currentTimeMillis()): Dataset[SpiTimeWin] = {
+    require(widthMs > 0, s"window width must be positive, got $widthMs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimeWinState, SpiTimeWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TimeWinState]) =>
+          val s0 = state.getOption.getOrElse(TimeWinState(Long.MinValue, Nil))
+          // arrival order within the batch; each element stamped with
+          // the clock AT PROCESSING — the fold then treats clock time
+          // exactly as event time with a perfect watermark
+          val elems = it.toSeq.sortBy(_.event_id)
+            .map(e => WinElem(e.event_id, clock(), e.value))
+          val (s, fires) = timeWindowFold(s0, elems.iterator, widthMs, trigger, evictor)
+          state.update(s)
+          fires.iterator.map { case (ws, t, n, sum) =>
+            SpiTimeWin(uid, ws, t, n, math.rint(sum * 100) / 100)
+          }
+      }
+  }
+
   // ---------------------------------------------------------------- q110
   /** Session-window fires through the MERGING SPI as a BATCH
     * groupReduce — the graded twin of [[sessionEventTime]] with the

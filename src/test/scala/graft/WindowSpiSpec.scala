@@ -10,6 +10,13 @@ import graft.streaming.Streams.Ev
 import graft.streaming.{Streams, WindowSpi}
 import graft.streaming.WindowSpi._
 
+/** Static virtual clock for the processing-time window spec —
+  * closure-serialized fields would be task-local copies; in local
+  * mode a static is genuinely shared with the driver. */
+object VirtualClock {
+  val now = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** The trigger/evictor SPI must reproduce the hand-fused operators
   * element-for-element — each fused form is one composition point in
   * the SPI's space, so equivalence is the strongest cheap oracle. */
@@ -409,6 +416,38 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
     val twin = WindowSpi.q107PunctuatedCloses(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == twin && twin.nonEmpty)
+  }
+
+  test("processing-time windows bucket by a virtual clock and fire as it advances") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    VirtualClock.now.set(60000L)
+    val ms = MemoryStream[Ev]
+    // event TIMESTAMPS are irrelevant here — only arrival clock counts
+    val q = WindowSpi.processingTimeTumbling(ms.toDS(), 60000L,
+      ContinuousEventTimeTrigger(30000L), NoEvictor,
+      clock = () => VirtualClock.now.get()).writeStream
+      .format("memory").queryName("spi_ptime").outputMode(OutputMode.Append()).start()
+    // batch 1 at clock 60000: both events land in window [60000,120000)
+    ms.addData(Ev(1, ts(500), 1, "a", 10.0), Ev(2, ts(1), 1, "a", 20.0))
+    q.processAllAvailable()
+    // batch 2 at clock 95000: e3 joins, THEN the overdue 90000 grid
+    // point fires — arrival-driven clock model: timers run when the
+    // clock next advances, so the just-arrived element is included
+    VirtualClock.now.set(95000L)
+    ms.addData(Ev(3, ts(900), 1, "a", 5.0))
+    q.processAllAvailable()
+    // batch 3 at clock 130000: window [60000] ends (n=3), new window opens
+    VirtualClock.now.set(130000L)
+    ms.addData(Ev(4, ts(2), 1, "a", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spi_ptime").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 60000L, 90000L, 3L, 35.0), // overdue grid fire, post-arrival
+      (1L, 60000L, 119999L, 3L, 35.0)), // window-end fire once clock passed it
+      s"got:\n$got")
   }
 
   test("TimeEvictor keeps only the trailing event-time span at fire, per a hand trace") {
