@@ -20,21 +20,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     in the block manager.
   */
 object SessionCache {
-  // Weak refs: the registry must not pin caches created per-query
-  // (the engine's own are static, but callers may not be), and a
-  // cleared ref doubles as the deregistration path.
-  private val instances = new java.util.concurrent.ConcurrentLinkedQueue[
-    java.lang.ref.WeakReference[SessionCache]]()
+  // Weak ref to the OWNER (the registry must not pin caches created
+  // per-query — the engine's own are static, but callers may not
+  // be), paired with a STRONG ref to its entry map: a GC'd owner's
+  // persisted DataFrames are still pinned by Spark's CacheManager,
+  // so eviction must unpersist them — dropping the dead ref alone
+  // would leak the storage with no remaining unpersist path.
+  private val instances = new java.util.concurrent.ConcurrentLinkedQueue[(
+    java.lang.ref.WeakReference[SessionCache],
+    TrieMap[(Int, String), (SparkSession, DataFrame)])]()
 
-  private def register(c: SessionCache): Unit =
-    instances.add(new java.lang.ref.WeakReference(c))
+  private def register(c: SessionCache,
+      entries: TrieMap[(Int, String), (SparkSession, DataFrame)]): Unit =
+    instances.add((new java.lang.ref.WeakReference(c), entries))
 
   /** Invalidate every cache's entries for `spark` — the between-
-    * queries hygiene hook for bench/serve loops. */
+    * queries hygiene hook for bench/serve loops. Dead owners are
+    * evicted here AFTER their remaining entries are unpersisted. */
   def invalidateAll(spark: SparkSession): Unit =
-    instances.removeIf { ref =>
+    instances.removeIf { case (ref, entries) =>
       ref.get match {
-        case null => true
+        case null =>
+          entries.foreach { case (_, (_, df)) => df.unpersist(blocking = false) }
+          entries.clear()
+          true
         case c => c.invalidate(spark); false
       }
     }
@@ -46,7 +55,7 @@ final class SessionCache(build: (SparkSession, String) => DataFrame) {
 
   // Publish only after `cache` is initialized: a concurrent
   // invalidateAll must never see a half-constructed instance.
-  SessionCache.register(this)
+  SessionCache.register(this, cache)
 
   /** Drop (and unpersist) every entry owned by `spark`. Needed by
     * harnesses that clear the session's cached storage between

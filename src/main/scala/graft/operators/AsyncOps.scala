@@ -23,19 +23,24 @@ import org.apache.spark.sql.{Dataset, Encoder}
   */
 object AsyncOps {
 
+  /** One bounded daemon pool per partition-task. Tear-down rides the
+    * task-completion listener, NOT iterator exhaustion — a
+    * limit()/failure that abandons the iterator must not leak
+    * `capacity` threads for the executor's lifetime. Shared by both
+    * wait orders so the teardown contract can't silently diverge. */
+  private def boundedPool(capacity: Int): ExecutionContext = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity, r => {
+      val t = new Thread(r); t.setDaemon(true); t
+    })
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
+    ExecutionContext.fromExecutor(pool)
+  }
+
   def asyncMapOrdered[I, O: Encoder](ds: Dataset[I], capacity: Int,
       timeout: Duration = Duration.Inf)(f: I => O): Dataset[O] = {
     ds.mapPartitions { it =>
-      // one pool per partition-task; bounded, daemon. Tear-down rides
-      // the task-completion listener, NOT iterator exhaustion — a
-      // limit()/failure that abandons the iterator must not leak
-      // `capacity` threads for the executor's lifetime.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity, r => {
-        val t = new Thread(r); t.setDaemon(true); t
-      })
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      implicit val ec: ExecutionContext = boundedPool(capacity)
       val inFlight = new ArrayBlockingQueue[Future[O]](capacity)
       new Iterator[O] {
         private def fill(): Unit =
@@ -66,12 +71,7 @@ object AsyncOps {
   def asyncMapUnordered[I, O: Encoder](ds: Dataset[I], capacity: Int,
       timeout: Duration = Duration.Inf)(f: I => O): Dataset[O] = {
     ds.mapPartitions { it =>
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity, r => {
-        val t = new Thread(r); t.setDaemon(true); t
-      })
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      implicit val ec: ExecutionContext = boundedPool(capacity)
       // completion funnel: pool threads enqueue as they finish; the
       // (single-threaded) consuming iterator drains — in-flight count
       // is only touched by the consumer, so no lock is needed

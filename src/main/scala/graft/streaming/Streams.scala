@@ -451,11 +451,22 @@ object Streams {
           .select(col("event_id"), col("user_id"), tsMs.as("ts_ms"),
             (tsMs - pmod(tsMs, lit(windowMs))).as("w_start_ms"))
         if (lateSink != null) lateSink(lateDf)
-        else lateDf.collect().foreach { r =>
-          if (lateRows.size < maxLateRows)
-            lateRows.add(
-              LateRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          else droppedLate.increment()
+        else {
+          // cap BEFORE materializing: limit() keeps a flood batch off
+          // the driver entirely (collect() of the full late set would
+          // be the exact unbounded accumulation the cap exists to
+          // prevent), and the one size() call per batch keeps the
+          // O(n) queue-size scan off the per-row path
+          val room = maxLateRows - lateRows.size
+          val stored =
+            if (room <= 0) 0
+            else {
+              val rows = lateDf.limit(room).collect()
+              rows.foreach(r => lateRows.add(
+                LateRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+              rows.length
+            }
+          droppedLate.add(lateN - stored)
         }
       }
     }

@@ -567,11 +567,18 @@ object WindowSpi {
     }
 
     elems.foreach { e =>
-      if (wm != Long.MinValue && e.ts_ms + gapMs - 1 <= wm) {
-        // proto-window already behind the watermark: drop
+      // merge FIRST, late-check the MERGED window — Flink's
+      // WindowOperator order (addWindow, then isWindowLate on the
+      // result): a straggler whose own proto-window is behind the
+      // watermark still joins an open session it overlaps, because
+      // the merged window's end is that session's (future) end. Only
+      // an overlap-free proto-window can be late, since any OPEN
+      // session already has end > wm (else fireDue would have GC'd it).
+      val (overlap, rest) = sess.partition(s =>
+        e.ts_ms <= s.last + gapMs - 1 && s.start <= e.ts_ms + gapMs - 1)
+      if (overlap.isEmpty && wm != Long.MinValue && e.ts_ms + gapMs - 1 <= wm) {
+        // merged (= proto) window already behind the watermark: drop
       } else {
-        val (overlap, rest) = sess.partition(s =>
-          e.ts_ms <= s.last + gapMs - 1 && s.start <= e.ts_ms + gapMs - 1)
         val merged = overlap.sortBy(_.start)
         val start = (merged.map(_.start) :+ e.ts_ms).min
         val last = (merged.map(_.last) :+ e.ts_ms).max

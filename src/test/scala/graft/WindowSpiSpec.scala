@@ -324,6 +324,32 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
       s"got:\n$got")
   }
 
+  test("session straggler behind the watermark still joins an overlapping OPEN session") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = WindowSpi.sessionEventTime(ms.toDS(), 600000L).writeStream
+      .format("memory").queryName("spi_sess_strag").outputMode(OutputMode.Append()).start()
+    // Flink order: merge FIRST, late-check the MERGED window. e5@66min
+    // has proto-window end 76min-1ms <= wm (76min) — late on its own —
+    // but overlaps the open session [67min, 86min), so it must join
+    // (the merged end is in the future). Dropping it by proto-window
+    // lateness was the round-5 review finding.
+    val batches = Seq(
+      Seq(Ev(1, ts(60), 1, "a", 10.0), Ev(2, ts(76), 1, "a", 20.0)),
+      Seq(Ev(3, ts(68), 1, "a", 5.0), Ev(4, ts(67), 1, "a", 2.0)),
+      Seq(Ev(5, ts(66), 1, "a", 1.0)),
+      Seq(Ev(6, ts(100), 1, "a", 7.0)))
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("spi_sess_strag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 3600000L, 4199999L, 1L, 10.0), // e1 closed by e2's arrival
+      (1L, 3960000L, 5159999L, 4L, 28.0)), // e4+e3 extended e2; e5 joined late
+      s"got:\n$got")
+  }
+
   test("session SPI with a lagging watermark BRIDGES two open sessions (MergingWindowSet)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

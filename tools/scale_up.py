@@ -20,8 +20,6 @@ SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-MAXK = {}  # per-key shift bases, read from the data
-
 con = duckdb.connect()
 
 
