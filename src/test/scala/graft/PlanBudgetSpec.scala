@@ -50,6 +50,14 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q85_dup_ngram_frac" -> PlanCounts(1, 0, 3, 0),
     "q89_tfidf_keywords" -> PlanCounts(2, 0, 4, 1),
     "q90_bigram_perplexity" -> PlanCounts(3, 0, 5, 2),
+    // SPI graded twins: one events scan into the groupByKey exchange,
+    // one output sort — any extra scan/shuffle means the fold stopped
+    // being a single pass per key
+    "q106_continuous_fires" -> PlanCounts(1, 0, 2, 0),
+    "q107_punctuated_closes" -> PlanCounts(1, 0, 2, 0),
+    "q108_sliding_continuous" -> PlanCounts(1, 0, 2, 0),
+    "q109_late_refires" -> PlanCounts(1, 0, 2, 0),
+    "q110_session_fires" -> PlanCounts(1, 0, 2, 0),
     // five scans = supplier + orders + lineitem l1/l2/l3 — the semi
     // and anti legs each rescan lineitem ONCE, never per-row
     "q103_waiting_supplier" -> PlanCounts(5, 0, 1, 4),

@@ -444,6 +444,84 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == twin && twin.nonEmpty)
   }
 
+  test("event-time SPI equals a per-batch driver fold on random traces, splits and lateness") {
+    // the fold logic is hand-traced above; THIS property pins the
+    // Spark plumbing — TimeWinState/SessState encoder round-trips,
+    // per-batch (ts, event_id) ordering, arbitrary micro-batch
+    // boundaries — against the same fold run without Spark
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(20)
+      val evs = (1 to n).map { i =>
+        Ev(i, ts(60 + rnd.nextInt(240)), 1L + rnd.nextInt(2), "a",
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val latenessMs = rnd.nextInt(3) * 600000L
+      val trigger: GraftTimeTrigger =
+        if (rnd.nextBoolean()) EventTimeTrigger else ContinuousEventTimeTrigger(60000L)
+      val evictor: GraftEvictor =
+        if (rnd.nextBoolean()) NoEvictor else CountEvictor(1 + rnd.nextInt(4))
+      val cut1 = 1 + rnd.nextInt(n - 2)
+      val cut2 = cut1 + 1 + rnd.nextInt(n - cut1 - 1)
+      val batches = Seq(evs.take(cut1), evs.slice(cut1, cut2), evs.drop(cut2))
+
+      val ms = MemoryStream[Ev]
+      val q = WindowSpi.tumblingEventTime(ms.toDS(), 300000L, trigger, evictor, latenessMs)
+        .writeStream.format("memory").queryName(s"spi_prop_et_$trial")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(s"spi_prop_et_$trial").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+      // driver simulator: same fold, per batch per key, carried state
+      var states = Map.empty[Long, TimeWinState].withDefaultValue(TimeWinState(Long.MinValue, Nil))
+      val expect = Set.newBuilder[(Long, Long, Long, Long, Double)]
+      batches.foreach { b =>
+        b.groupBy(_.user_id).foreach { case (uid, es) =>
+          val elems = es.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => WinElem(e.event_id, e.ts.getTime, e.value))
+          val (s2, fires) = WindowSpi.timeWindowFold(states(uid), elems.iterator,
+            300000L, trigger, evictor, latenessMs)
+          states += uid -> s2
+          fires.foreach { case (ws, t, fn, sum) =>
+            expect += ((uid, ws, t, fn, math.rint(sum * 100) / 100))
+          }
+        }
+      }
+      assert(got == expect.result(),
+        s"trial $trial trigger=$trigger evictor=$evictor lateness=$latenessMs cuts=($cut1,$cut2)")
+
+      // same property for the merging session fold, random lag
+      val lagMs = rnd.nextInt(3) * 1800000L
+      val ms2 = MemoryStream[Ev]
+      val q2 = WindowSpi.sessionEventTime(ms2.toDS(), 600000L, EventTimeTrigger, NoEvictor, lagMs)
+        .writeStream.format("memory").queryName(s"spi_prop_sess_$trial")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => ms2.addData(b: _*); q2.processAllAvailable() }
+      q2.stop()
+      val got2 = spark.table(s"spi_prop_sess_$trial").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      var sessStates = Map.empty[Long, SessState].withDefaultValue(SessState(Long.MinValue, Nil))
+      val expect2 = Set.newBuilder[(Long, Long, Long, Long, Double)]
+      batches.foreach { b =>
+        b.groupBy(_.user_id).foreach { case (uid, es) =>
+          val elems = es.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => WinElem(e.event_id, e.ts.getTime, e.value))
+          val (s2, fires) = WindowSpi.sessionFold(sessStates(uid), elems.iterator,
+            600000L, EventTimeTrigger, NoEvictor, lagMs)
+          sessStates += uid -> s2
+          fires.foreach { case (ws, t, fn, sum) =>
+            expect2 += ((uid, ws, t, fn, math.rint(sum * 100) / 100))
+          }
+        }
+      }
+      assert(got2 == expect2.result(), s"trial $trial sessions lag=$lagMs cuts=($cut1,$cut2)")
+    }
+  }
+
   test("processing-time windows bucket by a virtual clock and fire as it advances") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
