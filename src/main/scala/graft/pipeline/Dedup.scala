@@ -600,7 +600,82 @@ object Dedup {
        |WHERE d.doc_id % 10 >= 8
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Exact duplicated-SPAN excision — the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ExactSubstr): instead of dropping whole near-dup
+    * documents, remove the duplicated PASSAGES (boilerplate headers,
+    * license blocks, templated paragraphs) and keep the rest. A token
+    * position starts a duplicated span when its [[Q111K]]-token gram
+    * occurs ≥ 2 times ANYWHERE in the corpus (including elsewhere in
+    * the same document); every token covered by a marked gram is
+    * excised and the survivors re-joined.
+    *
+    * Scale shape: two linear relations — (doc, pos, gramhash) and
+    * (doc, pos, token) — never a pairwise term. The gram df rides a
+    * window over the gram-hash partition (the q85 single-lineage
+    * pattern: a join-back to a count relation would defeat exchange
+    * reuse and re-scan the corpus); marked starts then join the token
+    * relation on (doc, pos) — 8-byte keys — and coverage is a rows
+    * window over the preceding K−1 token slots. The rebuilt text is a
+    * sort_array(collect_list) per doc: bounded by ONE document, the
+    * same per-group contract as every flatMapGroups op here.
+    */
+  val Q111K = 5
+
+  def q111DedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val marked = docs
+      .select(col("doc_id"), posexplode(shingles(col("text"), Q111K)).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), h60(col("g")).as("gh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("p"))
+    val tokens = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("t", "token")))
+    val covered = tokens
+      .join(marked.withColumn("m", lit(1)),
+        tokens("doc_id") === marked("doc_id") && tokens("t") === marked("p"), "left_outer")
+      .select(tokens("doc_id"), col("t"), col("token"), coalesce(col("m"), lit(0)).as("m"))
+      .withColumn("cov", max(col("m")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("t")).rowsBetween(1 - Q111K, 0)))
+    covered.groupBy(col("doc_id"))
+      .agg(
+        count(when(col("cov") === 1, 1)).as("n_removed"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("cov") === 0, struct(col("t"), col("token"))))),
+          x => x.getField("token"))).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q111Sql: String =
+    s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS wsarr FROM documents),
+       |marked AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, i AS p, count(*) OVER (PARTITION BY
+       |        ('0x' || substr(md5(array_to_string(wsarr[i+1:i+${Q111K}], ' ')), 1, 15))::BIGINT
+       |      ) AS df
+       |    FROM d, LATERAL unnest(generate_series(0, len(wsarr) - ${Q111K})) AS s(i))
+       |  WHERE df >= 2),
+       |tok AS (
+       |  SELECT doc_id, t, wsarr[t+1] AS token
+       |  FROM d, LATERAL unnest(generate_series(0, len(wsarr) - 1)) AS s(t)),
+       |cov AS (
+       |  SELECT tok.doc_id, tok.t, tok.token,
+       |    max(CASE WHEN m.p IS NULL THEN 0 ELSE 1 END) OVER (
+       |      PARTITION BY tok.doc_id ORDER BY tok.t
+       |      ROWS BETWEEN ${Q111K - 1} PRECEDING AND CURRENT ROW) AS c
+       |  FROM tok LEFT JOIN marked m ON m.doc_id = tok.doc_id AND m.p = tok.t)
+       |SELECT doc_id,
+       |  count(*) FILTER (c = 1) AS n_removed,
+       |  coalesce(string_agg(token, ' ' ORDER BY t) FILTER (c = 0), '') AS text_clean
+       |FROM cov
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_dedup_spans" -> (q111DedupSpans _),
     "q78_incremental_dedup" -> (q78IncrementalDedup _),
     "q28_dedup_exact" -> (q28ExactDedup _),
     "q29_dedup_minhash_lsh" -> (q29MinhashLsh _),
@@ -612,6 +687,7 @@ object Dedup {
     "q63_contamination" -> (q63Contamination _))
 
   def oracles: Map[String, String] = Map(
+    "q111_dedup_spans" -> q111Sql,
     "q78_incremental_dedup" -> q78Sql,
     "q28_dedup_exact" -> q28Sql,
     "q29_dedup_minhash_lsh" -> q29Sql,

@@ -245,4 +245,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         s"doc $doc vs bench $bench: claimed $n shared shingles")
     }
   }
+
+  test("q111 span excision: token accounting, subsequence property, corpus-wide marking") {
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cleaned = Dedup.q111DedupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cleaned.length == orig.size)
+    var removedAny = 0
+    var fullyRemoved = 0
+    cleaned.foreach { case (id, nRemoved, clean) =>
+      val origToks = orig(id).split(" ", -1)
+      val cleanToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ", -1)
+      // every removed token is accounted for, none invented
+      assert(cleanToks.length + nRemoved == origToks.length,
+        s"doc $id: ${cleanToks.length} kept + $nRemoved removed != ${origToks.length}")
+      // kept tokens are a subsequence of the original (excision only)
+      var j = 0
+      cleanToks.foreach { t =>
+        j = origToks.indexOf(t, j)
+        assert(j >= 0, s"doc $id: cleaned token '$t' out of order vs original")
+        j += 1
+      }
+      if (nRemoved > 0) removedAny += 1
+      if (nRemoved > 0 && cleanToks.isEmpty) fullyRemoved += 1
+    }
+    // the synthetic corpus HAS boilerplate: some docs lose spans, the
+    // pure-template ones vanish entirely, most docs stay untouched
+    assert(removedAny > 0 && fullyRemoved > 0 && removedAny < cleaned.length)
+  }
 }
