@@ -80,6 +80,9 @@ object Bench {
       byShort.get(q).map(v => "\"" + name + "\":" + fmt(v))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"ref":$ref,"sf":"$sfDir"}"""
+    // failed count rides the headline so a cross-round total compare
+    // can never mistake "13 queries crashed" for "2.5x faster"
+    val failed = results.count(_._2 < 0)
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"queries":$qs,"ref":$ref,"sf":"$sfDir"}"""
   }
 }

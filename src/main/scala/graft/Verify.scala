@@ -14,6 +14,20 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashed query must surface as a VISIBLE failure in the
+        // driver's compare, not a silent omission: write a sentinel
+        // one-row output whose schema can never match any oracle, so
+        // the correctness artifact records rows/schema/hash=false
+        // with the error text instead of dropping the entry.
+        try {
+          import spark.implicits._
+          Seq(("" + e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(500)))
+            .toDF("__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
       // same between-queries hygiene as Bench: don't let one query's
       // pinned caches ride into the next hundred

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver testdata layout (`TESTDATA.md`): one
   * parquet file per table under a scale-factor directory.
@@ -26,11 +28,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** events with `ts` normalized to the engine-wide contract:
+    * **epoch-nanoseconds LongType**. The driver fixture has shipped
+    * `ts` as parquet TIMESTAMP(NANOS) (Spark surfaces LongType via
+    * `nanosAsLong`) and as timestamp[us] TIMESTAMP_NTZ; every window /
+    * as-of / range / sessionize consumer does exact integer bucket
+    * math on nanos, so both physical forms converge here. NTZ wall
+    * clock is interpreted in the session time zone — GraftSession pins
+    * it to UTC, matching DuckDB's `epoch_us`/`epoch_ns` on the naive
+    * timestamp, so Spark and the oracle see identical instants. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: expected epoch-nanos LONG or TIMESTAMP[_NTZ], got $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views so queries can be written in SQL. */
+  /** Register all tables as temp views so queries can be written in SQL.
+    * `events` registers the ts-normalized form (see [[events]]). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -28,13 +28,17 @@ object Streams {
 
   /** Unbounded read of the events table (file-stream source over the
     * scale dir; one file today, a growing directory in production —
-    * same plan either way). */
+    * same plan either way). The fixture stores `ts` as timestamp[us]
+    * TIMESTAMP_NTZ (see [[graft.sources.Tables.events]]); file-stream
+    * sources need the schema up front, so read NTZ and cast to the
+    * session-zoned TimestampType the watermark/window operators use
+    * (GraftSession pins the session zone to UTC). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling 5-minute windows per event_type with a 10-minute
     * watermark (TumblingEventTimeWindows + the IoT per-window agg,

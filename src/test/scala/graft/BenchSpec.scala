@@ -28,8 +28,11 @@ class BenchSpec extends AnyFunSuite {
     // crashed queries (-1) must not corrupt the JSON shape
     val withCrash = Bench.jsonLine(Seq("q01_x" -> -1.0, "q02_y" -> 1.5), "/x")
     assert(withCrash.contains(""""q01":-1.00""") && withCrash.contains(""""q02":1.50"""))
-    // the total excludes crashed queries
-    assert(withCrash.contains(""""value":1.50"""))
+    // the total excludes crashed queries, and the crash is COUNTED in
+    // the headline so cross-round total compares can't misread
+    // "queries crashed" as "got faster"
+    assert(withCrash.contains(""""value":1.50""") && withCrash.contains(""""failed":1"""))
+    assert(line.contains(""""failed":0"""))
   }
 
   test("every reference benchmark maps to a registered query") {

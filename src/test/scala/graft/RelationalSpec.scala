@@ -81,7 +81,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
 
   test("as-of join equals the brute-force latest-at-or-before lookup") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000))
@@ -102,7 +102,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
 
   test("binned range join equals the brute-force trailing-window scan") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000))

@@ -254,7 +254,7 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
   test("q108 batch twin equals the streaming sliding operator on real events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = graft.sources.Tables.events(spark, sf)
       .where("user_id < 12").collect().map { r =>
         Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
           r.getString(3), r.getDouble(4))
@@ -376,7 +376,7 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
   test("q110 batch twin equals the streaming session operator on real events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = graft.sources.Tables.events(spark, sf)
       .where("user_id < 12").collect().map { r =>
         Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
           r.getString(3), r.getDouble(4))
@@ -413,7 +413,7 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
 
   test("q106 batch twin equals the streaming operator on real events") {
     import spark.implicits._
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = graft.sources.Tables.events(spark, sf)
       .where("user_id < 12").collect().map { r =>
         Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
           r.getString(3), r.getDouble(4))
@@ -428,7 +428,7 @@ class WindowSpiSpec extends AnyFunSuite with SparkSpec {
   test("q107 batch twin equals the streaming punctuated operator on real events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    val evs = spark.read.parquet(s"$sf/events.parquet").collect().map { r =>
+    val evs = graft.sources.Tables.events(spark, sf).collect().map { r =>
       Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getLong(2),
         r.getString(3), r.getDouble(4))
     }.toSeq

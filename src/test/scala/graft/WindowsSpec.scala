@@ -23,7 +23,7 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
   test("resample emits a dense per-user hourly grid with correct forward fill") {
     val rows = Windows.q83Resample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.sources.Tables.events(spark, sf)
       .selectExpr("user_id", s"ts div ${Windows.ResampleHourNs}L as hour", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val byUser = events.groupBy(_._1)
