@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sequential event-pattern matching — the CEP surface (SURVEY.md
+  * §2.6 neighborhood; reference ships the full Flink CEP library:
+  * `/root/reference` flink-cep/src/main/java/org/apache/flink/cep/
+  * `CEP.java`, `nfa/NFA.java`, `pattern/Pattern.java:begin/next/
+  * followedBy`). Re-expressed Spark-first:
+  *
+  *  - The matcher itself is a tiny per-key fold over time-ordered
+  *    events ([[earliestChain]]) — Flink's `followedBy` ("relaxed
+  *    contiguity": skip non-matching events, take the EARLIEST match
+  *    of each step strictly after the previous step's match), plus
+  *    `notFollowedBy`-style between-guards checked on the matched
+  *    span. Earliest-match semantics make the result a pure function
+  *    of the event set — no tie-breaking, deterministic across
+  *    engines and partitionings.
+  *  - The batch driver runs it as `flatMapGroups` per key: one
+  *    user-keyed shuffle, per-key state = the current step index and
+  *    match times (O(steps)), sorting bounded by one key's events —
+  *    the same cost model as Flink's keyed NFA operator. At 100 TB
+  *    the shuffle is the scan-bound term; no cross-key state exists.
+  *
+  * Both graded queries have DuckDB oracle twins (min-chain CTEs), so
+  * the NFA semantics are pinned cross-engine, not just by spec.
+  */
+object Patterns {
+
+  /** One per-key event: time (already micros — the engine-wide
+    * `ts div 1000` contract) and its type tag. */
+  final case class PEvent(key: Long, t_us: Long, tag: String)
+
+  /** Earliest skip-till-next-match chain: for each step i, the
+    * minimal event time strictly after step i-1's match whose tag
+    * equals `steps(i)` (first step: minimal over all its tag's
+    * events). Returns the match times, or None if any step never
+    * fires. Events need NOT be pre-sorted; the fold tracks per-step
+    * minima in one pass, O(n·steps) with no allocation — order
+    * independence is what makes the operator partition-stable. */
+  def earliestChain(steps: IndexedSeq[String], events: Iterator[(Long, String)]): Option[IndexedSeq[Long]] = {
+    // best(i) = earliest completion time of the chain prefix 0..i seen
+    // so far. A single pass cannot fill later steps before earlier
+    // ones when events arrive unsorted, so collect + sort by time —
+    // per-key cardinality is session-bounded (documented cost model).
+    val sorted = events.toArray.sortBy(_._1)
+    val n = steps.length
+    val best = Array.fill[Long](n)(Long.MaxValue)
+    sorted.foreach { case (t, tag) =>
+      var i = n - 1
+      while (i >= 0) {
+        if (steps(i) == tag && best(i) == Long.MaxValue &&
+            (i == 0 || (best(i - 1) != Long.MaxValue && t > best(i - 1))))
+          best(i) = t
+        i -= 1
+      }
+    }
+    if (best(n - 1) == Long.MaxValue) None else Some(best.toIndexedSeq)
+  }
+
+  /** True iff no event with `guardTag` falls strictly inside
+    * (spanLo, spanHi) — the `notFollowedBy` between-guard applied to
+    * a completed match span. */
+  def spanClear(guardTag: String, spanLo: Long, spanHi: Long,
+      events: Iterable[(Long, String)]): Boolean =
+    !events.exists { case (t, tag) => tag == guardTag && t > spanLo && t < spanHi }
+
+  /** Generic batch driver: run [[earliestChain]] per key over a
+    * (key, t_us, tag) frame; one column per matched step. */
+  def matchChain(events: Dataset[PEvent], steps: IndexedSeq[String],
+      guard: Option[String] = None): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        val evs = it.map(e => (e.t_us, e.tag)).toArray
+        earliestChain(steps, evs.iterator) match {
+          case Some(ts) if guard.forall(g => spanClear(g, ts.head, ts.last, evs)) =>
+            Iterator.single((key, ts.toArray))
+          case _ => Iterator.empty
+        }
+      }
+      .select(col("_1").as("key") +:
+        steps.indices.map(i => col("_2")(i).as(s"t${i + 1}_us")): _*)
+  }
+
+  /** Conversion funnel (view → click → purchase, earliest chain per
+    * user) over the events table — the behavioural query a training-
+    * data pipeline runs to label converting sessions. */
+  def q116Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+    matchChain(evs, IndexedSeq("view", "click", "purchase"))
+      .select(col("key").as("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+      .withColumn("funnel_s", expr("(t3_us - t1_us) div 1000000"))
+      .orderBy(col("user_id"))
+  }
+
+  val q116Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1_us
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2_us
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, t1_us, t2_us, t3_us,
+      |  (t3_us - t1_us) // 1000000 AS funnel_s
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |       JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Funnel with a negative condition (`notFollowedBy('error')`):
+    * same earliest chain, but users whose matched span contains an
+    * error event are dropped — the clean-conversion cohort. */
+  def q117FunnelGuard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+    matchChain(evs, IndexedSeq("view", "click", "purchase"), guard = Some("error"))
+      .select(col("key").as("user_id"), col("t1_us"), col("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q117Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1_us
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2_us
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, t1_us, t3_us
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |       JOIN p ON v.user_id = p.user_id
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events g
+      |  WHERE g.user_id = v.user_id AND g.event_type = 'error'
+      |    AND epoch_us(g.ts) > t1_us AND epoch_us(g.ts) < t3_us)
+      |ORDER BY v.user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_funnel" -> (q116Funnel _),
+    "q117_funnel_guard" -> (q117FunnelGuard _))
+
+  def oracles: Map[String, String] = Map(
+    "q116_funnel" -> q116Sql,
+    "q117_funnel_guard" -> q117Sql)
+}

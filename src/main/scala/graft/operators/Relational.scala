@@ -1027,7 +1027,146 @@ object Relational {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join with an extra predicate IN THE JOIN CONDITION (non-urgent
+    * orders only — a filter in the WHERE would wrongly drop the
+    * zero-order customers), a per-customer count, then a second
+    * aggregation over the counts. Two shuffles (custkey, then the
+    * tiny n_orders domain); partial aggregation collapses both. The
+    * zero-order customers ride the NULL side of the outer join —
+    * count(o_orderkey) ignores NULLs, exactly the Q13 trap. */
+  def q112CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    perCust.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+  }
+
+  val q112Sql: String =
+    """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY n_orders
+      |ORDER BY n_custs DESC, n_orders DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** Dormant rich customers (TPC-H Q22 shape): customers above the
+    * mean positive account balance with no RECENT orders (none since
+    * 1999 — the unrestricted anti join is empty at every sf, which
+    * would make the row a vacuous pass) — a scalar-aggregate
+    * threshold plus an anti join, grouped by nation. The threshold is
+    * computed in EXACT integer cents (`round(sum(x*100))` is a whole
+    * number both engines agree on; the single division that follows
+    * is one IEEE op — the q18 avg trick) because a raw avg() of
+    * doubles is summation-order-dependent and a boundary customer
+    * could flip sides between engines. The threshold relation is one
+    * row — Catalyst broadcasts it; the anti join shuffles on custkey. */
+  def q113DormantRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg((round(sum(col("c_acctbal") * 100), 0) / (count(lit(1)) * lit(100.0))).as("thr"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("nation"))
+  }
+
+  val q113Sql: String =
+    """WITH thr AS (
+      |  SELECT round(sum(c_acctbal * 100), 0) / (count(*) * 100.0) AS thr
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer, thr
+      |WHERE c_acctbal > thr
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** Promo revenue share (TPC-H Q14 shape): conditional aggregation
+    * over a part–lineitem join in one pass — promo and total revenue
+    * from the same scan, no second join. Both sums are rounded to
+    * cents BEFORE the share is derived (summation order is
+    * engine-dependent; the rounded sums are the cross-engine contract)
+    * and the share is emitted in parts-per-million via
+    * `floor(x + 0.5)` — pure IEEE, no HALF_UP/HALF_EVEN tie rule to
+    * diverge on. */
+  def q114PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .withColumn("promo_ppm",
+        floor(lit(1000000.0) * col("promo_rev") / col("total_rev") + 0.5).cast("long"))
+  }
+
+  val q114Sql: String =
+    """WITH sums AS (
+      |  SELECT
+      |    round(sum(CASE WHEN p_type = 'PROMO'
+      |              THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_rev,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01')
+      |SELECT promo_rev, total_rev,
+      |  CAST(floor(1000000.0 * promo_rev / total_rev + 0.5) AS BIGINT) AS promo_ppm
+      |FROM sums""".stripMargin
+
+  // ---------------------------------------------------------------- q115
+  /** Small-quantity revenue (TPC-H Q17 shape): a correlated SCALAR
+    * subquery — each lineitem row compares against 20% of ITS part's
+    * average quantity. Enters through `spark.sql` so Catalyst's
+    * RewriteCorrelatedScalarSubquery is exercised: the rewrite is one
+    * per-part aggregate joined back on partkey — never a per-row
+    * re-execution. The threshold math is exact cross-engine:
+    * quantities are integer-valued, so sum() is an exact integer in
+    * any order and avg = one IEEE division both engines repeat
+    * bit-identically (the identical-fold rule). Output rounds the
+    * aggregated revenue only. */
+  def q115SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g115_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("g115_part")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice), 2) AS total_rev, count(*) AS n_li
+        |FROM g115_lineitem JOIN g115_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM g115_lineitem l2
+        |                          WHERE l2.l_partkey = g115_lineitem.l_partkey)""".stripMargin)
+  }
+
+  val q115Sql: String =
+    """SELECT round(sum(l_extendedprice), 2) AS total_rev,
+      |  CAST(count(*) AS BIGINT) AS n_li
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+      |                          WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_cust_distribution" -> (q112CustDistribution _),
+    "q113_dormant_rich" -> (q113DormantRich _),
+    "q114_promo_revenue" -> (q114PromoRevenue _),
+    "q115_small_quantity" -> (q115SmallQuantity _),
     "q100_order_priority" -> (q100OrderPriority _),
     "q101_priority_shipmix" -> (q101PriorityShipmix _),
     "q102_disjunctive_revenue" -> (q102DisjunctiveRevenue _),
@@ -1067,6 +1206,10 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q112_cust_distribution" -> q112Sql,
+    "q113_dormant_rich" -> q113Sql,
+    "q114_promo_revenue" -> q114Sql,
+    "q115_small_quantity" -> q115Sql,
     "q100_order_priority" -> q100Sql,
     "q101_priority_shipmix" -> q101Sql,
     "q102_disjunctive_revenue" -> q102Sql,

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Patterns
+
+/** CEP pattern matcher: unit semantics of the earliest-chain fold,
+  * guard behaviour, and equivalence of the flatMapGroups driver with
+  * a declarative three-step min-chain plan on the real events table
+  * (the same derivation the DuckDB oracle states in SQL). */
+class PatternsSpec extends AnyFunSuite with SparkSpec {
+
+  test("earliestChain takes the earliest match of each step strictly after the previous") {
+    val evs = Seq(
+      (10L, "view"), (12L, "click"), (11L, "view"), (15L, "purchase"),
+      (13L, "click"), (14L, "view"))
+    val got = Patterns.earliestChain(IndexedSeq("view", "click", "purchase"), evs.iterator)
+    assert(got.contains(IndexedSeq(10L, 12L, 15L)))
+  }
+
+  test("earliestChain is order-insensitive and strict on ties") {
+    val evs = Seq((10L, "view"), (10L, "click"), (11L, "click"), (12L, "purchase"))
+    // click at t=10 is NOT after the view at t=10 — strict ordering
+    for (perm <- evs.permutations.take(24)) {
+      val got = Patterns.earliestChain(IndexedSeq("view", "click", "purchase"), perm.iterator)
+      assert(got.contains(IndexedSeq(10L, 11L, 12L)), s"perm $perm")
+    }
+    assert(Patterns.earliestChain(IndexedSeq("view", "click"),
+      Seq((10L, "click"), (11L, "view")).iterator).isEmpty)
+  }
+
+  test("repeated-tag steps consume distinct events") {
+    val evs = Seq((10L, "click"), (11L, "click"))
+    val got = Patterns.earliestChain(IndexedSeq("click", "click"), evs.iterator)
+    assert(got.contains(IndexedSeq(10L, 11L)))
+    assert(Patterns.earliestChain(IndexedSeq("click", "click"),
+      Seq((10L, "click"), (10L, "click")).iterator).isEmpty,
+      "same-time duplicates cannot chain under strict ordering")
+  }
+
+  test("spanClear guard excludes only strictly-interior events") {
+    val evs = Seq((10L, "error"), (15L, "error"), (20L, "error"))
+    assert(Patterns.spanClear("error", 10L, 15L, evs.filter(_._1 != 15L).filter(_._1 != 10L)))
+    assert(!Patterns.spanClear("error", 10L, 20L, evs))
+    assert(Patterns.spanClear("error", 15L, 15L, Seq((15L, "error"))),
+      "boundary events are outside the open interval")
+  }
+
+  test("q116 funnel equals the declarative min-chain plan on real events") {
+    import org.apache.spark.sql.DataFrame
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+    def step(prev: DataFrame, tag: String, tPrev: String, tOut: String): DataFrame =
+      ev.filter(col("event_type") === tag)
+        .join(prev.select(col("user_id"), col(tPrev)), Seq("user_id"))
+        .filter(col("t_us") > col(tPrev))
+        .groupBy(col("user_id"))
+        .agg(min(col("t_us")).as(tOut))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t1_us"))
+    val c = step(v, "click", "t1_us", "t2_us")
+    val p = step(c, "purchase", "t2_us", "t3_us")
+    val declarative = v.join(c, Seq("user_id")).join(p, Seq("user_id"))
+      .select("user_id", "t1_us", "t2_us", "t3_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val nfa = graft.operators.Patterns.q116Funnel(spark, sf)
+      .select("user_id", "t1_us", "t2_us", "t3_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(nfa == declarative && nfa.nonEmpty)
+  }
+
+  test("q117 guard is a subset of q116 and drops exactly the error-spanned users") {
+    val full = graft.operators.Patterns.q116Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    val guarded = graft.operators.Patterns.q117FunnelGuard(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(guarded.subsetOf(full.keySet))
+    val errs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), expr("ts div 1000").as("t_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped = full.filter { case (u, (t1, t3)) =>
+      errs.exists { case (eu, et) => eu == u && et > t1 && et < t3 }
+    }.keySet
+    assert(full.keySet -- guarded == expectedDropped)
+  }
+}
