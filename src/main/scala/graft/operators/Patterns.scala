@@ -158,6 +158,61 @@ object Patterns {
       |    AND epoch_us(g.ts) > t1_us AND epoch_us(g.ts) < t3_us)
       |ORDER BY v.user_id""".stripMargin
 
+  // ------------------------------------------------------------ streaming
+  /** Per-key NFA state for the streaming matcher: times matched so
+    * far (≤ steps, monotone — a matched step never retracts, Flink
+    * CEP's skip-till-next-match on the arriving stream), the minimal
+    * guard-event time after step 1 (O(1) — enough to decide the
+    * open-interval guard when the chain completes, since in an
+    * event-time-ordered feed every interior event precedes the
+    * closer), and whether the match was already emitted. */
+  final case class ChainState(matched: List[Long], minGuard: Long, done: Boolean)
+  final case class ChainMatch(key: Long, ts: Seq[Long])
+
+  /** Streaming twin of [[matchChain]] — the CEP operator as Flink
+    * runs it (`CEP.pattern(keyedStream, pattern)`): per-key bounded
+    * state (O(steps) longs), one emission per completed match,
+    * `flatMapGroupsWithState` in Append mode. Matches the batch
+    * operator exactly when events arrive in event-time order (batch
+    * boundaries anywhere); out-of-order arrival degrades like Flink
+    * CEP without buffering — an earlier-but-late event cannot
+    * retroactively improve an already-advanced chain. PatternsSpec
+    * feeds ordered batches and asserts equality with the graded q116
+    * batch result. */
+  def matchChainStream(events: Dataset[PEvent], steps: IndexedSeq[String],
+      guard: Option[String] = None): Dataset[ChainMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val n = steps.length
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[ChainState, ChainMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[PEvent], state: GroupState[ChainState]) =>
+          var s = state.getOption.getOrElse(ChainState(Nil, Long.MaxValue, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+          if (!s.done) {
+            it.toSeq.sortBy(_.t_us).foreach { e =>
+              if (!s.done) {
+                val depth = s.matched.length
+                if (guard.contains(e.tag) && depth >= 1 &&
+                    e.t_us > s.matched.head && e.t_us < s.minGuard)
+                  s = s.copy(minGuard = e.t_us)
+                if (depth < n && steps(depth) == e.tag &&
+                    (depth == 0 || e.t_us > s.matched.last))
+                  s = s.copy(matched = s.matched :+ e.t_us)
+                if (s.matched.length == n) {
+                  if (s.minGuard >= s.matched.last) // no guard event inside the span
+                    out += ChainMatch(key, s.matched)
+                  s = s.copy(done = true)
+                }
+              }
+            }
+          } else it.foreach(_ => ()) // drain: state is final
+          state.update(s)
+          out.iterator
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_funnel" -> (q116Funnel _),
     "q117_funnel_guard" -> (q117FunnelGuard _))
