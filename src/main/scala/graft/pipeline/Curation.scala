@@ -373,7 +373,53 @@ object Curation {
        |WHERE rk <= $SamplePerGroup
        |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Fixed-width overlapping document chunking — the RAG/pretraining
+    * primitive between raw documents and an embedding or packing
+    * stage (the inverse of q50's packing): windows of `ChunkW` chars
+    * every `ChunkW - ChunkV` (stride), each chunk sharing `ChunkV`
+    * chars with its predecessor so no boundary context is lost. A
+    * start position is emitted iff it is the first OR it still adds
+    * content past the previous chunk's overlap (`start + V <= len`) —
+    * a pure arithmetic rule both engines state identically, no
+    * tokenizer dependence. Plan: one scan, a per-row bounded
+    * `sequence` explode (≤ len/stride elements — generated, never
+    * shuffled), zero exchanges before the output sort. At 100 TB
+    * chunking is embarrassingly parallel; output is ~len/stride ×
+    * input rows, the expected blow-up a downstream embedder consumes
+    * partition-local. */
+  val ChunkW = 200
+  val ChunkV = 50
+
+  def q118DocChunks(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkW - ChunkV
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(stride))).as("start"))
+      .filter(col("start") === 1 || col("start") + ChunkV <= col("n"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / stride).cast("long")).as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        expr(s"substring(text, start, $ChunkW)").as("chunk"))
+      .withColumn("chunk_n", length(col("chunk")).cast("long"))
+      .orderBy(col("doc_id"), col("start"))
+  }
+
+  val q118Sql: String = {
+    val stride = ChunkW - ChunkV
+    s"""SELECT doc_id, (start - 1) // $stride AS chunk_idx, start,
+       |  substr(text, CAST(start AS INT), $ChunkW) AS chunk,
+       |  length(substr(text, CAST(start AS INT), $ChunkW)) AS chunk_n
+       |FROM (SELECT doc_id, text, length(text) AS n,
+       |        unnest(generate_series(1, greatest(length(text), 1), $stride)) AS start
+       |      FROM documents)
+       |WHERE start = 1 OR start + $ChunkV <= n
+       |ORDER BY doc_id, start""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_doc_chunks" -> (q118DocChunks _),
     "q69_pii_redact" -> (q69PiiRedact _),
     "q70_shuffle_shard" -> (q70ShuffleShard _),
     "q71_split_assign" -> (q71SplitAssign _),
@@ -385,6 +431,7 @@ object Curation {
     "q77_group_sample" -> (q77GroupSample _))
 
   def oracles: Map[String, String] = Map(
+    "q118_doc_chunks" -> q118Sql,
     "q69_pii_redact" -> q69Sql,
     "q70_shuffle_shard" -> q70Sql,
     "q71_split_assign" -> q71Sql,

@@ -205,4 +205,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_._2).toSet.size == 1, "mixed dims in embeddings table")
     assert(rows.forall(_._3 > 0.0))
   }
+
+  test("doc chunks reassemble to the original text with exact overlap") {
+    val stride = Curation.ChunkW - Curation.ChunkV
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Curation.q118DocChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == texts.keySet, "every document chunks")
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._3)
+      // starts are the stride grid, chunk_idx consistent, width capped
+      sorted.zipWithIndex.foreach { case ((_, idx, start, c), i) =>
+        assert(start == 1L + i * stride && idx == i && c.length <= Curation.ChunkW)
+      }
+      // overlap-trimmed concatenation reconstructs the document exactly
+      val rebuilt = sorted.head._4 + sorted.tail.map { case (_, _, start, c) =>
+        // this chunk's fresh content begins after the previous chunk's end
+        val prevEnd = (start - stride) + Curation.ChunkW - 1
+        c.drop((prevEnd - start + 1).toInt.max(0))
+      }.mkString
+      assert(rebuilt == texts(id), s"doc $id reassembly")
+      // every chunk past the first adds content beyond the overlap
+      sorted.tail.foreach { case (_, _, start, _) =>
+        assert(start + Curation.ChunkV <= texts(id).length)
+      }
+    }
+  }
 }

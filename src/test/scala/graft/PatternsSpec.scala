@@ -70,6 +70,25 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     assert(nfa == declarative && nfa.nonEmpty)
   }
 
+  test("earliestChain equals the recursive min-chain definition on random event sets") {
+    val rng = new scala.util.Random(7)
+    val tags = IndexedSeq("a", "b", "c")
+    def brute(steps: IndexedSeq[String], evs: Seq[(Long, String)]): Option[IndexedSeq[Long]] =
+      steps.foldLeft(Option(IndexedSeq.empty[Long])) {
+        case (Some(acc), tag) =>
+          val cands = evs.filter(e => e._2 == tag && (acc.isEmpty || e._1 > acc.last))
+          if (cands.isEmpty) None else Some(acc :+ cands.map(_._1).min)
+        case (None, _) => None
+      }
+    (1 to 200).foreach { i =>
+      val n = 1 + rng.nextInt(12)
+      val evs = Seq.fill(n)((rng.nextInt(8).toLong, tags(rng.nextInt(3))))
+      val steps = IndexedSeq.fill(1 + rng.nextInt(3))(tags(rng.nextInt(3)))
+      val got = Patterns.earliestChain(steps, evs.iterator)
+      assert(got == brute(steps, evs), s"case $i: steps=$steps evs=$evs")
+    }
+  }
+
   test("streaming matcher over ordered batches equals the graded batch funnel") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
