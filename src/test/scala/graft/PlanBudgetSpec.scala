@@ -62,7 +62,20 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // and anti legs each rescan lineitem ONCE, never per-row
     "q103_waiting_supplier" -> PlanCounts(5, 0, 1, 4),
     // pair scoring is scan + one broadcast; zero shuffles pre-TopK
-    "q104_cosine_expr" -> PlanCounts(2, 0, 0, 1))
+    "q104_cosine_expr" -> PlanCounts(2, 0, 0, 1),
+    // customer + orders, join-broadcast at test scale (shuffle-keyed
+    // on a cluster), two aggs + sort
+    "q112_cust_distribution" -> PlanCounts(2, 0, 3, 1),
+    // customer twice (threshold + cohort) + orders; broadcasts = the
+    // ONE-ROW threshold and the anti-join side
+    "q113_dormant_rich" -> PlanCounts(3, 0, 3, 2),
+    // correlated-scalar rewrite: lineitem twice (outer + per-part
+    // avg) + part, joined ONCE each — never per-row re-execution
+    "q115_small_quantity" -> PlanCounts(3, 0, 2, 2),
+    // CEP: one events scan into the groupByKey exchange + output sort
+    "q116_funnel" -> PlanCounts(1, 0, 2, 0),
+    // chunking: one scan, generated explode, only the output sort
+    "q118_doc_chunks" -> PlanCounts(1, 0, 1, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
