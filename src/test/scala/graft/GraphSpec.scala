@@ -76,6 +76,26 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sssp equals a driver-side Bellman-Ford at the same superstep horizon") {
+    import graft.analytics.Graph
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + Graph.SuppOffset).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map { case (p, s) => (p, s) } ++ edges.map { case (p, s) => (s, p) })
+      .map { case (a, b) => (a, b, 1L + (a + b) % 7) }
+    val src = adj.map(_._1).min
+    var dist = Map(src -> 0L)
+    (1 to Graph.SsspIters).foreach { _ =>
+      val cand = adj.flatMap { case (a, b, w) => dist.get(a).map(d => (b, d + w)) }
+        .groupBy(_._1).map { case (n, ds) => (n, ds.map(_._2).min) }
+      dist = (dist.toSeq ++ cand.toSeq).groupBy(_._1)
+        .map { case (n, ds) => (n, ds.map(_._2).min) }
+    }
+    val want = dist.toSeq.sortBy(t => (t._2, t._1)).take(50)
+    val got = Graph.q119Sssp(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))
