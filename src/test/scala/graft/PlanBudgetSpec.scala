@@ -75,7 +75,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // CEP: one events scan into the groupByKey exchange + output sort
     "q116_funnel" -> PlanCounts(1, 0, 2, 0),
     // chunking: one scan, generated explode, only the output sort
-    "q118_doc_chunks" -> PlanCounts(1, 0, 1, 0))
+    "q118_doc_chunks" -> PlanCounts(1, 0, 1, 0),
+    // supersteps end on a localCheckpoint: the final plan is just the
+    // sort+limit over the checkpointed dist relation
+    "q119_sssp" -> PlanCounts(0, 0, 0, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
