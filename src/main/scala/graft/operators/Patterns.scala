@@ -61,6 +61,43 @@ object Patterns {
     if (best(n - 1) == Long.MaxValue) None else Some(best.toIndexedSeq)
   }
 
+  /** Flink's `Pattern.within(T)` (reference flink-cep
+    * pattern/Pattern.java `within`; nfa/NFA.java match pruning):
+    * the chain must complete within `T` of its first step. Earliest
+    * t1 can no longer be taken greedily — a chain seeded at the
+    * global-earliest first step may overrun the window while a
+    * later seed fits — so the semantics here is EARLIEST COMPLETION:
+    * scan final-step candidates in time order; for completion time t,
+    * greedily chain steps 1..k-1 inside [t - T, t) (the greedy
+    * minimal choice per step is exact: taking an earlier valid step
+    * only widens the room for every later step); the first candidate
+    * with a full chain wins. Deterministic — a pure function of the
+    * event set, same as [[earliestChain]]. */
+  def earliestWithin(steps: IndexedSeq[String], withinUs: Long,
+      events: Iterator[(Long, String)]): Option[IndexedSeq[Long]] = {
+    val k = steps.length
+    require(k >= 2, "within needs at least two steps")
+    val byTag = events.toArray.groupBy(_._2).map { case (t, es) =>
+      t -> es.map(_._1).sorted
+    }
+    def minAfter(tag: String, loInclusive: Long, hiExclusive: Long): Option[Long] =
+      byTag.get(tag).flatMap { ts =>
+        // first element >= loInclusive via binary search
+        var lo = 0; var hi = ts.length
+        while (lo < hi) { val m = (lo + hi) >>> 1; if (ts(m) < loInclusive) lo = m + 1 else hi = m }
+        if (lo < ts.length && ts(lo) < hiExclusive) Some(ts(lo)) else None
+      }
+    byTag.getOrElse(steps.last, Array.empty[Long]).iterator.flatMap { t3 =>
+      val chain = (0 until k - 1).foldLeft(Option(IndexedSeq.empty[Long])) {
+        case (Some(acc), i) =>
+          val lo = if (i == 0) t3 - withinUs else acc.last + 1
+          minAfter(steps(i), lo, t3).map(acc :+ _)
+        case (None, _) => None
+      }
+      chain.map(_ :+ t3)
+    }.nextOption()
+  }
+
   /** True iff no event with `guardTag` falls strictly inside
     * (spanLo, spanHi) — the `notFollowedBy` between-guard applied to
     * a completed match span. */
@@ -158,6 +195,50 @@ object Patterns {
       |    AND epoch_us(g.ts) > t1_us AND epoch_us(g.ts) < t3_us)
       |ORDER BY v.user_id""".stripMargin
 
+  /** Funnel with Flink's `within` window: view → click → purchase
+    * completing inside 24 hours, earliest-completion semantics (an
+    * hour-scale window is vacuous on this fixture — median funnel
+    * span is ~15 days; 24 h passes ~56% of converting users, so the
+    * constraint is exercised in both directions at every sf). */
+  val WithinUs: Long = 24L * 3600L * 1000000L
+
+  def q120FunnelWithin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = IndexedSeq("view", "click", "purchase")
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        earliestWithin(steps, WithinUs, it.map(e => (e.t_us, e.tag)))
+          .map(ts => (key, ts(0), ts(1), ts(2))).iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("t1_us"),
+        col("_3").as("t2_us"), col("_4").as("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q120Sql: String =
+    s"""WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+       |c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+       |cand AS (
+       |  SELECT p.user_id, p.t AS t3,
+       |    (SELECT min(v.t) FROM v WHERE v.user_id = p.user_id
+       |       AND v.t >= p.t - $WithinUs AND v.t < p.t) AS t1
+       |  FROM p),
+       |cand2 AS (
+       |  SELECT user_id, t3, t1,
+       |    (SELECT min(c.t) FROM c WHERE c.user_id = cand.user_id
+       |       AND c.t > cand.t1 AND c.t < cand.t3) AS t2
+       |  FROM cand WHERE t1 IS NOT NULL),
+       |valid AS (SELECT * FROM cand2 WHERE t2 IS NOT NULL),
+       |first AS (SELECT user_id, min(t3) AS t3 FROM valid GROUP BY user_id)
+       |SELECT w.user_id, w.t1 AS t1_us, w.t2 AS t2_us, w.t3 AS t3_us
+       |FROM valid w JOIN first f ON w.user_id = f.user_id AND w.t3 = f.t3
+       |ORDER BY w.user_id""".stripMargin
+
   // ------------------------------------------------------------ streaming
   /** Per-key NFA state for the streaming matcher: times matched so
     * far (≤ steps, monotone — a matched step never retracts, Flink
@@ -215,9 +296,11 @@ object Patterns {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_funnel" -> (q116Funnel _),
-    "q117_funnel_guard" -> (q117FunnelGuard _))
+    "q117_funnel_guard" -> (q117FunnelGuard _),
+    "q120_funnel_within" -> (q120FunnelWithin _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
-    "q117_funnel_guard" -> q117Sql)
+    "q117_funnel_guard" -> q117Sql,
+    "q120_funnel_within" -> q120Sql)
 }

@@ -89,6 +89,44 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("earliestWithin equals brute-force enumeration and degrades to earliestChain at T=inf") {
+    val rng = new scala.util.Random(23)
+    val tags = IndexedSeq("a", "b", "c")
+    def bruteWithin(steps: IndexedSeq[String], t: Long,
+        evs: Seq[(Long, String)]): Option[IndexedSeq[Long]] = {
+      // enumerate every strictly-increasing tag-matching chain, keep
+      // those inside the window, pick earliest completion then the
+      // lexicographic minimum (what greedy-forward must produce)
+      def chains(i: Int, prev: Long): Seq[List[Long]] =
+        if (i == steps.length) Seq(Nil)
+        else evs.filter(e => e._2 == steps(i) && e._1 > prev).distinct
+          .flatMap(e => chains(i + 1, e._1).map(e._1 :: _))
+      val valid = chains(0, Long.MinValue).filter(c => c.last - c.head <= t)
+      if (valid.isEmpty) None
+      else {
+        val t3 = valid.map(_.last).min
+        implicit val ord: Ordering[List[Long]] = Ordering.Implicits.seqOrdering
+        Some(valid.filter(_.last == t3).min.toIndexedSeq)
+      }
+    }
+    (1 to 150).foreach { i =>
+      val n = 1 + rng.nextInt(10)
+      val evs = Seq.fill(n)((rng.nextInt(20).toLong, tags(rng.nextInt(3))))
+      val steps = IndexedSeq("a", tags(rng.nextInt(3)), "c").take(2 + rng.nextInt(2))
+      val t = 3L + rng.nextInt(10)
+      val got = Patterns.earliestWithin(steps, t, evs.iterator)
+      val want = bruteWithin(steps, t, evs)
+      assert(got == want, s"case $i: steps=$steps T=$t evs=$evs got=$got want=$want")
+      // at T covering the whole span, within == the unconstrained chain
+      val free = Patterns.earliestWithin(steps, 1000L, evs.iterator)
+      val chain = Patterns.earliestChain(steps, evs.iterator)
+      assert(free.map(_.last).forall(l => chain.isDefined),
+        s"case $i: within-inf found a chain earliestChain missed")
+      assert(chain.isEmpty || free.isDefined,
+        s"case $i: earliestChain found a chain within-inf missed")
+    }
+  }
+
   test("streaming matcher over ordered batches equals the graded batch funnel") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
