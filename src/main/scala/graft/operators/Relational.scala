@@ -1162,7 +1162,111 @@ object Relational {
       |  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
       |                          WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** National market share (TPC-H Q8 shape): the share of one
+    * supplier nation in a region's order revenue per ship year — a
+    * six-relation join pyramid (lineitem–orders–customer–nation–
+    * region on the demand side, supplier–nation on the supply side)
+    * where every dimension chain broadcasts and only the
+    * lineitem–orders equi-join shuffles. Share derived with the q114
+    * device: cents-rounded sums, tie-free ppm via floor(x+0.5). */
+  def q121MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custSide = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custSide, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))), 2)
+          .as("nation_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .withColumn("share_ppm",
+        floor(lit(1000000.0) * col("nation_rev") / col("total_rev") + 0.5).cast("long"))
+      .orderBy(col("l_year"))
+  }
+
+  val q121Sql: String =
+    """WITH sums AS (
+      |  SELECT year(l_shipdate) AS l_year,
+      |    round(sum(CASE WHEN n1.n_name = 'NATION_2'
+      |              THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS nation_rev,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1)
+      |SELECT l_year, nation_rev, total_rev,
+      |  CAST(floor(1000000.0 * nation_rev / total_rev + 0.5) AS BIGINT) AS share_ppm
+      |FROM sums ORDER BY l_year""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  /** Volume shipping (TPC-H Q7 shape): bilateral trade between two
+    * nations by ship year — supplier nation on one side, customer
+    * nation (through orders) on the other, both directions kept. The
+    * nation pair predicate prunes BEFORE the join pyramid via the
+    * broadcast dimension filters; only lineitem–orders shuffles. */
+  def q122VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_li"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q122Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_li
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_market_share" -> (q121MarketShare _),
+    "q122_volume_shipping" -> (q122VolumeShipping _),
     "q112_cust_distribution" -> (q112CustDistribution _),
     "q113_dormant_rich" -> (q113DormantRich _),
     "q114_promo_revenue" -> (q114PromoRevenue _),
@@ -1206,6 +1310,8 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q121_market_share" -> q121Sql,
+    "q122_volume_shipping" -> q122Sql,
     "q112_cust_distribution" -> q112Sql,
     "q113_dormant_rich" -> q113Sql,
     "q114_promo_revenue" -> q114Sql,
