@@ -67,10 +67,12 @@ object Bench {
     "matmul" -> "q22", "kmeans" -> "q23", "dft" -> "q25", "logreg" -> "q24",
     "iot" -> "q21", "pi" -> "q26", "vadd" -> "q27")
 
-  /** Centiseconds below 100 s, whole seconds above — a 100 s query's
-    * centiseconds are noise, and the trim keeps the worst-case line
-    * inside the tail-capture budget as the registry grows. */
-  private def fmt(v: Double): String = if (v >= 100) f"$v%.0f" else f"$v%.2f"
+  /** Centiseconds below 10 s, deciseconds to 100 s, whole seconds
+    * above — sub-decisecond detail on a slow query is noise, and the
+    * trim keeps the worst-case line inside the tail-capture budget as
+    * the registry grows. */
+  private def fmt(v: Double): String =
+    if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
 
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }

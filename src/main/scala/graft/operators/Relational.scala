@@ -1218,35 +1218,41 @@ object Relational {
 
   // ---------------------------------------------------------------- q122
   /** Volume shipping (TPC-H Q7 shape): bilateral trade between two
-    * nations by ship year — supplier nation on one side, customer
-    * nation (through orders) on the other, both directions kept. The
-    * nation pair predicate prunes BEFORE the join pyramid via the
-    * broadcast dimension filters; only lineitem–orders shuffles. */
+    * REGIONS by ship year — supplier region on one side, customer
+    * region (through orders) on the other, both directions kept.
+    * (Nation-level pairs are vacuous at sf0.001 — a 25×25 pair grid
+    * over ~6k lineitems; regions keep the two-sided dimension-pair
+    * shape non-empty at every scale.) The pair predicate prunes
+    * BEFORE the join pyramid via the broadcast dimension filters;
+    * only lineitem–orders shuffles. */
   def q122VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("ASIA", "EUROPE")
+    def sideRegion(alias: String): DataFrame =
+      Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name").isin(pair: _*))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as(s"${alias}_nk"), col("r_name").as(alias))
     val sn = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .join(broadcast(sideRegion("supp_region")), col("s_nationkey") === col("supp_region_nk"))
+      .select(col("s_suppkey"), col("supp_region"))
     val cn = Tables.customer(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .join(broadcast(sideRegion("cust_region")), col("c_nationkey") === col("cust_region_nk"))
+      .select(col("c_custkey"), col("cust_region"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
       .join(cn, col("o_custkey") === col("c_custkey"))
-      .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .filter(col("supp_region") =!= col("cust_region"))
+      .groupBy(col("supp_region"), col("cust_region"), year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_li"))
-      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
   }
 
   val q122Sql: String =
-    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
       |  year(l_shipdate) AS l_year,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_li
@@ -1254,11 +1260,13 @@ object Relational {
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
-      |  AND n1.n_name <> n2.n_name
+      |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |WHERE r1.r_name IN ('ASIA', 'EUROPE')
+      |  AND r2.r_name IN ('ASIA', 'EUROPE')
+      |  AND r1.r_name <> r2.r_name
       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1, 2, 3

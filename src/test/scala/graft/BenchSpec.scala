@@ -18,11 +18,14 @@ class BenchSpec extends AnyFunSuite {
 
   test("metric line fits the tail-capture budget even with worst-case values") {
     // worst case: every query slow — still must leave headroom for
-    // sbt's trailing [success] line inside a 2000-char tail window;
-    // values >= 100s drop their (noise) centiseconds to stay compact
+    // sbt's trailing [success] line (~80 chars observed) inside the
+    // ~2000-char tail window; values >= 100s drop their (noise)
+    // centiseconds, 10-100s keep one decimal
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99999.99)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"metric line ${line.length} chars — trim keys or precision")
+    assert(line.length < 1900, s"metric line ${line.length} chars — trim keys or precision")
+    val slow = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
+    assert(Bench.jsonLine(slow, "/root/testdata/sf0.1").contains(""""q01":100.0"""))
     assert(line.contains(""""q01":100000"""), "slow queries render without decimals")
     assert(line.startsWith("""{"metric":"total"""") && line.endsWith("}"))
     // crashed queries (-1) must not corrupt the JSON shape
