@@ -78,7 +78,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q118_doc_chunks" -> PlanCounts(1, 0, 1, 0),
     // supersteps end on a localCheckpoint: the final plan is just the
     // sort+limit over the checkpointed dist relation
-    "q119_sssp" -> PlanCounts(0, 0, 0, 0))
+    "q119_sssp" -> PlanCounts(0, 0, 0, 0),
+    // dimension pyramids: every nation/region/supplier/customer chain
+    // broadcasts — the 4 shuffles are the lineitem-orders fact join
+    // (2 exchanges) + final agg + sort, nothing else
+    "q121_market_share" -> PlanCounts(7, 0, 4, 5),
+    "q122_volume_shipping" -> PlanCounts(6, 0, 4, 4))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
