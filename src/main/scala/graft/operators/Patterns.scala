@@ -294,6 +294,61 @@ object Patterns {
       }
   }
 
+  /** Streaming `Pattern.within`: per-key buffers of the NON-final
+    * step tags, pruned to the trailing window as events arrive in
+    * event-time order — exactly the state Flink CEP keeps (NFA
+    * partial matches pruned at `within` expiry), bounded by window ×
+    * per-key rate, NOT stream length. A final-step arrival at t runs
+    * the same greedy window chain as [[earliestWithin]] over the
+    * buffers; first success per key emits and the state collapses to
+    * done. Same in-order contract as [[matchChainStream]]. */
+  final case class WithinState(buf: Map[String, List[Long]], done: Boolean)
+
+  def matchWithinStream(events: Dataset[PEvent], steps: IndexedSeq[String],
+      withinUs: Long): Dataset[ChainMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val k = steps.length
+    require(k >= 2, "within needs at least two steps")
+    val preTags = steps.dropRight(1).toSet
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[WithinState, ChainMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[PEvent], state: GroupState[WithinState]) =>
+          var s = state.getOption.getOrElse(WithinState(Map.empty, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+          if (!s.done) {
+            it.toSeq.sortBy(_.t_us).foreach { e =>
+              if (!s.done) {
+                if (e.tag == steps.last) {
+                  // greedy window chain over the buffered earlier steps
+                  val chain = (0 until k - 1).foldLeft(Option(List.empty[Long])) {
+                    case (Some(acc), i) =>
+                      val lo = if (i == 0) e.t_us - withinUs else acc.head + 1
+                      s.buf.getOrElse(steps(i), Nil)
+                        .find(t => t >= lo && t < e.t_us) // lists kept ascending
+                        .map(_ :: acc)
+                    case (None, _) => None
+                  }
+                  chain.foreach { c =>
+                    out += ChainMatch(key, (e.t_us :: c).reverse)
+                    s = WithinState(Map.empty, true)
+                  }
+                }
+                if (!s.done && preTags.contains(e.tag)) {
+                  // append (ascending arrival) + evict beyond the window
+                  val kept = (s.buf.getOrElse(e.tag, Nil) :+ e.t_us)
+                    .dropWhile(_ < e.t_us - withinUs)
+                  s = s.copy(buf = s.buf.updated(e.tag, kept))
+                }
+              }
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_funnel" -> (q116Funnel _),
     "q117_funnel_guard" -> (q117FunnelGuard _),

@@ -175,6 +175,31 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming within-matcher over ordered batches equals the graded q120") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, tag) => Patterns.PEvent(u, t, tag) }
+      .sortBy(_.t_us)
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchWithinStream(ms.toDS(),
+        IndexedSeq("view", "click", "purchase"), Patterns.WithinUs)
+      .writeStream.format("memory").queryName("cepw").outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(1, evs.length / 5)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cepw").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    val batch = Patterns.q120FunnelWithin(spark, sf).collect()
+      .map(r => (r.getLong(0), List(r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("q117 guard is a subset of q116 and drops exactly the error-spanned users") {
     val full = graft.operators.Patterns.q116Funnel(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
