@@ -418,7 +418,52 @@ object Curation {
        |ORDER BY doc_id, start""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Per-item WEIGHTED sampling by priority sampling (Duffield, Lund,
+    * Thorup, JACM 2007): priority = w / u with u a deterministic
+    * uniform from the content hash, take the k largest per group.
+    * Complements q77 (uniform exact-k per group) and q87 (source-
+    * LEVEL temperature mixture): here each ITEM's inclusion odds
+    * scale with its own weight (chars as token proxy), the standard
+    * budget-aware curation sampler. The priority is two IEEE ops
+    * (one multiply, one divide) on integer-derived doubles — NO
+    * transcendental, so both engines rank bit-identical keys (the
+    * A-Res u^(1/w) key would put cross-engine `ln`/`pow` in the
+    * ranking). Plan: one scan, one group-keyed window rank — the
+    * sample never leaves the executors until the final k×groups rows. */
+  val PriorityK = 20
+  private val HashCard = 1152921504606846977.0 // 2^60 + 1: u = (h60+1)/this in (0,1)
+
+  def q123PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).cast("double").as("weight"),
+        (h60(col("text")) + lit(1L)).cast("double").as("hu"))
+      .withColumn("priority", col("weight") * lit(HashCard) / col("hu"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PriorityK)
+      .select(col("source"), col("doc_id"), col("weight").cast("long").as("weight"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q123Sql: String =
+    s"""WITH pr AS (
+       |  SELECT source, doc_id, greatest(n_chars, 1) AS weight,
+       |    greatest(n_chars, 1) * $HashCard /
+       |      ((${graft.functions.Portable.h60Sql("text")}) + 1) AS priority
+       |  FROM documents),
+       |rk AS (
+       |  SELECT source, doc_id, weight,
+       |    row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+       |  FROM pr)
+       |SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(weight AS BIGINT) AS weight
+       |FROM rk WHERE rk <= $PriorityK
+       |ORDER BY source, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
     "q69_pii_redact" -> (q69PiiRedact _),
     "q70_shuffle_shard" -> (q70ShuffleShard _),
@@ -431,6 +476,7 @@ object Curation {
     "q77_group_sample" -> (q77GroupSample _))
 
   def oracles: Map[String, String] = Map(
+    "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,
     "q69_pii_redact" -> q69Sql,
     "q70_shuffle_shard" -> q70Sql,

@@ -206,6 +206,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(_._3 > 0.0))
   }
 
+  test("priority sample takes exactly the k top-priority items per source") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        (graft.functions.Portable.h60(col("text")) + lit(1L)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy { case (_, id, w, h) =>
+        (-(w.toDouble * 1152921504606846977.0 / h.toDouble), id)
+      }.take(Curation.PriorityK).toSeq
+    }.map(d => (d._1, d._2)).toSet
+    val got = Curation.q123PrioritySample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // exactly k per source (sources here all have > k docs)
+    val perSource = got.groupBy(_._1).map(_._2.size).toSet
+    assert(perSource == Set(Curation.PriorityK))
+  }
+
   test("doc chunks reassemble to the original text with exact overlap") {
     val stride = Curation.ChunkW - Curation.ChunkV
     val texts = graft.sources.Tables.documents(spark, sf)
