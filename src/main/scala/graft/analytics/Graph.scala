@@ -331,7 +331,54 @@ object Graph {
        |ORDER BY dist, node LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q124
+  /** Label propagation (the reference tree's Gelly
+    * `library/LabelPropagation.java`: each superstep a vertex adopts
+    * its neighbors' MOST FREQUENT label): unique initial labels, a
+    * fixed superstep count, and the deterministic tie rule "max
+    * count, then min label" (Gelly breaks ties by hash order —
+    * nondeterministic across runs; min-label is the reproducible
+    * choice both engines state identically). Integer labels and
+    * counts only — no FP anywhere. Per superstep: one broadcast of
+    * the label state onto the src-partitioned edge cache, one
+    * (dst, label) count agg, one per-dst argmax — all shuffles keyed
+    * by node id. Output is the label histogram (community sizes). */
+  val LpIters = 3
+
+  def q124LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edgesWithDeg(spark, dir).select("src", "dst")
+    val init = ed.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val labels = graft.engine.Iterate.loopDF(init, LpIters, checkpointEvery = 2) { (ls, _) =>
+      ed.join(broadcast(ls), ed("src") === ls("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("dst").as("node2"))
+        .agg(max(struct(col("n").as("n"), (lit(0L) - col("label")).as("negl"))).as("m"))
+        .select(col("node2").as("node"), (lit(0L) - col("m.negl")).as("label"))
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
+  }
+
+  val q124Sql: String = {
+    val steps = (1 to LpIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS n
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst, l.label),
+         |l$i AS (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+         |  FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |l0 AS (SELECT src AS node, src AS label FROM deg),
+       |$steps
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM l$LpIters
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_label_propagation" -> (q124LabelPropagation _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
     "q56_enum_triangles" -> (q56EnumTriangles _),
@@ -339,6 +386,7 @@ object Graph {
     "q119_sssp" -> (q119Sssp _))
 
   def oracles: Map[String, String] = Map(
+    "q124_label_propagation" -> q124Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,
     "q56_enum_triangles" -> q56Sql,

@@ -96,6 +96,27 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("label propagation equals a driver-side majority fold with min-label ties") {
+    import graft.analytics.Graph
+    val e0 = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + Graph.SuppOffset).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.map { case (p, s) => (p, s) } ++ e0.map { case (p, s) => (s, p) }
+    var labels: Map[Long, Long] = edges.map(_._1).distinct.map(n => n -> n).toMap
+    (1 to Graph.LpIters).foreach { _ =>
+      labels = edges.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.map(e => labels(e._1)).groupBy(identity)
+          .map { case (l, ls) => (l, ls.size) }
+        dst -> counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    val want = labels.values.groupBy(identity).map { case (l, ns) => (l, ns.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Graph.q124LabelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))
