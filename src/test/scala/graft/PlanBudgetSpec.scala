@@ -83,7 +83,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // broadcasts — the 4 shuffles are the lineitem-orders fact join
     // (2 exchanges) + final agg + sort, nothing else
     "q121_market_share" -> PlanCounts(7, 0, 4, 5),
-    "q122_volume_shipping" -> PlanCounts(6, 0, 4, 4))
+    "q122_volume_shipping" -> PlanCounts(6, 0, 4, 4),
+    // one documents scan, window rank exchange + output sort
+    "q123_priority_sample" -> PlanCounts(1, 0, 2, 0),
+    // final superstep (not checkpoint-aligned at 3 iters) reads the
+    // cached edges once: label broadcast + count/argmax aggs + sort
+    "q124_label_propagation" -> PlanCounts(0, 1, 4, 1))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
