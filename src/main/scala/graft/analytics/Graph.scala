@@ -377,7 +377,107 @@ object Graph {
        |GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q125
+  /** HITS hubs/authorities (reference Gelly
+    * `library/linkanalysis/HITS.java`) on the DIRECTED bipartite
+    * part→supplier edges: authority(s) = Σ hub(p) over in-edges,
+    * hub(p) = Σ auth(s) over out-edges, each superstep. Normalization
+    * is by the MAX score rather than Gelly's L2 norm: max is an exact
+    * pick of one rounded value (no order-dependent sum-of-squares
+    * under the norm), so the superstep stays bit-reproducible in the
+    * unrolled oracle — same ranking, different constant (documented
+    * deviation). Scores rounded 6dp per superstep (the q41 device).
+    * Per superstep: one state broadcast onto the cached directed
+    * edges, one hash-agg, one 1-row max broadcast. */
+  val HitsIters = 2
+
+  def q125Hits(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + SuppOffset).as("s"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val init = e0.select(col("p").as("node")).distinct().withColumn("h", lit(1.0))
+    def normalize(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col("node"), round(col(c) / col("mx"), 6).as(c))
+    }
+    val hubs = graft.engine.Iterate.loopDF(init, HitsIters, checkpointEvery = 1) { (hs, _) =>
+      val auth = normalize(
+        e0.join(broadcast(hs), e0("p") === hs("node"))
+          .groupBy(col("s").as("node")).agg(round(sum(col("h")), 6).as("a")), "a")
+      normalize(
+        e0.join(broadcast(auth), e0("s") === auth("node"))
+          .groupBy(col("p").as("node")).agg(round(sum(col("a")), 6).as("h")), "h")
+    }
+    val finalAuth = normalize(
+      e0.join(broadcast(hubs), e0("p") === hubs("node"))
+        .groupBy(col("s").as("node")).agg(round(sum(col("h")), 6).as("a")), "a")
+    finalAuth.orderBy(col("a").desc, col("node")).limit(20)
+      .select(col("node"), col("a").as("authority"))
+  }
+
+  val q125Sql: String = {
+    val steps = (1 to HitsIters).map { i =>
+      s"""ar$i AS (SELECT e.s AS node, round(sum(h.h), 6) AS a
+         |  FROM e0 e JOIN h${i - 1} h ON e.p = h.node GROUP BY e.s),
+         |a$i AS (SELECT node, round(a / (SELECT max(a) FROM ar$i), 6) AS a FROM ar$i),
+         |hr$i AS (SELECT e.p AS node, round(sum(a.a), 6) AS h
+         |  FROM e0 e JOIN a$i a ON e.s = a.node GROUP BY e.p),
+         |h$i AS (SELECT node, round(h / (SELECT max(h) FROM hr$i), 6) AS h FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey + $SuppOffset AS s FROM lineitem),
+       |h0 AS (SELECT DISTINCT p AS node, 1.0 AS h FROM e0),
+       |$steps,
+       |arf AS (SELECT e.s AS node, round(sum(h.h), 6) AS a
+       |  FROM e0 e JOIN h$HitsIters h ON e.p = h.node GROUP BY e.s),
+       |af AS (SELECT node, round(a / (SELECT max(a) FROM arf), 6) AS a FROM arf)
+       |SELECT node, a AS authority FROM af
+       |ORDER BY a DESC, node LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q126
+  /** Jaccard vertex similarity (reference Gelly
+    * `library/similarity/JaccardIndex.java`): for part pairs sharing
+    * at least one supplier, |N(u)∩N(v)| / |N(u)∪N(v)| over supplier
+    * neighborhoods. Same triad expansion as q56 (pairs generated
+    * WITHIN each supplier's adjacency, so cost is Σ deg² bounded by
+    * the hub cap there), shared counts and degrees are exact
+    * integers, and the score is ONE integer division — bit-identical
+    * cross-engine, no rounding rule needed. Top-20 by (score, pair). */
+  def q126JaccardIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + SuppOffset).as("s"))
+      .distinct()
+    val deg = e0.groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val a = e0.select(col("s"), col("p").as("u"))
+    val b = e0.select(col("s").as("s2"), col("p").as("v"))
+    val shared = a.join(b, col("s") === col("s2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("p").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("shared"),
+        (col("shared") / (col("du") + col("dv") - col("shared"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
+  }
+
+  val q126Sql: String =
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey + $SuppOffset AS s FROM lineitem),
+       |deg AS (SELECT p, count(*) AS d FROM e0 GROUP BY p),
+       |shared AS (
+       |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS shared
+       |  FROM e0 a JOIN e0 b ON a.s = b.s AND a.p < b.p
+       |  GROUP BY a.p, b.p)
+       |SELECT u, v, shared,
+       |  shared * 1.0 / (du.d + dv.d - shared) AS jaccard
+       |FROM shared
+       |JOIN deg du ON du.p = u
+       |JOIN deg dv ON dv.p = v
+       |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_hits" -> (q125Hits _),
+    "q126_jaccard_index" -> (q126JaccardIndex _),
     "q124_label_propagation" -> (q124LabelPropagation _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -386,6 +486,8 @@ object Graph {
     "q119_sssp" -> (q119Sssp _))
 
   def oracles: Map[String, String] = Map(
+    "q125_hits" -> q125Sql,
+    "q126_jaccard_index" -> q126Sql,
     "q124_label_propagation" -> q124Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,
