@@ -86,6 +86,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q122_volume_shipping" -> PlanCounts(6, 0, 4, 4),
     // one documents scan, window rank exchange + output sort
     "q123_priority_sample" -> PlanCounts(1, 0, 2, 0),
+    // final auth pass over the checkpointed hubs: 2 cached-edge reads
+    // (join + max), never a lineitem re-scan
+    "q125_hits" -> PlanCounts(0, 2, 3, 3),
+    // two lineitem scans (pair legs), basket-bounded expansion; deg
+    // relation broadcasts twice
+    "q126_jaccard_index" -> PlanCounts(2, 0, 4, 2),
     // final superstep (not checkpoint-aligned at 3 iters) reads the
     // cached edges once: label broadcast + count/argmax aggs + sort
     "q124_label_propagation" -> PlanCounts(0, 1, 4, 1))
