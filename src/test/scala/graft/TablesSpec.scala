@@ -53,6 +53,27 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(_._2).toSeq == micros.map(_ * 1000L))
   }
 
+  test("events.ts of an unsupported physical type fails loudly, not silently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ev_bad").toString + "/ev"
+    Seq((1L, "not-a-time", 2L, "x", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts"))
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
+    Seq((2L, 3.5)).toDF("id", "v2").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).isNullAt(1))
+  }
+
   test("driver fixture events table meets the epoch-nanos contract end-to-end") {
     // whatever physical form the current fixture uses, consumers see
     // LongType nanos and bucket math works (q18's 5-minute buckets)
