@@ -38,9 +38,12 @@ object Patterns {
     * minimal event time strictly after step i-1's match whose tag
     * equals `steps(i)` (first step: minimal over all its tag's
     * events). Returns the match times, or None if any step never
-    * fires. Events need NOT be pre-sorted; the fold tracks per-step
-    * minima in one pass, O(n·steps) with no allocation — order
-    * independence is what makes the operator partition-stable. */
+    * fires. Events need NOT be pre-sorted: the implementation
+    * materializes and time-sorts one key's events (O(n log n) time,
+    * O(n) allocation per key — per-key cardinality is
+    * session-bounded), then folds the sorted array in O(n·steps).
+    * The result is order-insensitive, which is what makes the
+    * operator partition-stable. */
   def earliestChain(steps: IndexedSeq[String], events: Iterator[(Long, String)]): Option[IndexedSeq[Long]] = {
     // best(i) = earliest completion time of the chain prefix 0..i seen
     // so far. A single pass cannot fill later steps before earlier
@@ -222,7 +225,7 @@ object Patterns {
   val q120Sql: String =
     s"""WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
        |c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
-       |p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+       |p AS (SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
        |cand AS (
        |  SELECT p.user_id, p.t AS t3,
        |    (SELECT min(v.t) FROM v WHERE v.user_id = p.user_id
@@ -250,6 +253,10 @@ object Patterns {
   final case class ChainState(matched: List[Long], minGuard: Long, done: Boolean)
   final case class ChainMatch(key: Long, ts: Seq[Long])
 
+  /** [[PEvent]] plus the event-time Timestamp column the watermark /
+    * EventTimeTimeout machinery needs (`ets = timestamp_micros(t_us)`). */
+  final case class PEventT(key: Long, t_us: Long, tag: String, ets: java.sql.Timestamp)
+
   /** Streaming twin of [[matchChain]] — the CEP operator as Flink
     * runs it (`CEP.pattern(keyedStream, pattern)`): per-key bounded
     * state (O(steps) longs), one emission per completed match,
@@ -257,40 +264,70 @@ object Patterns {
     * operator exactly when events arrive in event-time order (batch
     * boundaries anywhere); out-of-order arrival degrades like Flink
     * CEP without buffering — an earlier-but-late event cannot
-    * retroactively improve an already-advanced chain. PatternsSpec
-    * feeds ordered batches and asserts equality with the graded q116
-    * batch result. */
+    * retroactively improve an already-advanced chain (and events past
+    * the watermark are dropped by the operator, the standard
+    * Structured Streaming contract). State lifecycle: a COMPLETED
+    * key's `done` tombstone SUPPRESSES re-matching, so it cannot be
+    * dropped while the key is live — it expires via EventTimeTimeout
+    * only once the watermark passes the key's last event +
+    * `idleExpiryUs` (re-armed on every arrival). On an unbounded key
+    * space the store holds open partial matches plus tombstones of
+    * keys active within the idle horizon; a key returning after the
+    * horizon is a new session and may match again (the documented
+    * reset contract — pick the horizon >= the business session bound).
+    * Partial (not-done) chains are kept while the key lives, exactly
+    * like Flink CEP without `within`. PatternsSpec feeds ordered
+    * batches and asserts equality with the graded q116 batch result,
+    * plus a synthetic state-removal spec on the store row count. */
   def matchChainStream(events: Dataset[PEvent], steps: IndexedSeq[String],
-      guard: Option[String] = None): Dataset[ChainMatch] = {
+      guard: Option[String] = None, watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[ChainMatch] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val n = steps.length
-    events.groupByKey(_.key)
+    events
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PEventT]
+      .groupByKey(_.key)
       .flatMapGroupsWithState[ChainState, ChainMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, it: Iterator[PEvent], state: GroupState[ChainState]) =>
-          var s = state.getOption.getOrElse(ChainState(Nil, Long.MaxValue, false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
-          if (!s.done) {
-            it.toSeq.sortBy(_.t_us).foreach { e =>
-              if (!s.done) {
-                val depth = s.matched.length
-                if (guard.contains(e.tag) && depth >= 1 &&
-                    e.t_us > s.matched.head && e.t_us < s.minGuard)
-                  s = s.copy(minGuard = e.t_us)
-                if (depth < n && steps(depth) == e.tag &&
-                    (depth == 0 || e.t_us > s.matched.last))
-                  s = s.copy(matched = s.matched :+ e.t_us)
-                if (s.matched.length == n) {
-                  if (s.minGuard >= s.matched.last) // no guard event inside the span
-                    out += ChainMatch(key, s.matched)
-                  s = s.copy(done = true)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[PEventT], state: GroupState[ChainState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + idleExpiry: the key is gone;
+            // its done tombstone can never suppress anything again
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(ChainState(Nil, Long.MaxValue, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+            var lastSeenUs = Long.MinValue
+            if (!s.done) {
+              it.toSeq.sortBy(_.t_us).foreach { e =>
+                lastSeenUs = math.max(lastSeenUs, e.t_us)
+                if (!s.done) {
+                  val depth = s.matched.length
+                  if (guard.contains(e.tag) && depth >= 1 &&
+                      e.t_us > s.matched.head && e.t_us < s.minGuard)
+                    s = s.copy(minGuard = e.t_us)
+                  if (depth < n && steps(depth) == e.tag &&
+                      (depth == 0 || e.t_us > s.matched.last))
+                    s = s.copy(matched = s.matched :+ e.t_us)
+                  if (s.matched.length == n) {
+                    if (s.minGuard >= s.matched.last) // no guard event inside the span
+                      out += ChainMatch(key, s.matched)
+                    s = s.copy(done = true)
+                  }
                 }
               }
-            }
-          } else it.foreach(_ => ()) // drain: state is final
-          state.update(s)
-          out.iterator
+            } else it.foreach(e => lastSeenUs = math.max(lastSeenUs, e.t_us)) // drain: state is final
+            state.update(s)
+            if (s.done) // tombstone lives until the key idles out
+              state.setTimeoutTimestamp(math.max(
+                lastSeenUs / 1000L + idleExpiryUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
       }
   }
 
@@ -301,51 +338,98 @@ object Patterns {
     * per-key rate, NOT stream length. A final-step arrival at t runs
     * the same greedy window chain as [[earliestWithin]] over the
     * buffers; first success per key emits and the state collapses to
-    * done. Same in-order contract as [[matchChainStream]]. */
+    * done. Same in-order contract as [[matchChainStream]]. State
+    * lifecycle: every batch prunes ALL tag lists to the trailing
+    * window; an EventTimeTimeout at max(buffered)+within removes
+    * not-done keys whose whole buffer is dead (entries at t serve
+    * final events only in (t, t+within], and future events arrive at
+    * >= watermark — removal is semantics-preserving even for live
+    * keys); done tombstones expire at last event + `idleExpiryUs`,
+    * the same suppression-safe idle contract as
+    * [[matchChainStream]]. State is bounded by window × per-key rate
+    * AND key liveness — Flink's partial-match pruning at `within`
+    * expiry. */
   final case class WithinState(buf: Map[String, List[Long]], done: Boolean)
 
   def matchWithinStream(events: Dataset[PEvent], steps: IndexedSeq[String],
-      withinUs: Long): Dataset[ChainMatch] = {
+      withinUs: Long, watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[ChainMatch] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val k = steps.length
     require(k >= 2, "within needs at least two steps")
     val preTags = steps.dropRight(1).toSet
-    events.groupByKey(_.key)
+    events
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PEventT]
+      .groupByKey(_.key)
       .flatMapGroupsWithState[WithinState, ChainMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, it: Iterator[PEvent], state: GroupState[WithinState]) =>
-          var s = state.getOption.getOrElse(WithinState(Map.empty, false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
-          if (!s.done) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[PEventT], state: GroupState[WithinState]) =>
+          if (state.hasTimedOut) {
+            // not-done: watermark passed max(buffered)+within — the
+            // whole buffer is dead (no future event can chain on it).
+            // done: watermark passed lastSeen+idleExpiry — the key is
+            // gone and the tombstone suppresses nothing. Remove.
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(WithinState(Map.empty, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+            var lastSeenUs = Long.MinValue
             it.toSeq.sortBy(_.t_us).foreach { e =>
+              lastSeenUs = math.max(lastSeenUs, e.t_us)
               if (!s.done) {
-                if (e.tag == steps.last) {
-                  // greedy window chain over the buffered earlier steps
-                  val chain = (0 until k - 1).foldLeft(Option(List.empty[Long])) {
-                    case (Some(acc), i) =>
-                      val lo = if (i == 0) e.t_us - withinUs else acc.head + 1
-                      s.buf.getOrElse(steps(i), Nil)
-                        .find(t => t >= lo && t < e.t_us) // lists kept ascending
-                        .map(_ :: acc)
-                    case (None, _) => None
+                  if (e.tag == steps.last) {
+                    // greedy window chain over the buffered earlier steps
+                    val chain = (0 until k - 1).foldLeft(Option(List.empty[Long])) {
+                      case (Some(acc), i) =>
+                        val lo = if (i == 0) e.t_us - withinUs else acc.head + 1
+                        s.buf.getOrElse(steps(i), Nil)
+                          .find(t => t >= lo && t < e.t_us) // lists kept ascending
+                          .map(_ :: acc)
+                      case (None, _) => None
+                    }
+                    chain.foreach { c =>
+                      out += ChainMatch(key, (e.t_us :: c).reverse)
+                      s = WithinState(Map.empty, true)
+                    }
                   }
-                  chain.foreach { c =>
-                    out += ChainMatch(key, (e.t_us :: c).reverse)
-                    s = WithinState(Map.empty, true)
+                  if (!s.done) {
+                    // evict EVERY tag list beyond the trailing window (a
+                    // tag that stops arriving must not pin stale state),
+                    // then append the arriving event (ascending arrival)
+                    val lo = e.t_us - withinUs
+                    val pruned = s.buf.map { case (tag, ts) => tag -> ts.dropWhile(_ < lo) }
+                    val withE =
+                      if (preTags.contains(e.tag))
+                        pruned.updated(e.tag, pruned.getOrElse(e.tag, Nil) :+ e.t_us)
+                      else pruned
+                    s = s.copy(buf = withE)
                   }
-                }
-                if (!s.done && preTags.contains(e.tag)) {
-                  // append (ascending arrival) + evict beyond the window
-                  val kept = (s.buf.getOrElse(e.tag, Nil) :+ e.t_us)
-                    .dropWhile(_ < e.t_us - withinUs)
-                  s = s.copy(buf = s.buf.updated(e.tag, kept))
-                }
               }
             }
+            val wmMs = state.getCurrentWatermarkMs()
+            if (s.done) {
+              // tombstone: suppresses re-matching while the key lives
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                lastSeenUs / 1000L + idleExpiryUs / 1000L, wmMs + 1L))
+            } else {
+              val maxBuf = s.buf.valuesIterator.collect { case ts if ts.nonEmpty => ts.last }
+                .foldLeft(Long.MinValue)(math.max)
+              if (maxBuf == Long.MinValue) {
+                // nothing buffered and nothing matched: hold no state
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(math.max(
+                  maxBuf / 1000L + withinUs / 1000L + 1L, wmMs + 1L))
+              }
+            }
+            out.iterator
           }
-          state.update(s)
-          out.iterator
       }
   }
 

@@ -28,17 +28,36 @@ object Streams {
 
   /** Unbounded read of the events table (file-stream source over the
     * scale dir; one file today, a growing directory in production —
-    * same plan either way). The fixture stores `ts` as timestamp[us]
-    * TIMESTAMP_NTZ (see [[graft.sources.Tables.events]]); file-stream
-    * sources need the schema up front, so read NTZ and cast to the
-    * session-zoned TimestampType the watermark/window operators use
-    * (GraftSession pins the session zone to UTC). */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    * same plan either way). The driver fixture has shipped `ts` as
+    * parquet TIMESTAMP(NANOS) (epoch-nanos LongType) AND as
+    * timestamp[us] TIMESTAMP_NTZ across rounds (see
+    * [[graft.sources.Tables.events]]); file-stream sources need the
+    * schema up front, so probe the physical form once via the batch
+    * reader's footer schema and branch — BIGINT nanos become
+    * `timestamp_micros(ts div 1000)`, NTZ casts to the session-zoned
+    * TimestampType the watermark/window operators use (GraftSession
+    * pins the session zone to UTC). Either form flips back without
+    * touching this code. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val physical = graft.sources.Tables
+      .load(spark, sfDir, "events").schema("ts").dataType
+    val tsDdl = physical match {
+      case LongType         => "BIGINT"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case TimestampType    => "TIMESTAMP"
+      case other => throw new IllegalStateException(
+        s"events.ts: expected epoch-nanos LONG or TIMESTAMP[_NTZ], got $other")
+    }
+    val raw = spark.readStream
+      .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", col("ts").cast("timestamp"))
+    physical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Tumbling 5-minute windows per event_type with a 10-minute
     * watermark (TumblingEventTimeWindows + the IoT per-window agg,

@@ -200,6 +200,81 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming chain state expires done-key tombstones after the idle horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val base = 1704067200000000L // 2024-01-01 UTC, micros
+    val hour = 3600L * 1000000L
+    val idle = 24L * hour
+    // keys 1..5 complete the funnel; key 6 stays partial forever
+    val b1 = (1L to 5L).flatMap(k => Seq(
+      Patterns.PEvent(k, base + k, "view"),
+      Patterns.PEvent(k, base + hour + k, "click"),
+      Patterns.PEvent(k, base + 2 * hour + k, "purchase"))) :+
+      Patterns.PEvent(6L, base + 3, "view")
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchChainStream(ms.toDS(), IndexedSeq("view", "click", "purchase"),
+        idleExpiryUs = idle)
+      .writeStream.format("memory").queryName("cepx").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    def stateRows(): Long = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(spark.table("cepx").count() == 5)
+    assert(stateRows() == 6, "5 tombstones + 1 partial expected")
+    // sentinel events far past lastSeen + idle: the first advances the
+    // watermark, the second runs the batch in which timeouts fire
+    ms.addData(Patterns.PEvent(100L, base + 5 * idle, "view")); q.processAllAvailable()
+    ms.addData(Patterns.PEvent(100L, base + 6 * idle, "view")); q.processAllAvailable()
+    val after = stateRows()
+    val emitted = spark.table("cepx").count()
+    q.stop()
+    // tombstones 1..5 expired; partials (key 6, key 100) survive — the
+    // chain matcher keeps partial chains while the key lives
+    assert(after == 2, s"done tombstones not expired: after=$after")
+    assert(emitted == 5, "expiry changed the emitted matches")
+  }
+
+  test("streaming within state expires dead buffers at max(buffered)+within") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val base = 1704067200000000L
+    val hour = 3600L * 1000000L
+    val within = 6L * hour
+    val idle = 24L * hour
+    // keys 1..3 complete inside the window; key 4 buffers a lone view
+    val b1 = (1L to 3L).flatMap(k => Seq(
+      Patterns.PEvent(k, base + k, "view"),
+      Patterns.PEvent(k, base + hour + k, "click"),
+      Patterns.PEvent(k, base + 2 * hour + k, "purchase"))) :+
+      Patterns.PEvent(4L, base + 7, "view")
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchWithinStream(ms.toDS(),
+        IndexedSeq("view", "click", "purchase"), within, idleExpiryUs = idle)
+      .writeStream.format("memory").queryName("cepwx").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    def stateRows(): Long = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(spark.table("cepwx").count() == 3)
+    assert(stateRows() == 4, "3 tombstones + 1 live buffer expected")
+    // first sentinel pushes the watermark past key 4's buffer horizon
+    // (base + within) but NOT past the tombstones' idle horizon —
+    // key 4's dead buffer must go while tombstones stay
+    ms.addData(Patterns.PEvent(100L, base + within + 2 * hour, "view")); q.processAllAvailable()
+    ms.addData(Patterns.PEvent(100L, base + within + 3 * hour, "view")); q.processAllAvailable()
+    val mid = stateRows()
+    assert(mid == 4, s"buffer-only expiry wrong: mid=$mid (3 tombstones + sentinel buffer)")
+    // now push past lastSeen + idle for keys 1..3: tombstones expire
+    ms.addData(Patterns.PEvent(100L, base + 3 * idle, "view")); q.processAllAvailable()
+    ms.addData(Patterns.PEvent(100L, base + 4 * idle, "view")); q.processAllAvailable()
+    val after = stateRows()
+    val emitted = spark.table("cepwx").count()
+    q.stop()
+    assert(after == 1, s"tombstones not expired: after=$after (only the sentinel buffer should remain)")
+    assert(emitted == 3, "expiry changed the emitted matches")
+  }
+
   test("q117 guard is a subset of q116 and drops exactly the error-spanned users") {
     val full = graft.operators.Patterns.q116Funnel(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap

@@ -70,7 +70,8 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
     Seq((2L, 3.5)).toDF("id", "v2").write.mode("append").parquet(dir)
     val merged = spark.read.option("mergeSchema", "true").parquet(dir)
     assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
-    val rows = merged.orderBy("id").collect()
+    // merged column order depends on file listing order — pin it by name
+    val rows = merged.select("id", "v1", "v2").orderBy("id").collect()
     assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).isNullAt(1))
   }
 
