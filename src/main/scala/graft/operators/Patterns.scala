@@ -433,13 +433,243 @@ object Patterns {
       }
   }
 
+  // ------------------------------------------- looping quantifiers
+  /** One pattern step with a count quantifier — the Flink CEP
+    * `Pattern.java` quantifier surface (`oneOrMore()`,
+    * `timesOrMore(n)`, `optional()`, reference flink-cep
+    * pattern/Quantifier.java + nfa/NFA.java looping states),
+    * re-expressed under the library's deterministic earliest-match
+    * semantics:
+    *
+    *  - `times` is the MINIMUM number of distinct-time events the
+    *    step must consume (strictly increasing times, matching the
+    *    strict-tie rule of [[earliestChain]]); the step's recorded
+    *    time is its COMPLETION — the `times`-th consumed event.
+    *  - `looping` steps additionally report their GREEDY extent: the
+    *    count of distinct tag times strictly between the previous
+    *    required step's completion and the next required step's
+    *    completion (unbounded for a final looping step) — Flink's
+    *    greedy loop absorbing events up to the next state transition.
+    *  - `optional` steps consume nothing and constrain nothing; after
+    *    the required chain is fixed they report the earliest tag
+    *    event strictly inside their gap, or -1 when absent — the
+    *    deterministic shadow of Flink's optional branch (the match
+    *    Flink emits under NO_SKIP that includes the optional event,
+    *    when one exists).
+    */
+  final case class QStep(tag: String, times: Int = 1,
+      looping: Boolean = false, optional: Boolean = false)
+  object QStep {
+    def once(tag: String): QStep = QStep(tag)
+    def oneOrMore(tag: String): QStep = QStep(tag, 1, looping = true)
+    def timesOrMore(tag: String, n: Int): QStep = {
+      require(n >= 1, "timesOrMore needs n >= 1"); QStep(tag, n, looping = true)
+    }
+    def optional(tag: String): QStep = QStep(tag, 0, optional = true)
+  }
+
+  /** Earliest quantified chain: greedy forward match of the required
+    * steps (each consumes its `times` earliest distinct-time events
+    * strictly after the previous completion — greedy-minimal is
+    * exact: earlier consumption only widens room for later steps),
+    * then greedy-extent counts and optional-gap probes on the fixed
+    * span. Returns one (time, count) per step — completion time and
+    * greedy count for required steps (count 1 for non-looping),
+    * (-1, 0) / (t, 1) for optional steps — or None if any required
+    * step cannot complete. O(n log n) sort + O(n·steps) scan per key,
+    * order-insensitive, deterministic. */
+  def earliestQuantChain(steps: IndexedSeq[QStep],
+      events: Iterator[(Long, String)]): Option[IndexedSeq[(Long, Int)]] = {
+    val sorted = events.toArray.sortBy(_._1)
+    val res = Array.fill[(Long, Int)](steps.length)((-1L, 0))
+    // pass 1: required steps, single forward pointer (skipped events
+    // precede the current completion and can never match later steps)
+    var prev = Long.MinValue
+    var i = 0
+    var ok = true
+    steps.indices.foreach { si =>
+      val st = steps(si)
+      if (ok && !st.optional) {
+        var cnt = 0
+        var last = prev
+        while (i < sorted.length && cnt < st.times) {
+          val (t, tag) = sorted(i)
+          if (tag == st.tag && t > last) { cnt += 1; last = t }
+          i += 1
+        }
+        if (cnt < st.times) ok = false
+        else { res(si) = (last, st.times); prev = last }
+      }
+    }
+    if (!ok) None
+    else {
+      // required-step gap bounds: lo(si) = previous required completion,
+      // hi(si) = next required completion (+inf for the tail)
+      val reqIdx = steps.indices.filter(si => !steps(si).optional)
+      def loOf(si: Int): Long =
+        reqIdx.filter(_ < si).lastOption.map(res(_)._1).getOrElse(Long.MinValue)
+      def hiOf(si: Int): Long =
+        reqIdx.find(_ > si).map(res(_)._1).getOrElse(Long.MaxValue)
+      steps.indices.foreach { si =>
+        val st = steps(si)
+        if (st.optional) {
+          val lo = loOf(si); val hi = hiOf(si)
+          val hit = sorted.iterator
+            .filter { case (t, tag) => tag == st.tag && t > lo && t < hi }
+            .map(_._1).nextOption()
+          res(si) = hit.map((_, 1)).getOrElse((-1L, 0))
+        } else if (st.looping) {
+          val lo = loOf(si); val hi = hiOf(si)
+          // distinct tag times strictly inside (lo, hi) — the greedy extent
+          var cnt = 0
+          var last = Long.MinValue
+          sorted.foreach { case (t, tag) =>
+            if (tag == st.tag && t > lo && t < hi && t > last) { cnt += 1; last = t }
+          }
+          res(si) = (res(si)._1, cnt)
+        }
+      }
+      Some(res.toIndexedSeq)
+    }
+  }
+
+  /** Quantified funnel — `view  followedBy  click.timesOrMore(2)
+    * followedBy  purchase`: users who clicked at least twice between
+    * their first view and the purchase that follows the second click.
+    * Emits the loop completion (2nd click) and the loop's greedy
+    * click count inside the matched span. */
+  def q127ClickBurst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = IndexedSeq(QStep.once("view"), QStep.timesOrMore("click", 2),
+      QStep.once("purchase"))
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        earliestQuantChain(steps, it.map(e => (e.t_us, e.tag)))
+          .map(m => (key, m(0)._1, m(1)._1, m(2)._1, m(1)._2.toLong)).iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("t1_us"),
+        col("_3").as("t2_us"), col("_4").as("t3_us"), col("_5").as("n_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  val q127Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |ct AS (
+      |  SELECT DISTINCT e.user_id, epoch_us(e.ts) AS t
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1),
+      |k AS (
+      |  SELECT user_id, t AS t2 FROM (
+      |    SELECT user_id, t,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+      |    FROM ct) WHERE rn = 2),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN k ON e.user_id = k.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > k.t2
+      |  GROUP BY e.user_id),
+      |n AS (
+      |  SELECT ct.user_id, count(*) AS n_clicks
+      |  FROM ct JOIN p ON ct.user_id = p.user_id
+      |  WHERE ct.t < p.t3 GROUP BY ct.user_id)
+      |SELECT v.user_id, v.t1 AS t1_us, k.t2 AS t2_us, p.t3 AS t3_us, n.n_clicks
+      |FROM v JOIN k ON v.user_id = k.user_id
+      |       JOIN p ON v.user_id = p.user_id
+      |       JOIN n ON v.user_id = n.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Streaming twin of the quantified chain (required steps only; the
+    * FINAL step must be non-looping — a greedy tail loop never closes
+    * on an unbounded stream, the same reason Flink requires a
+    * `within`/next state to cut a trailing `oneOrMore`). Per-key
+    * state: current step index + consumption count + the greedy
+    * extension counter of the previously completed step — O(steps)
+    * longs, same in-order contract and idle-expiry lifecycle as
+    * [[matchChainStream]]. Emits completion times AND per-step greedy
+    * counts; equals the batch [[earliestQuantChain]] on ordered
+    * feeds (PatternsSpec). */
+  final case class QuantState(stepIdx: Int, cnt: Int, last: Long,
+      comps: List[Long], counts: List[Int], extCnt: Int, extLast: Long,
+      done: Boolean)
+  final case class QuantMatch(key: Long, ts: Seq[Long], counts: Seq[Int])
+
+  def matchQuantStream(events: Dataset[PEvent], steps: IndexedSeq[QStep],
+      watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[QuantMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.forall(!_.optional), "streaming twin supports required steps only")
+    require(!steps.last.looping, "final step must be non-looping on a stream")
+    val n = steps.length
+    events
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[QuantState, QuantMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[PEventT], state: GroupState[QuantState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              QuantState(0, 0, Long.MinValue, Nil, Nil, 0, Long.MinValue, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[QuantMatch]
+            var lastSeenUs = Long.MinValue
+            it.toSeq.sortBy(_.t_us).foreach { e =>
+              lastSeenUs = math.max(lastSeenUs, e.t_us)
+              if (!s.done) {
+                // greedy extension of the PREVIOUS completed step: its
+                // loop absorbs tag events until the current step closes
+                if (s.stepIdx > 0 && steps(s.stepIdx - 1).looping &&
+                    e.tag == steps(s.stepIdx - 1).tag && e.t_us > s.extLast)
+                  s = s.copy(extCnt = s.extCnt + 1, extLast = e.t_us)
+                val st = steps(s.stepIdx)
+                if (e.tag == st.tag && e.t_us > s.last) {
+                  s = s.copy(cnt = s.cnt + 1, last = e.t_us)
+                  if (s.cnt == st.times) {
+                    // freeze the previous step's greedy count, open ours
+                    val prevCount =
+                      if (s.stepIdx == 0) Nil
+                      else List(
+                        if (steps(s.stepIdx - 1).looping)
+                          steps(s.stepIdx - 1).times + s.extCnt
+                        else 1)
+                    s = QuantState(s.stepIdx + 1, 0, s.last,
+                      s.comps :+ s.last, s.counts ++ prevCount,
+                      extCnt = 0, extLast = s.last, done = false)
+                    if (s.stepIdx == n) {
+                      out += QuantMatch(key, s.comps, s.counts :+ 1)
+                      s = s.copy(done = true)
+                    }
+                  }
+                }
+              }
+            }
+            state.update(s)
+            if (s.done)
+              state.setTimeoutTimestamp(math.max(
+                lastSeenUs / 1000L + idleExpiryUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_funnel" -> (q116Funnel _),
     "q117_funnel_guard" -> (q117FunnelGuard _),
-    "q120_funnel_within" -> (q120FunnelWithin _))
+    "q120_funnel_within" -> (q120FunnelWithin _),
+    "q127_click_burst" -> (q127ClickBurst _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
     "q117_funnel_guard" -> q117Sql,
-    "q120_funnel_within" -> q120Sql)
+    "q120_funnel_within" -> q120Sql,
+    "q127_click_burst" -> q127Sql)
 }

@@ -275,6 +275,117 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     assert(emitted == 3, "expiry changed the emitted matches")
   }
 
+  test("earliestQuantChain equals brute-force enumeration on random quantified chains") {
+    import graft.operators.Patterns.QStep
+    val rng = new scala.util.Random(41)
+    val tags = IndexedSeq("a", "b", "c")
+    // brute force: a step (tag, k) can complete at any tag time t with
+    // >= k distinct tag times in (prev, t]; enumerate every chain and
+    // take the lexicographic minimum of the completion vectors
+    def bruteComps(steps: Seq[(String, Int)], evs: Seq[(Long, String)]): Option[Seq[Long]] = {
+      def options(tag: String, k: Int, prev: Long): Seq[Long] = {
+        val ts = evs.filter(e => e._2 == tag && e._1 > prev).map(_._1).distinct.sorted
+        ts.zipWithIndex.collect { case (t, i) if i >= k - 1 => t }
+      }
+      def go(i: Int, prev: Long): Seq[List[Long]] =
+        if (i == steps.length) Seq(Nil)
+        else options(steps(i)._1, steps(i)._2, prev)
+          .flatMap(t => go(i + 1, t).map(t :: _))
+      val all = go(0, Long.MinValue)
+      implicit val ord: Ordering[List[Long]] = Ordering.Implicits.seqOrdering
+      if (all.isEmpty) None else Some(all.min)
+    }
+    (1 to 300).foreach { i =>
+      val n = 1 + rng.nextInt(14)
+      val evs = Seq.fill(n)((rng.nextInt(10).toLong, tags(rng.nextInt(3))))
+      val nSteps = 1 + rng.nextInt(3)
+      val raw = IndexedSeq.fill(nSteps)((tags(rng.nextInt(3)), 1 + rng.nextInt(3)))
+      val steps = raw.map { case (t, k) =>
+        if (k == 1) QStep.once(t) else QStep.timesOrMore(t, k)
+      }
+      val got = graft.operators.Patterns.earliestQuantChain(steps, evs.iterator)
+      val want = bruteComps(raw, evs)
+      assert(got.map(_.map(_._1)) == want.map(_.toIndexedSeq),
+        s"case $i: steps=$raw evs=$evs got=$got want=$want")
+      // greedy counts: distinct tag times strictly inside the gap
+      got.foreach { m =>
+        m.indices.foreach { si =>
+          val lo = if (si == 0) Long.MinValue else m(si - 1)._1
+          val hi = if (si == m.length - 1) Long.MaxValue else m(si + 1)._1
+          val expect =
+            if (steps(si).looping)
+              evs.filter(e => e._2 == steps(si).tag && e._1 > lo && e._1 < hi)
+                .map(_._1).distinct.size
+            else 1
+          assert(m(si)._2 == expect, s"case $i count[$si]: steps=$raw evs=$evs m=$m")
+        }
+      }
+    }
+  }
+
+  test("quantified chain with times=1 everywhere degrades to earliestChain") {
+    import graft.operators.Patterns.QStep
+    val rng = new scala.util.Random(43)
+    val tags = IndexedSeq("a", "b", "c")
+    (1 to 100).foreach { i =>
+      val evs = Seq.fill(1 + rng.nextInt(12))((rng.nextInt(8).toLong, tags(rng.nextInt(3))))
+      val names = IndexedSeq.fill(1 + rng.nextInt(3))(tags(rng.nextInt(3)))
+      val quant = graft.operators.Patterns
+        .earliestQuantChain(names.map(QStep.once), evs.iterator).map(_.map(_._1))
+      val plain = graft.operators.Patterns.earliestChain(names, evs.iterator)
+      assert(quant == plain, s"case $i: names=$names evs=$evs")
+    }
+  }
+
+  test("optional steps report the earliest in-gap event without constraining the chain") {
+    import graft.operators.Patterns.QStep
+    val steps = IndexedSeq(QStep.once("a"), QStep.optional("b"), QStep.once("c"))
+    // b inside the (a, c) gap -> reported
+    val m1 = graft.operators.Patterns.earliestQuantChain(steps,
+      Seq((10L, "a"), (12L, "b"), (13L, "b"), (15L, "c")).iterator)
+    assert(m1.map(_.map(_._1)).contains(IndexedSeq(10L, 12L, 15L)))
+    // no b in the gap -> (-1, 0) but the chain still matches
+    val m2 = graft.operators.Patterns.earliestQuantChain(steps,
+      Seq((10L, "a"), (9L, "b"), (15L, "c"), (20L, "b")).iterator)
+    assert(m2.map(_.map(_._1)).contains(IndexedSeq(10L, -1L, 15L)))
+    // optional never blocks: required chain missing -> None regardless of b
+    val m3 = graft.operators.Patterns.earliestQuantChain(steps,
+      Seq((10L, "a"), (12L, "b")).iterator)
+    assert(m3.isEmpty)
+    // boundary events are outside the open gap
+    val m4 = graft.operators.Patterns.earliestQuantChain(steps,
+      Seq((10L, "a"), (10L, "b"), (15L, "b"), (15L, "c")).iterator)
+    assert(m4.map(_.map(_._1)).contains(IndexedSeq(10L, -1L, 15L)))
+  }
+
+  test("streaming quantified matcher over ordered batches equals the graded q127") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Patterns.QStep
+    implicit val ctx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, tag) => Patterns.PEvent(u, t, tag) }
+      .sortBy(_.t_us)
+    val steps = IndexedSeq(QStep.once("view"), QStep.timesOrMore("click", 2),
+      QStep.once("purchase"))
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchQuantStream(ms.toDS(), steps)
+      .writeStream.format("memory").queryName("cepq").outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cepq").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Int](2).toList)).toSet
+    val batch = Patterns.q127ClickBurst(spark, sf).collect()
+      .map(r => (r.getLong(0), List(r.getLong(1), r.getLong(2), r.getLong(3)),
+        List(1, r.getLong(4).toInt, 1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("q117 guard is a subset of q116 and drops exactly the error-spanned users") {
     val full = graft.operators.Patterns.q116Funnel(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
