@@ -25,12 +25,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(exact.nonEmpty)
   }
 
-  test("q32 df-cap at the graded default is result-neutral on this corpus") {
-    // max shingle df here is single digits, so the cap (1000) drops
-    // nothing: capped == uncapped bit-for-bit. The cap changes COST,
-    // not results, until genuine boilerplate appears.
+  test("q32 graded df-cap prunes postings but keeps the >=0.8 pair set at this sf") {
+    // the graded cap (5) is deliberately NON-neutral — it drops the
+    // df>5 shingles (max df here is 9) so the posting join stays
+    // linear, and jaccard VALUES shift slightly (sizes are computed
+    // over the capped universe, on both engines identically). The
+    // >=0.8 PAIR SET is what must survive: hot shingles connect
+    // boilerplate, not near-dups, so no true pair is lost at this sf.
     def pairs(maxDf: Int) = Dedup.q32NgramJaccard(spark, sf, maxDf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = pairs(Dedup.MaxDf)
     assert(capped == pairs(Int.MaxValue))
     assert(capped.nonEmpty)
