@@ -483,10 +483,110 @@ object Graph {
       |JOIN deg dv ON dv.p = v
       |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Adamic-Adar vertex similarity (reference Gelly
+    * `library/similarity/AdamicAdar.java`: score(u,v) =
+    * Σ_{w ∈ N(u)∩N(v)} 1/log(deg(w)) — Jaccard's cousin that
+    * down-weights high-degree shared neighbors). Same basket-bounded
+    * part–ORDER domain as q126 (the q126 lesson: the part–supplier
+    * domain is Σdeg² ≈ 350M pairs at sf0.1; order baskets bound the
+    * expansion at ~7 pairs/order, linear in lineitem at any scale).
+    * Shared neighbors of parts u,v are the orders containing both, so
+    * deg(w) = basket size ≥ 2 (an order must hold both parts) and
+    * log never sees 1. Transcendental guard (engine libm is not
+    * bit-identical): the per-order weight 1/ln(basket) is rounded to
+    * 9dp on BOTH engines, the summed score to 6dp — the established
+    * rounding device (q89/q125). Top-20 by (score, pair). */
+  def q128AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+      .distinct()
+    val w = e0.groupBy(col("o")).agg(count(lit(1)).as("od"))
+      .filter(col("od") >= 2)
+      .select(col("o"), round(lit(1.0) / log(col("od").cast("double")), 9).as("w"))
+    val a = e0.select(col("o"), col("p").as("u"))
+    val b = e0.select(col("o").as("o2"), col("p").as("v"))
+    a.join(b, col("o") === col("o2") && col("u") < col("v"))
+      .join(w, "o")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("shared"), round(sum(col("w")), 6).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("u"), col("v")).limit(20)
+  }
+
+  val q128Sql: String =
+    """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem),
+      |w AS (SELECT o, round(1.0 / ln(count(*)), 9) AS w
+      |      FROM e0 GROUP BY o HAVING count(*) >= 2),
+      |pairs AS (
+      |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS shared,
+      |    round(sum(w.w), 6) AS adamic_adar
+      |  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+      |  JOIN w ON w.o = a.o
+      |  GROUP BY a.p, b.p)
+      |SELECT u, v, shared, adamic_adar FROM pairs
+      |ORDER BY adamic_adar DESC, u, v LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+  /** Local clustering coefficient (reference Gelly
+    * `library/clustering/undirected/LocalClusteringCoefficient.java`:
+    * per vertex, 2·triangles / (deg·(deg−1)) — what fraction of a
+    * vertex's neighbor pairs are themselves connected). Reuses q56's
+    * workload graph AND its degree-oriented triangle plan (the
+    * outdeg ≤ √(2·edges) build — per-vertex cost capped by
+    * construction): each closed triangle credits its three vertices,
+    * one explode + hash-agg over the q56 output; degrees come from
+    * the same undirected edge set. The score is exact-integer
+    * 2·nt / (d·(d−1)) — ONE division of exact integers, bit-identical
+    * cross-engine, no rounding rule (the q126 device). All vertices
+    * with deg ≥ 2 are emitted (nt = 0 rows included — Gelly emits
+    * every vertex), ordered by node id. */
+  def q129LocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= TriQtyMax)
+      .select((col("l_partkey") % TriMod).as("a"),
+        ((col("l_suppkey") + TriShift) % TriMod).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val vt = q56EnumTriangles(spark, dir)
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("nt"))
+    deg.filter(col("d") >= 2)
+      .join(vt, Seq("n"), "left_outer")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_tri"),
+        ((lit(2.0) * coalesce(col("nt"), lit(0L))) / (col("d") * (col("d") - 1))).as("lcc"))
+      .orderBy(col("node"))
+  }
+
+  val q129Sql: String =
+    s"""WITH raw AS (SELECT l_partkey % $TriMod AS a, (l_suppkey + $TriShift) % $TriMod AS b
+       |            FROM lineitem WHERE l_quantity <= $TriQtyMax),
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+       |tri AS (SELECT x.u AS t1, x.v AS t2, y.v AS t3
+       |        FROM e x JOIN e y ON x.u = y.u AND x.v < y.v),
+       |ctri AS (SELECT t1, t2, t3 FROM tri
+       |         WHERE EXISTS (SELECT 1 FROM e z WHERE z.u = tri.t2 AND z.v = tri.t3)),
+       |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+       |vt AS (SELECT n, CAST(count(*) AS BIGINT) AS nt FROM (
+       |          SELECT t1 AS n FROM ctri UNION ALL SELECT t2 FROM ctri
+       |          UNION ALL SELECT t3 FROM ctri) GROUP BY n)
+       |SELECT deg.n AS node, deg.d AS degree,
+       |  coalesce(vt.nt, 0) AS n_tri,
+       |  2.0 * coalesce(vt.nt, 0) / (deg.d * (deg.d - 1)) AS lcc
+       |FROM deg LEFT JOIN vt ON deg.n = vt.n
+       |WHERE deg.d >= 2
+       |ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_hits" -> (q125Hits _),
     "q126_jaccard_index" -> (q126JaccardIndex _),
     "q124_label_propagation" -> (q124LabelPropagation _),
+    "q128_adamic_adar" -> (q128AdamicAdar _),
+    "q129_local_clustering" -> (q129LocalClustering _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
     "q56_enum_triangles" -> (q56EnumTriangles _),
@@ -497,6 +597,8 @@ object Graph {
     "q125_hits" -> q125Sql,
     "q126_jaccard_index" -> q126Sql,
     "q124_label_propagation" -> q124Sql,
+    "q128_adamic_adar" -> q128Sql,
+    "q129_local_clustering" -> q129Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,
     "q56_enum_triangles" -> q56Sql,

@@ -117,6 +117,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("adamic-adar down-weights exactly the q126 pair domain") {
+    import graft.analytics.Graph
+    // same basket-bounded pair domain as Jaccard: every scored pair
+    // co-occurs in >= 1 order, scores strictly positive, and a pair
+    // sharing only size-2 baskets scores shared * 1/ln(2) exactly
+    val aa = Graph.q128AdamicAdar(spark, sf).collect()
+    assert(aa.nonEmpty)
+    aa.foreach { r =>
+      val (shared, score) = (r.getLong(2), r.getDouble(3))
+      assert(shared >= 1 && score > 0.0,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): shared=$shared score=$score")
+      // upper bound: every shared order weighs at most 1/ln(2)
+      assert(score <= shared * 1.4426950409 + 1e-6)
+    }
+  }
+
+  test("local clustering coefficient is consistent with the q56 triangle count") {
+    import graft.analytics.Graph
+    val lcc = Graph.q129LocalClustering(spark, sf).collect()
+    assert(lcc.nonEmpty)
+    // each triangle credits exactly 3 vertices
+    val triTotal = Graph.q56EnumTriangles(spark, sf).count()
+    assert(lcc.map(_.getLong(2)).sum == 3 * triTotal)
+    lcc.foreach { r =>
+      val (d, nt, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d >= 2 && nt >= 0 && s >= 0.0 && s <= 1.0 + 1e-12,
+        s"node ${r.getLong(0)}: d=$d nt=$nt lcc=$s")
+      assert(math.abs(s - 2.0 * nt / (d * (d - 1))) == 0.0)
+    }
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))
