@@ -483,6 +483,77 @@ object Graph {
       |JOIN deg dv ON dv.p = v
       |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Community detection with hop attenuation (reference Gelly
+    * `library/CommunityDetection.java`, Leung et al. 0808.2633):
+    * scatter-gather where each vertex carries (label, score), init
+    * (own id, 1.0). Per superstep t a vertex: sums received scores
+    * per label (unit edge weights here — the workload graph is
+    * unweighted), adopts the label with the highest SUM, re-scores to
+    * the highest SINGLE received score of that label minus delta/t
+    * when the label changed (delta = 0.5, Gelly's default). Two
+    * deterministic pins, both documented deviations of the q125 kind:
+    * scores and per-label sums are rounded 6dp per superstep (kills
+    * cross-engine sum-order noise), and argmax ties break to the MIN
+    * label — which is exactly what Gelly's ascending TreeMap with
+    * strict `>` does, so the tie rule is faithful, only the rounding
+    * is ours. Per superstep: one broadcast of the node-cardinality
+    * (label, score) state onto the src-partitioned edge cache, one
+    * (dst, label) hash-agg, one per-dst struct-argmax, one
+    * state-join for the rescore — all shuffles keyed by node id.
+    * Output: community size histogram (the q124 surface). */
+  val CdIters = 3
+  val CdDelta = 0.5
+
+  def q131CommunityDetection(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edgesWithDeg(spark, dir).select("src", "dst")
+    val init = ed.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .withColumn("score", lit(1.0))
+    val fin = graft.engine.Iterate.loopDF(init, CdIters, checkpointEvery = 1) { (vs, t) =>
+      val sums = ed.join(broadcast(vs), ed("src") === vs("node"))
+        .groupBy(ed("dst"), col("label"))
+        .agg(round(sum(col("score")), 6).as("ssum"), max(col("score")).as("smax"))
+      // (dst,label) rows are unique, so (ssum, -label) never ties and
+      // the struct max rides smax along with the winning label
+      val pick = sums.groupBy(col("dst"))
+        .agg(max(struct(col("ssum"), (lit(0L) - col("label")).as("negl"),
+          col("smax"))).as("m"))
+        .select(col("dst").as("node2"), (lit(0L) - col("m.negl")).as("label2"),
+          col("m.smax").as("smax"))
+      // re-project the state before the rescore join: `pick` already
+      // derives from `vs`, and Spark's self-join check can't attribute
+      // a bare vs("label") across the two lineages
+      val prev = vs.select(col("node").as("pnode"), col("label").as("plabel"))
+      pick.join(broadcast(prev), col("node2") === col("pnode"))
+        .select(col("node2").as("node"), col("label2").as("label"),
+          round(col("smax") - when(col("label2") =!= col("plabel"),
+            lit(CdDelta) / t).otherwise(lit(0.0)), 6).as("score"))
+    }
+    fin.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
+  }
+
+  val q131Sql: String = {
+    val steps = (1 to CdIters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, v.label, round(sum(v.score), 6) AS ssum,
+         |  max(v.score) AS smax
+         |  FROM edges e JOIN v${i - 1} v ON e.src = v.node GROUP BY e.dst, v.label),
+         |p$i AS (SELECT node, label, smax FROM (
+         |  SELECT node, label, smax,
+         |    row_number() OVER (PARTITION BY node ORDER BY ssum DESC, label ASC) AS rn
+         |  FROM s$i) WHERE rn = 1),
+         |v$i AS (SELECT p.node, p.label,
+         |  round(p.smax - CASE WHEN p.label <> v.label THEN $CdDelta / $i ELSE 0 END, 6) AS score
+         |  FROM p$i p JOIN v${i - 1} v ON p.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |v0 AS (SELECT src AS node, src AS label, 1.0 AS score FROM deg),
+       |$steps
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM v$CdIters
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q128
   /** Adamic-Adar vertex similarity (reference Gelly
     * `library/similarity/AdamicAdar.java`: score(u,v) =
@@ -587,6 +658,7 @@ object Graph {
     "q124_label_propagation" -> (q124LabelPropagation _),
     "q128_adamic_adar" -> (q128AdamicAdar _),
     "q129_local_clustering" -> (q129LocalClustering _),
+    "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
     "q56_enum_triangles" -> (q56EnumTriangles _),
@@ -599,6 +671,7 @@ object Graph {
     "q124_label_propagation" -> q124Sql,
     "q128_adamic_adar" -> q128Sql,
     "q129_local_clustering" -> q129Sql,
+    "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,
     "q56_enum_triangles" -> q56Sql,

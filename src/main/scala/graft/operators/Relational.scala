@@ -1272,9 +1272,53 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** Top supplier (TPC-H Q15): the revenue view — per-supplier
+    * revenue over a one-quarter ship window — and the supplier(s)
+    * hitting its maximum. The classic view+scalar-subquery shape
+    * becomes one suppkey-keyed hash-agg (map-side partials, ~|supplier|
+    * rows out), a 1-row max broadcast, and a broadcast supplier join —
+    * nothing shuffles except the scan's agg exchange, at any scale.
+    * The max-equality compare runs on EXACT INTEGER CENTS
+    * (`round(sum(rev*100), 0)` — the q113 device): a raw double max
+    * vs double sum equality is summation-order-dependent and could
+    * drop/duplicate the winner cross-engine; ties (multiple suppliers
+    * at the max) are kept on BOTH engines by construction. The cents
+    * divide back to currency in ONE IEEE division for output. */
+  def q130TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100), 0)
+        .as("rev_cents"))
+    val mx = rev.agg(max(col("rev_cents")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_cents") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q130Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    round(sum(l_extendedprice * (1 - l_discount) * 100), 0) AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_market_share" -> (q121MarketShare _),
     "q122_volume_shipping" -> (q122VolumeShipping _),
+    "q130_top_supplier" -> (q130TopSupplier _),
     "q112_cust_distribution" -> (q112CustDistribution _),
     "q113_dormant_rich" -> (q113DormantRich _),
     "q114_promo_revenue" -> (q114PromoRevenue _),
@@ -1320,6 +1364,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q121_market_share" -> q121Sql,
     "q122_volume_shipping" -> q122Sql,
+    "q130_top_supplier" -> q130Sql,
     "q112_cust_distribution" -> q112Sql,
     "q113_dormant_rich" -> q113Sql,
     "q114_promo_revenue" -> q114Sql,
