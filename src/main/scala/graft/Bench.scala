@@ -67,12 +67,14 @@ object Bench {
     "matmul" -> "q22", "kmeans" -> "q23", "dft" -> "q25", "logreg" -> "q24",
     "iot" -> "q21", "pi" -> "q26", "vadd" -> "q27")
 
-  /** Centiseconds below 10 s, deciseconds to 100 s, whole seconds
-    * above — sub-decisecond detail on a slow query is noise, and the
-    * trim keeps the worst-case line inside the tail-capture budget as
-    * the registry grows. */
+  /** Centiseconds below 10 s, deciseconds to 100 s, whole seconds to
+    * 1000 s, exponent notation above (a >16-minute single query means
+    * the round is dead anyway — only the magnitude matters). The trim
+    * bounds the worst-case per-entry cost at 11 chars so the line
+    * stays inside the tail-capture budget as the registry grows. */
   private def fmt(v: Double): String =
-    if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    if (v >= 1000) f"$v%.0e" else if (v >= 100) f"$v%.0f"
+    else if (v >= 10) f"$v%.1f" else f"$v%.2f"
 
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }

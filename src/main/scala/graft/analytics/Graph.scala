@@ -652,7 +652,149 @@ object Graph {
        |WHERE deg.d >= 2
        |ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  /** Graph summarization (reference Gelly `library/Summarization.java`:
+    * vertices grouped by value become super-vertices carrying the
+    * group size; all edges between two groups with the same edge
+    * value collapse to one super-edge carrying the multiplicity).
+    * Domain: the nation trade graph — vertices are nations with
+    * value = region, edges are one (cust_nation → supp_nation,
+    * l_returnflag) per lineitem (an edge LIST, duplicates counted, as
+    * Gelly's input is). Gelly picks a nondeterministic representative
+    * id per group (guaranteed to be a member); we pin rep =
+    * min(nationkey) — the one documented deviation, determinism over
+    * arbitrariness. Output = super-edges (rep src, rep dst, edge
+    * value, multiplicity) annotated with both super-vertex group
+    * sizes, i.e. both halves of the algorithm in one relation.
+    * Plan: lineitem⋈orders shuffles on orderkey (the only fact-fact
+    * shuffle); customer/supplier/nation-rep maps broadcast; one
+    * hash-agg at (5×5×7) output cardinality. */
+  def q132Summarization(spark: SparkSession, dir: String): DataFrame = {
+    val rep = Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey").as("g"))
+      .agg(min(col("n_nationkey")).cast("long").as("rep"), count(lit(1)).as("sz"))
+    val nm = Tables.nation(spark, dir)
+      .join(broadcast(rep), col("n_regionkey") === col("g"))
+      .select(col("n_nationkey").as("nk"), col("rep"), col("sz"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nm), col("c_nationkey") === col("nk"))
+      .select(col("c_custkey"), col("rep").as("src_rep"), col("sz").as("src_sz"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nm), col("s_nationkey") === col("nk"))
+      .select(col("s_suppkey"), col("rep").as("dst_rep"), col("sz").as("dst_sz"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src_rep"), col("dst_rep"), col("l_returnflag").as("edge_value"),
+        col("src_sz"), col("dst_sz"))
+      .agg(count(lit(1)).as("edge_cnt"))
+      .select(col("src_rep"), col("dst_rep"), col("edge_value"), col("edge_cnt"),
+        col("src_sz").as("src_group_sz"), col("dst_sz").as("dst_group_sz"))
+      .orderBy(col("src_rep"), col("dst_rep"), col("edge_value"))
+  }
+
+  val q132Sql: String =
+    """WITH rep AS (SELECT n_regionkey AS g, CAST(min(n_nationkey) AS BIGINT) AS rep,
+      |             CAST(count(*) AS BIGINT) AS sz FROM nation GROUP BY 1),
+      |nm AS (SELECT n_nationkey AS nk, rep, sz
+      |       FROM nation JOIN rep ON n_regionkey = g)
+      |SELECT cm.rep AS src_rep, sm.rep AS dst_rep, l_returnflag AS edge_value,
+      |  CAST(count(*) AS BIGINT) AS edge_cnt,
+      |  cm.sz AS src_group_sz, sm.sz AS dst_group_sz
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nm cm ON c_nationkey = cm.nk
+      |JOIN nm sm ON s_nationkey = sm.nk
+      |GROUP BY cm.rep, sm.rep, l_returnflag, cm.sz, sm.sz
+      |ORDER BY src_rep, dst_rep, edge_value""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  /** Undirected vertex metrics (reference Gelly
+    * `library/metric/undirected/VertexMetrics.java`: per-vertex
+    * degree d contributes d(d−1)/2 triplets; the analytic emits
+    * vertex count, edge count (Σd/2), triplet count, maximum degree,
+    * maximum triplets). One distinct-projection of the shared
+    * part↔supplier edge cache (degrees ride the cache — zero extra
+    * joins) and one scalar hash-agg; all values exact integers
+    * (d(d−1) is even, so /2 is exact). */
+  def q133VertexMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val deg = edgesWithDeg(spark, dir).select(col("src"), col("d")).distinct()
+    // exact long arithmetic throughout — `div`, not `/` (double): the
+    // triplet sums exceed 2^53 long before 100 TB does
+    deg.agg(
+      count(lit(1)).as("vertex_cnt"),
+      expr("sum(d) div 2").as("edge_cnt"),
+      sum(expr("(d * (d - 1)) div 2")).as("triplet_cnt"),
+      max(col("d")).as("max_degree"),
+      max(expr("(d * (d - 1)) div 2")).as("max_triplets"))
+  }
+
+  val q133Sql: String =
+    s"""WITH $edgesSql
+       |SELECT CAST(count(*) AS BIGINT) AS vertex_cnt,
+       |  CAST(sum(d) // 2 AS BIGINT) AS edge_cnt,
+       |  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triplet_cnt,
+       |  max(d) AS max_degree,
+       |  CAST(max((d * (d - 1)) // 2) AS BIGINT) AS max_triplets
+       |FROM deg""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** Undirected edge metrics (reference Gelly
+    * `library/metric/undirected/EdgeMetrics.java`): per vertex v,
+    * lowCount l(v) = #incident edges where v is the degree-order-low
+    * endpoint ((d(v), v) < (d(u), u) lexicographically — Gelly's
+    * EdgeStats map), h = d − l; triangle triplets = l(l−1)/2,
+    * rectangle triplets = l(l−1)/2 + l·h; the analytic sums and
+    * maxes both over vertices. Exact integers throughout. Plan: the
+    * shared edge cache joined once with its own degree projection
+    * (broadcast — node cardinality) to pair (d(src), d(dst)) per
+    * directed edge, one per-src hash-agg, one scalar agg. */
+  def q134EdgeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edgesWithDeg(spark, dir) // (src, dst, d = deg(src))
+    val deg = ed.select(col("src"), col("d")).distinct()
+    val low = ed
+      .join(broadcast(deg.select(col("src").as("t"), col("d").as("dt"))),
+        col("dst") === col("t"))
+      .groupBy(col("src"))
+      .agg(sum(when(col("d") < col("dt") ||
+          (col("d") === col("dt") && col("src") < col("dst")), 1L)
+        .otherwise(0L)).as("l"))
+    deg.join(low, "src")
+      .select(col("l"), (col("d") - col("l")).as("h"))
+      .agg(
+        sum(expr("(l * (l - 1)) div 2")).as("triangle_triplet_cnt"),
+        sum(expr("(l * (l - 1)) div 2 + l * h")).as("rectangle_triplet_cnt"),
+        max(expr("(l * (l - 1)) div 2")).as("max_triangle_triplets"),
+        max(expr("(l * (l - 1)) div 2 + l * h")).as("max_rectangle_triplets"))
+  }
+
+  val q134Sql: String =
+    s"""WITH $edgesSql,
+       |low AS (
+       |  SELECT e.src,
+       |    CAST(sum(CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND e.src < e.dst)
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS l
+       |  FROM edges e
+       |  JOIN deg ds ON e.src = ds.src
+       |  JOIN deg dt ON e.dst = dt.src
+       |  GROUP BY e.src),
+       |per_v AS (SELECT low.l AS l, deg.d - low.l AS h
+       |          FROM deg JOIN low ON deg.src = low.src)
+       |SELECT CAST(sum((l * (l - 1)) // 2) AS BIGINT) AS triangle_triplet_cnt,
+       |  CAST(sum((l * (l - 1)) // 2 + l * h) AS BIGINT) AS rectangle_triplet_cnt,
+       |  CAST(max((l * (l - 1)) // 2) AS BIGINT) AS max_triangle_triplets,
+       |  CAST(max((l * (l - 1)) // 2 + l * h) AS BIGINT) AS max_rectangle_triplets
+       |FROM per_v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_summarization" -> (q132Summarization _),
+    "q133_vertex_metrics" -> (q133VertexMetrics _),
+    "q134_edge_metrics" -> (q134EdgeMetrics _),
     "q125_hits" -> (q125Hits _),
     "q126_jaccard_index" -> (q126JaccardIndex _),
     "q124_label_propagation" -> (q124LabelPropagation _),
@@ -666,6 +808,9 @@ object Graph {
     "q119_sssp" -> (q119Sssp _))
 
   def oracles: Map[String, String] = Map(
+    "q132_summarization" -> q132Sql,
+    "q133_vertex_metrics" -> q133Sql,
+    "q134_edge_metrics" -> q134Sql,
     "q125_hits" -> q125Sql,
     "q126_jaccard_index" -> q126Sql,
     "q124_label_propagation" -> q124Sql,

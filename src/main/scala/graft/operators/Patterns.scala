@@ -584,6 +584,101 @@ object Patterns {
       |       JOIN n ON v.user_id = n.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Flink's `AfterMatchSkipStrategy.skipPastLastEvent()` (reference
+    * flink-cep `aftermatch/AfterMatchSkipStrategy.java` +
+    * `SkipPastLastStrategy.java`, applied by nfa/NFA.java after each
+    * accepting run): instead of stopping at the first match per key,
+    * matching RESUMES strictly after the last event of each emitted
+    * match, yielding the maximal set of non-overlapping earliest
+    * matches. `maxMatches` bounds the per-key output (a real CEP
+    * guard against pathological keys; mirrored in the oracle's
+    * unrolled rounds). One sort + one forward scan total — each
+    * match's scan resumes where the previous stopped, so the whole
+    * key costs O(n log n + n·steps), not matches × n. */
+  def allMatchesSkipPastLast(steps: IndexedSeq[String], maxMatches: Int,
+      events: Iterator[(Long, String)]): IndexedSeq[IndexedSeq[Long]] = {
+    val sorted = events.toArray.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]]
+    var i = 0
+    var lower = Long.MinValue
+    while (out.length < maxMatches && i < sorted.length) {
+      val ts = new Array[Long](steps.length)
+      var si = 0
+      var last = lower
+      var j = i
+      while (j < sorted.length && si < steps.length) {
+        val (t, tag) = sorted(j)
+        if (tag == steps(si) && t > last) { ts(si) = t; last = t; si += 1 }
+        j += 1
+      }
+      if (si == steps.length) {
+        out += ts.toIndexedSeq
+        lower = ts(steps.length - 1)
+        // skip-past-last: the next match may only use events strictly
+        // after this match's final event
+        while (i < sorted.length && sorted(i)._1 <= lower) i += 1
+      } else i = sorted.length // suffix can't complete — done with this key
+    }
+    out.toIndexedSeq
+  }
+
+  /** Repeated conversion funnels per user — `view → click → purchase`
+    * under SKIP_PAST_LAST_EVENT: every non-overlapping earliest
+    * funnel a user completes (capped at [[SkipMax]]), with its match
+    * ordinal. The re-engagement query a funnel dashboard runs; the
+    * oracle unrolls [[SkipMax]] greedy rounds, each lower-bounded by
+    * the previous round's purchase time. */
+  val SkipMax = 5
+
+  def q135AllFunnels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = IndexedSeq("view", "click", "purchase")
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        allMatchesSkipPastLast(steps, SkipMax, it.map(e => (e.t_us, e.tag)))
+          .zipWithIndex
+          .map { case (ts, idx) => (key, (idx + 1).toLong, ts(0), ts(1), ts(2)) }
+          .iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("match_idx"),
+        col("_3").as("t1_us"), col("_4").as("t2_us"), col("_5").as("t3_us"))
+      .orderBy(col("user_id"), col("match_idx"))
+  }
+
+  val q135Sql: String = {
+    val rounds = (1 to SkipMax).map { r =>
+      val prev = if (r == 1) "seed" else s"m${r - 1}"
+      s"""v$r AS (
+         |  SELECT e.user_id, min(e.t) AS t1
+         |  FROM ev e JOIN $prev ON e.user_id = $prev.user_id
+         |  WHERE e.event_type = 'view' AND e.t > $prev.t3 GROUP BY e.user_id),
+         |c$r AS (
+         |  SELECT e.user_id, min(e.t) AS t2
+         |  FROM ev e JOIN v$r ON e.user_id = v$r.user_id
+         |  WHERE e.event_type = 'click' AND e.t > v$r.t1 GROUP BY e.user_id),
+         |p$r AS (
+         |  SELECT e.user_id, min(e.t) AS t3
+         |  FROM ev e JOIN c$r ON e.user_id = c$r.user_id
+         |  WHERE e.event_type = 'purchase' AND e.t > c$r.t2 GROUP BY e.user_id),
+         |m$r AS (
+         |  SELECT v$r.user_id, v$r.t1, c$r.t2, p$r.t3
+         |  FROM v$r JOIN c$r ON v$r.user_id = c$r.user_id
+         |          JOIN p$r ON v$r.user_id = p$r.user_id)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to SkipMax).map { r =>
+      s"SELECT user_id, CAST($r AS BIGINT) AS match_idx, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+       |seed AS (SELECT DISTINCT user_id, CAST(-1 AS BIGINT) AS t3 FROM ev),
+       |$rounds
+       |$union
+       |ORDER BY user_id, match_idx""".stripMargin
+  }
+
   /** Streaming twin of the quantified chain (required steps only; the
     * FINAL step must be non-looping — a greedy tail loop never closes
     * on an unbounded stream, the same reason Flink requires a
@@ -665,11 +760,13 @@ object Patterns {
     "q116_funnel" -> (q116Funnel _),
     "q117_funnel_guard" -> (q117FunnelGuard _),
     "q120_funnel_within" -> (q120FunnelWithin _),
-    "q127_click_burst" -> (q127ClickBurst _))
+    "q127_click_burst" -> (q127ClickBurst _),
+    "q135_all_funnels" -> (q135AllFunnels _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
     "q117_funnel_guard" -> q117Sql,
     "q120_funnel_within" -> q120Sql,
-    "q127_click_burst" -> q127Sql)
+    "q127_click_burst" -> q127Sql,
+    "q135_all_funnels" -> q135Sql)
 }

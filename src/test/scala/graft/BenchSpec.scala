@@ -21,12 +21,16 @@ class BenchSpec extends AnyFunSuite {
     // sbt's trailing [success] line (~80 chars observed) inside the
     // ~2000-char tail window; values >= 100s drop their (noise)
     // centiseconds, 10-100s keep one decimal
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99999.99)
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.99)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
     assert(line.length < 1900, s"metric line ${line.length} chars — trim keys or precision")
     val slow = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
     assert(Bench.jsonLine(slow, "/root/testdata/sf0.1").contains(""""q01":100.0"""))
-    assert(line.contains(""""q01":100000"""), "slow queries render without decimals")
+    assert(line.contains(""""q01":1000"""), "slow queries render without decimals")
+    // past 1000 s the value degrades to magnitude-only e-notation --
+    // still valid JSON, never more than 11 chars per entry
+    val absurd = Bench.jsonLine(Seq("q01_x" -> 99999.99), "/x")
+    assert(absurd.contains(""""q01":1e+05"""), absurd)
     assert(line.startsWith("""{"metric":"total"""") && line.endsWith("}"))
     // crashed queries (-1) must not corrupt the JSON shape
     val withCrash = Bench.jsonLine(Seq("q01_x" -> -1.0, "q02_y" -> 1.5), "/x")

@@ -163,4 +163,51 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .select("__salt").distinct().count()
     assert(spread > 1)
   }
+
+  test("vertex/edge metrics are internally consistent with the shared graph") {
+    val sfd = sf
+    // independent degree derivation from lineitem (not the edge cache)
+    val e0 = Tables.lineitem(spark, sfd)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + Graph.SuppOffset).as("s"))
+      .distinct()
+    val deg = e0.select(col("p").as("n")).union(e0.select(col("s").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val nVert = deg.count()
+    val nEdges = e0.count() // undirected edge count
+    val maxDeg = deg.agg(max("d")).head.getLong(0)
+    val triplets = deg.agg(sum(expr("(d * (d - 1)) div 2"))).head.getLong(0)
+
+    val vm = Graph.q133VertexMetrics(spark, sfd).head
+    assert(vm.getLong(0) == nVert)
+    assert(vm.getLong(1) == nEdges)
+    assert(vm.getLong(2) == triplets)
+    assert(vm.getLong(3) == maxDeg)
+    assert(vm.getLong(4) == maxDeg * (maxDeg - 1) / 2)
+
+    // edge metrics: triangle triplets <= rectangle triplets <= all triplets,
+    // same ordering for the maxima, and everything non-negative
+    val em = Graph.q134EdgeMetrics(spark, sfd).head
+    val (tri, rect, mTri, mRect) =
+      (em.getLong(0), em.getLong(1), em.getLong(2), em.getLong(3))
+    assert(0 <= tri && tri <= rect && rect <= triplets)
+    assert(0 <= mTri && mTri <= mRect && mRect <= maxDeg * (maxDeg - 1) / 2)
+  }
+
+  test("summarization groups cover all nations and edge counts sum to the fact rows") {
+    val sfd = sf
+    val rows = Graph.q132Summarization(spark, sfd).collect()
+    // every super-vertex rep is the min nation of its region and sizes total 25
+    val reps = rows.map(r => (r.getLong(0), r.getLong(4))).toSet ++
+      rows.map(r => (r.getLong(1), r.getLong(5))).toSet
+    assert(reps.map(_._2).sum >= reps.size) // sizes are positive
+    val nations = Tables.nation(spark, sfd)
+      .groupBy("n_regionkey")
+      .agg(min("n_nationkey").cast("long").as("rep"), count(lit(1)).as("sz"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(reps.subsetOf(nations))
+    // edge multiplicities over all super-edges = lineitem rows with a
+    // resolvable customer+supplier (every row here)
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == Tables.lineitem(spark, sfd).count())
+  }
 }

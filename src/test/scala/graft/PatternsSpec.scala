@@ -401,4 +401,54 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     }.keySet
     assert(full.keySet -- guarded == expectedDropped)
   }
+
+  test("allMatchesSkipPastLast equals repeated greedy chaining; matches never overlap") {
+    val rng = new scala.util.Random(41)
+    val tags = IndexedSeq("a", "b", "c")
+    def bruteChain(steps: IndexedSeq[String], evs: Seq[(Long, String)]): Option[IndexedSeq[Long]] =
+      steps.foldLeft(Option(IndexedSeq.empty[Long])) {
+        case (Some(acc), tag) =>
+          val cands = evs.filter(e => e._2 == tag && (acc.isEmpty || e._1 > acc.last))
+          if (cands.isEmpty) None else Some(acc :+ cands.map(_._1).min)
+        case (None, _) => None
+      }
+    (1 to 300).foreach { i =>
+      val n = 1 + rng.nextInt(20)
+      val evs = Seq.fill(n)((rng.nextInt(15).toLong, tags(rng.nextInt(3))))
+      val steps = IndexedSeq.fill(1 + rng.nextInt(3))(tags(rng.nextInt(3)))
+      val max = 1 + rng.nextInt(4)
+      val got = Patterns.allMatchesSkipPastLast(steps, max, evs.iterator)
+      // reference: re-run the stepwise-min greedy chain on the events
+      // strictly after the previous match's final event (the
+      // SkipPastLastStrategy definition), up to the cap
+      var want = Vector.empty[IndexedSeq[Long]]
+      var lower = Long.MinValue
+      var go = true
+      while (go && want.length < max) {
+        bruteChain(steps, evs.filter(_._1 > lower)) match {
+          case Some(m) => want = want :+ m; lower = m.last
+          case None    => go = false
+        }
+      }
+      assert(got == want, s"case $i steps=$steps evs=$evs max=$max")
+      got.sliding(2).foreach {
+        case Seq(a, b) => assert(b.head > a.last, s"overlap in case $i")
+        case _ =>
+      }
+    }
+  }
+
+  test("q135 first match per user equals q116 and respects the per-key cap") {
+    val all = graft.operators.Patterns.q135AllFunnels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val first = all.filter(_._2 == 1L).map(t => (t._1, t._3, t._4, t._5)).toSet
+    val q116 = graft.operators.Patterns.q116Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(first == q116 && first.nonEmpty)
+    val perUser = all.groupBy(_._1)
+    perUser.foreach { case (u, ms) =>
+      assert(ms.length <= graft.operators.Patterns.SkipMax, s"user $u over cap")
+      assert(ms.map(_._2).sorted.sameElements(1L to ms.length.toLong), s"user $u ordinals")
+    }
+  }
 }

@@ -94,7 +94,15 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q126_jaccard_index" -> PlanCounts(2, 0, 4, 2),
     // final superstep (not checkpoint-aligned at 3 iters) reads the
     // cached edges once: label broadcast + count/argmax aggs + sort
-    "q124_label_propagation" -> PlanCounts(0, 1, 4, 1))
+    "q124_label_propagation" -> PlanCounts(0, 1, 4, 1),
+    // summarization: lineitem + orders fact join (2 exchanges) + agg
+    // + sort; customer/supplier/nation-rep maps all broadcast
+    "q132_summarization" -> PlanCounts(6, 0, 3, 5),
+    // both metrics read ONLY the shared edge cache — zero file scans
+    "q133_vertex_metrics" -> PlanCounts(0, 1, 1, 0),
+    "q134_edge_metrics" -> PlanCounts(0, 3, 1, 2),
+    // skip-strategy CEP: same single-pass census as q116
+    "q135_all_funnels" -> PlanCounts(1, 0, 2, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
