@@ -572,13 +572,19 @@ object Graph {
     val e0 = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
       .distinct()
-    val w = e0.groupBy(col("o")).agg(count(lit(1)).as("od"))
+    // basket size (and so the weight) rides a count window over e0's
+    // OWN lineage instead of a groupBy-join-back: the join-back's
+    // pruned subtree defeats exchange reuse (the q85/q90 lesson) and
+    // at sf1 re-shuffled the EXPANDED pair relation on o (measured
+    // 14.0 s → 6.5 s). Both pair legs now derive from the same
+    // windowed relation, so the self-join reuses one o-exchange.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("o")
+    val ew = e0.withColumn("od", count(lit(1)).over(win))
       .filter(col("od") >= 2)
-      .select(col("o"), round(lit(1.0) / log(col("od").cast("double")), 9).as("w"))
-    val a = e0.select(col("o"), col("p").as("u"))
-    val b = e0.select(col("o").as("o2"), col("p").as("v"))
+      .withColumn("w", round(lit(1.0) / log(col("od").cast("double")), 9))
+    val a = ew.select(col("o"), col("p").as("u"), col("w"))
+    val b = ew.select(col("o").as("o2"), col("p").as("v"))
     a.join(b, col("o") === col("o2") && col("u") < col("v"))
-      .join(w, "o")
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("shared"), round(sum(col("w")), 6).as("adamic_adar"))
       .orderBy(col("adamic_adar").desc, col("u"), col("v")).limit(20)

@@ -331,6 +331,72 @@ object Patterns {
       }
   }
 
+  /** Per-key state for the skip-past-last streaming matcher: the
+    * in-progress chain, the exclusive lower time bound set by the
+    * previous match's final event (SkipPastLastStrategy), and the
+    * number of matches already emitted — O(steps) longs regardless of
+    * how many matches a key produces. */
+  final case class ChainAllState(matched: List[Long], lower: Long,
+      nDone: Int, done: Boolean)
+  final case class ChainMatchIdx(key: Long, idx: Long, ts: Seq[Long])
+
+  /** Streaming twin of [[allMatchesSkipPastLast]] — Flink CEP with
+    * `AfterMatchSkipStrategy.skipPastLastEvent()` on a keyed stream:
+    * after each emitted match the NFA re-arms with matching allowed
+    * only strictly after the match's final event. Same in-order
+    * contract and idle-expiry lifecycle as [[matchChainStream]]; the
+    * `maxMatches` cap turns the key into a done-tombstone exactly
+    * like a first-match key there. Equals the batch operator on
+    * event-time-ordered feeds (PatternsSpec, mid-stream batch
+    * boundaries included). */
+  def matchChainStreamAll(events: Dataset[PEvent], steps: IndexedSeq[String],
+      maxMatches: Int, watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[ChainMatchIdx] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val n = steps.length
+    events
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ChainAllState, ChainMatchIdx](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[PEventT], state: GroupState[ChainAllState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(
+              ChainAllState(Nil, Long.MinValue, 0, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatchIdx]
+            var lastSeenUs = Long.MinValue
+            it.toSeq.sortBy(_.t_us).foreach { e =>
+              lastSeenUs = math.max(lastSeenUs, e.t_us)
+              if (!s.done) {
+                val depth = s.matched.length
+                val lb = if (depth == 0) s.lower else s.matched.last
+                if (depth < n && steps(depth) == e.tag && e.t_us > lb) {
+                  val m2 = s.matched :+ e.t_us
+                  if (m2.length == n) {
+                    out += ChainMatchIdx(key, (s.nDone + 1).toLong, m2)
+                    // skip past last: re-arm strictly after this match
+                    s = ChainAllState(Nil, e.t_us, s.nDone + 1,
+                      s.nDone + 1 >= maxMatches)
+                  } else s = s.copy(matched = m2)
+                }
+              }
+            }
+            state.update(s)
+            if (s.done) // capped key: tombstone until the key idles out
+              state.setTimeoutTimestamp(math.max(
+                lastSeenUs / 1000L + idleExpiryUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming `Pattern.within`: per-key buffers of the NON-final
     * step tags, pruned to the trailing window as events arrive in
     * event-time order — exactly the state Flink CEP keeps (NFA

@@ -451,4 +451,32 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
       assert(ms.map(_._2).sorted.sameElements(1L to ms.length.toLong), s"user $u ordinals")
     }
   }
+
+  test("streaming skip-past-last matcher over ordered batches equals the graded q135") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, tag) => Patterns.PEvent(u, t, tag) }
+      .sortBy(_.t_us)
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchChainStreamAll(ms.toDS(),
+        IndexedSeq("view", "click", "purchase"), Patterns.SkipMax)
+      .writeStream.format("memory").queryName("cepall")
+      .outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cepall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    val batch = graft.operators.Patterns.q135AllFunnels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        List(r.getLong(2), r.getLong(3), r.getLong(4)))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.exists(_._2 > 1L), "fixture should produce repeat matches")
+  }
 }

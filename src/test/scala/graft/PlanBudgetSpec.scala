@@ -95,6 +95,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // final superstep (not checkpoint-aligned at 3 iters) reads the
     // cached edges once: label broadcast + count/argmax aggs + sort
     "q124_label_propagation" -> PlanCounts(0, 1, 4, 1),
+    // ONE lineitem scan + one o-exchange shared by both pair legs:
+    // the weight rides a count window over e0's own lineage — a
+    // groupBy+join-back here re-shuffled the EXPANDED pair relation
+    // (measured 14 s at sf1, the q85/q90 regression class)
+    "q128_adamic_adar" -> PlanCounts(1, 0, 3, 1),
     // summarization: lineitem + orders fact join (2 exchanges) + agg
     // + sort; customer/supplier/nation-rep maps all broadcast
     "q132_summarization" -> PlanCounts(6, 0, 3, 5),
