@@ -797,7 +797,142 @@ object Graph {
        |  CAST(max((l * (l - 1)) // 2 + l * h) AS BIGINT) AS max_rectangle_triplets
        |FROM per_v""".stripMargin
 
+  // ------------------------------------------------------- q136 / q137
+  /** Simplified nation trade DIGRAPH shared by the directed metric
+    * twins: one edge per distinct (cust_nation → supp_nation) trade
+    * direction, self-loops removed — Gelly's
+    * `asm/simple/directed/Simplify` applied to the q132 edge list.
+    * The fact join is the scan-bound term (broadcast dims, one
+    * lineitem⋈orders shuffle); everything after is node-cardinality. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  private val tradeSql: String =
+    """trade AS (
+      |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+      |                  CAST(s_nationkey AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey),
+      |tund AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM trade),
+      |tdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+      |           SELECT u AS n FROM tund UNION ALL SELECT v AS n FROM tund) GROUP BY n)""".stripMargin
+
+  /** Directed vertex metrics (reference Gelly
+    * `library/metric/directed/VertexMetrics.java`): degree = distinct
+    * NEIGHBOR count, bidirectional edges per vertex = outDeg + inDeg −
+    * degree (pairs traded in both directions), triplets on the
+    * neighbor degree; the analytic emits vertex / unidirectional-edge
+    * / bidirectional-edge / triplet counts and the degree maxima.
+    * Vertex set = edge endpoints (zero-degree nations excluded — the
+    * analytic's default includeZeroDegreeVertices=false). */
+  def q136DirectedVertexMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val trade = tradeEdges(spark, dir).localCheckpoint(true)
+    val und = trade.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val outd = trade.groupBy(col("src").as("n")).agg(count(lit(1)).as("od"))
+    val ind = trade.groupBy(col("dst").as("n")).agg(count(lit(1)).as("id"))
+    deg.join(outd, Seq("n"), "left_outer").join(ind, Seq("n"), "left_outer")
+      .select(col("d"), coalesce(col("od"), lit(0L)).as("od"),
+        coalesce(col("id"), lit(0L)).as("id"))
+      .agg(
+        count(lit(1)).as("vertex_cnt"),
+        sum(expr("d - (od + id - d)")).cast("long").as("uni_edge_x2"),
+        sum(expr("od + id - d")).cast("long").as("bi_edge_x2"),
+        sum(expr("(d * (d - 1)) div 2")).as("triplet_cnt"),
+        max(col("d")).as("max_degree"),
+        max(col("od")).as("max_out_degree"),
+        max(col("id")).as("max_in_degree"),
+        max(expr("(d * (d - 1)) div 2")).as("max_triplets"))
+      .select(col("vertex_cnt"), expr("uni_edge_x2 div 2").as("uni_edge_cnt"),
+        expr("bi_edge_x2 div 2").as("bi_edge_cnt"), col("triplet_cnt"),
+        col("max_degree"), col("max_out_degree"), col("max_in_degree"),
+        col("max_triplets"))
+  }
+
+  val q136Sql: String =
+    s"""WITH $tradeSql,
+       |outd AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS od FROM trade GROUP BY src),
+       |ind AS (SELECT dst AS n, CAST(count(*) AS BIGINT) AS id FROM trade GROUP BY dst),
+       |pv AS (SELECT tdeg.d, coalesce(outd.od, 0) AS od, coalesce(ind.id, 0) AS id
+       |       FROM tdeg LEFT JOIN outd ON tdeg.n = outd.n
+       |                 LEFT JOIN ind ON tdeg.n = ind.n)
+       |SELECT CAST(count(*) AS BIGINT) AS vertex_cnt,
+       |  CAST(sum(d - (od + id - d)) // 2 AS BIGINT) AS uni_edge_cnt,
+       |  CAST(sum(od + id - d) // 2 AS BIGINT) AS bi_edge_cnt,
+       |  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triplet_cnt,
+       |  max(d) AS max_degree, max(od) AS max_out_degree,
+       |  max(id) AS max_in_degree,
+       |  CAST(max((d * (d - 1)) // 2) AS BIGINT) AS max_triplets
+       |FROM pv""".stripMargin
+
+  /** Directed edge metrics (reference Gelly
+    * `library/metric/directed/EdgeMetrics.java`): the EdgeStats
+    * flatMap emits each simplified edge in both directions with a
+    * low-order flag on the distinct-NEIGHBOR degree — i.e. the
+    * undirected q134 formulas evaluated on the digraph's neighbor
+    * graph. Exact integers throughout. */
+  def q137DirectedEdgeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val trade = tradeEdges(spark, dir).localCheckpoint(true)
+    val und = trade.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val udir = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val low = udir
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+      .groupBy(col("a"))
+      .agg(sum(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), 1L)
+        .otherwise(0L)).as("l"))
+    deg.join(low, col("n") === col("a"))
+      .select(col("l"), (col("d") - col("l")).as("h"))
+      .agg(
+        sum(expr("(l * (l - 1)) div 2")).as("triangle_triplet_cnt"),
+        sum(expr("(l * (l - 1)) div 2 + l * h")).as("rectangle_triplet_cnt"),
+        max(expr("(l * (l - 1)) div 2")).as("max_triangle_triplets"),
+        max(expr("(l * (l - 1)) div 2 + l * h")).as("max_rectangle_triplets"))
+  }
+
+  val q137Sql: String =
+    s"""WITH $tradeSql,
+       |udir AS (SELECT u AS a, v AS b FROM tund UNION ALL SELECT v AS a, u AS b FROM tund),
+       |low AS (
+       |  SELECT a, CAST(sum(CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS l
+       |  FROM udir
+       |  JOIN tdeg da ON udir.a = da.n
+       |  JOIN tdeg db ON udir.b = db.n
+       |  GROUP BY a),
+       |perv AS (SELECT low.l AS l, tdeg.d - low.l AS h
+       |         FROM tdeg JOIN low ON tdeg.n = low.a)
+       |SELECT CAST(sum((l * (l - 1)) // 2) AS BIGINT) AS triangle_triplet_cnt,
+       |  CAST(sum((l * (l - 1)) // 2 + l * h) AS BIGINT) AS rectangle_triplet_cnt,
+       |  CAST(max((l * (l - 1)) // 2) AS BIGINT) AS max_triangle_triplets,
+       |  CAST(max((l * (l - 1)) // 2 + l * h) AS BIGINT) AS max_rectangle_triplets
+       |FROM perv""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_directed_vertex_metrics" -> (q136DirectedVertexMetrics _),
+    "q137_directed_edge_metrics" -> (q137DirectedEdgeMetrics _),
     "q132_summarization" -> (q132Summarization _),
     "q133_vertex_metrics" -> (q133VertexMetrics _),
     "q134_edge_metrics" -> (q134EdgeMetrics _),
@@ -814,6 +949,8 @@ object Graph {
     "q119_sssp" -> (q119Sssp _))
 
   def oracles: Map[String, String] = Map(
+    "q136_directed_vertex_metrics" -> q136Sql,
+    "q137_directed_edge_metrics" -> q137Sql,
     "q132_summarization" -> q132Sql,
     "q133_vertex_metrics" -> q133Sql,
     "q134_edge_metrics" -> q134Sql,

@@ -210,4 +210,31 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val total = rows.map(_.getLong(3)).sum
     assert(total == Tables.lineitem(spark, sfd).count())
   }
+
+  test("directed metric twins are consistent with the trade digraph") {
+    val sfd = sf
+    // independent derivation of the simplified trade digraph
+    val trade = Tables.lineitem(spark, sfd)
+      .join(Tables.orders(spark, sfd), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfd), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfd), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = trade.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val bi = pairs.count { case (u, v) => trade((u, v)) && trade((v, u)) }
+    val uni = pairs.size - bi
+
+    val vm = Graph.q136DirectedVertexMetrics(spark, sfd).head
+    assert(vm.getLong(0) == (trade.map(_._1) ++ trade.map(_._2)).size)
+    assert(vm.getLong(1) == uni && vm.getLong(2) == bi)
+    // directed edge count identity: uni + 2*bi = |trade|
+    assert(uni + 2 * bi == trade.size)
+
+    val em = Graph.q137DirectedEdgeMetrics(spark, sfd).head
+    assert(0 <= em.getLong(0) && em.getLong(0) <= em.getLong(1))
+    assert(em.getLong(1) <= vm.getLong(3)) // rectangles <= all triplets
+    assert(em.getLong(2) <= em.getLong(3))
+  }
 }
