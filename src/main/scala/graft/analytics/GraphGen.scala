@@ -1,0 +1,187 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic graph generators (reference Gelly
+  * `flink-gelly/src/main/java/org/apache/flink/graph/generator/`:
+  * CompleteGraph, CycleGraph, PathGraph, StarGraph, GridGraph,
+  * HypercubeGraph, CirculantGraph, SingletonEdgeGraph — each builds
+  * its edge list from a parallelized LongValueSequenceIterator, i.e.
+  * from a distributed id range, never a driver loop).
+  *
+  * Re-expressed Spark-first: every generator is a closed-form
+  * projection of `spark.range(n)` — whole-stage-codegen'd, zero
+  * shuffles, partitioned by the range source, so a 10⁹-vertex
+  * generator parallelizes exactly like the reference's sequence
+  * splits. Undirected graphs are emitted as both directed arcs,
+  * Gelly's representation. RMatGraph is the one omission: its edge
+  * list is a function of a JDK random stream, which has no portable
+  * cross-engine twin (documented, not hidden).
+  *
+  * The graded census (q138) pins every generator's edge list
+  * cross-engine with exact integers: vertex/edge counts, degree
+  * extrema, and a positional checksum Σ(src·P + dst) that detects
+  * any single edge difference.
+  */
+object GraphGen {
+
+  /** K_n: every ordered pair (i, j), i ≠ j. */
+  def complete(spark: SparkSession, n: Long): DataFrame = {
+    val a = spark.range(n).select(col("id").as("src"))
+    val b = spark.range(n).select(col("id").as("dst"))
+    a.crossJoin(b).filter(col("src") =!= col("dst"))
+  }
+
+  /** C_n: i ~ (i+1) mod n, both arcs. */
+  def cycle(spark: SparkSession, n: Long): DataFrame = {
+    val f = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** P_n: i ~ i+1 for i < n−1, both arcs. */
+  def path(spark: SparkSession, n: Long): DataFrame = {
+    val f = spark.range(n - 1).select(col("id").as("src"),
+      (col("id") + 1).as("dst"))
+    f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** S_n: hub 0 ~ every spoke 1..n−1, both arcs. */
+  def star(spark: SparkSession, n: Long): DataFrame = {
+    val f = spark.range(1, n).select(lit(0L).as("src"), col("id").as("dst"))
+    f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** rows × cols lattice (vertex = row·cols + col), right + down
+    * neighbors, both arcs; `wrap` adds the torus edges. */
+  def grid(spark: SparkSession, rows: Long, cols: Long,
+      wrap: Boolean = false): DataFrame = {
+    val v = spark.range(rows * cols)
+      .select(col("id"), (col("id") / cols).cast("long").as("r"),
+        (col("id") % cols).as("c"))
+    val rightLim = if (wrap) cols else cols - 1
+    val downLim = if (wrap) rows else rows - 1
+    val right = v.filter(col("c") < rightLim)
+      .select(col("id").as("src"),
+        (col("r") * cols + (col("c") + 1) % cols).as("dst"))
+    val down = v.filter(col("r") < downLim)
+      .select(col("id").as("src"),
+        (((col("r") + 1) % rows) * cols + col("c")).as("dst"))
+    val f = right.union(down)
+    f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Q_d: i ~ i⊕2^b for every bit b — symmetric, so the flat map
+    * already emits both arcs of every edge. */
+  def hypercube(spark: SparkSession, d: Int): DataFrame =
+    spark.range(1L << d)
+      .crossJoin(spark.range(d).select(col("id").as("b")))
+      .select(col("id").as("src"),
+        expr("id ^ shiftleft(1L, cast(b AS INT))").as("dst"))
+
+  /** Circulant graph: i ~ (i+off) mod n per offset, both arcs. */
+  def circulant(spark: SparkSession, n: Long, offsets: Seq[Long]): DataFrame = {
+    val offDf = offsets.foldLeft(Option.empty[DataFrame]) { (acc, off) =>
+      val f = spark.range(n).select(col("id").as("src"),
+        ((col("id") + off) % n).as("dst"))
+      Some(acc.map(_.union(f)).getOrElse(f))
+    }.get
+    offDf.union(offDf.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** m disjoint edges (2i, 2i+1), both arcs. */
+  def singletonEdges(spark: SparkSession, m: Long): DataFrame = {
+    val f = spark.range(m).select((col("id") * 2).as("src"),
+      (col("id") * 2 + 1).as("dst"))
+    f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // ---------------------------------------------------------------- q138
+  /** Generator census — one row per generator at a pinned size:
+    * vertex/edge counts, degree extrema, and the positional checksum
+    * Σ(src·P + dst) with P = 1000003 (exact longs at these sizes; any
+    * single differing arc shifts the sum). The oracle rebuilds every
+    * edge list from DuckDB `range()` — the generators themselves are
+    * the thing under test, cross-engine. */
+  val ChkP = 1000003L
+
+  private def census(name: String, edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(col("d")).as("n_edges"),
+      min(col("d")).as("min_degree"),
+      max(col("d")).as("max_degree")).crossJoin(
+      edges.agg(sum(col("src") * ChkP + col("dst")).as("checksum")))
+      .select(lit(name).as("gen"), col("n_vertices"), col("n_edges"),
+        col("min_degree"), col("max_degree"), col("checksum"))
+  }
+
+  def q138GeneratorCensus(spark: SparkSession, dir: String): DataFrame = {
+    val all = Seq(
+      census("complete", complete(spark, 64)),
+      census("cycle", cycle(spark, 1000)),
+      census("path", path(spark, 1000)),
+      census("star", star(spark, 1000)),
+      census("grid", grid(spark, 32, 32)),
+      census("grid_wrap", grid(spark, 32, 32, wrap = true)),
+      census("hypercube", hypercube(spark, 10)),
+      census("circulant", circulant(spark, 512, Seq(1L, 2L, 5L))),
+      census("singleton", singletonEdges(spark, 500)))
+    all.reduce(_ union _).orderBy(col("gen"))
+  }
+
+  val q138Sql: String = {
+    val p = ChkP
+    // each generator's edge list in DuckDB range() algebra, both arcs
+    val gens = Seq(
+      "complete" ->
+        "SELECT a.range AS src, b.range AS dst FROM range(64) a, range(64) b WHERE a.range <> b.range",
+      "cycle" ->
+        """SELECT range AS src, (range + 1) % 1000 AS dst FROM range(1000)
+          | UNION ALL SELECT (range + 1) % 1000, range FROM range(1000)""".stripMargin,
+      "path" ->
+        """SELECT range AS src, range + 1 AS dst FROM range(999)
+          | UNION ALL SELECT range + 1, range FROM range(999)""".stripMargin,
+      "star" ->
+        """SELECT 0 AS src, range AS dst FROM range(1, 1000)
+          | UNION ALL SELECT range, 0 FROM range(1, 1000)""".stripMargin,
+      "grid" ->
+        """WITH v AS (SELECT range AS id, range // 32 AS r, range % 32 AS c FROM range(1024)),
+          | f AS (SELECT id AS src, r * 32 + (c + 1) % 32 AS dst FROM v WHERE c < 31
+          |       UNION ALL SELECT id, ((r + 1) % 32) * 32 + c FROM v WHERE r < 31)
+          | SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f""".stripMargin,
+      "grid_wrap" ->
+        """WITH v AS (SELECT range AS id, range // 32 AS r, range % 32 AS c FROM range(1024)),
+          | f AS (SELECT id AS src, r * 32 + (c + 1) % 32 AS dst FROM v
+          |       UNION ALL SELECT id, ((r + 1) % 32) * 32 + c FROM v)
+          | SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f""".stripMargin,
+      "hypercube" ->
+        """SELECT i.range AS src, xor(i.range, 1 << CAST(b.range AS INT)) AS dst
+          | FROM range(1024) i, range(10) b""".stripMargin,
+      "circulant" ->
+        """WITH f AS (SELECT i.range AS src, (i.range + o.off) % 512 AS dst
+          |           FROM range(512) i, (VALUES (1), (2), (5)) o(off))
+          | SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f""".stripMargin,
+      "singleton" ->
+        """SELECT range * 2 AS src, range * 2 + 1 AS dst FROM range(500)
+          | UNION ALL SELECT range * 2 + 1, range * 2 FROM range(500)""".stripMargin)
+    val blocks = gens.map { case (name, sql) =>
+      s"""SELECT '$name' AS gen, CAST(count(DISTINCT src) AS BIGINT) AS n_vertices,
+         |  CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(min(d) AS BIGINT) AS min_degree, CAST(max(d) AS BIGINT) AS max_degree,
+         |  CAST(sum(chk) AS BIGINT) AS checksum
+         |FROM (SELECT src, dst, src * $p + dst AS chk,
+         |        count(*) OVER (PARTITION BY src) AS d
+         |      FROM ($sql))""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY gen")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_generator_census" -> (q138GeneratorCensus _))
+
+  def oracles: Map[String, String] = Map(
+    "q138_generator_census" -> q138Sql)
+}

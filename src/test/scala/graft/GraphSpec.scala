@@ -237,4 +237,24 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(em.getLong(1) <= vm.getLong(3)) // rectangles <= all triplets
     assert(em.getLong(2) <= em.getLong(3))
   }
+
+  test("generator census matches the closed-form graph invariants") {
+    val rows = graft.analytics.GraphGen.q138GeneratorCensus(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // (n_vertices, n_edges(directed arcs), min_degree, max_degree)
+    assert(rows("complete") == ((64L, 64L * 63L, 63L, 63L)))
+    assert(rows("cycle") == ((1000L, 2000L, 2L, 2L)))
+    assert(rows("path") == ((1000L, 2 * 999L, 1L, 2L)))
+    assert(rows("star") == ((1000L, 2 * 999L, 1L, 999L)))
+    // 32x32 open grid: 2 * (2*32*31) arcs; corner degree 2, interior 4
+    assert(rows("grid") == ((1024L, 4L * 32L * 31L, 2L, 4L)))
+    // torus: every vertex degree exactly 4
+    assert(rows("grid_wrap") == ((1024L, 4L * 1024L, 4L, 4L)))
+    // Q_10: every vertex degree d
+    assert(rows("hypercube") == ((1024L, 1024L * 10L, 10L, 10L)))
+    // circulant {1,2,5} on 512: every vertex degree 6
+    assert(rows("circulant") == ((512L, 512L * 6L, 6L, 6L)))
+    assert(rows("singleton") == ((1000L, 1000L, 1L, 1L)))
+  }
 }
