@@ -930,7 +930,44 @@ object Graph {
        |  CAST(max((l * (l - 1)) // 2 + l * h) AS BIGINT) AS max_rectangle_triplets
        |FROM perv""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Simple top projection of a bipartite graph (reference Gelly
+    * `bipartite/BipartiteGraph.java:127 projectionTopSimple` +
+    * `ProjectionTopSimple`): self-join the bipartite edge list on the
+    * bottom vertex; one projected edge per (top₁, top₂, shared
+    * bottom) with BOTH original edge values carried, ordered pairs in
+    * both directions, t₁ ≠ t₂ — exactly the FlatJoinFunction's
+    * output. Domain: top = parts, bottom = orders, edge value =
+    * min line quantity of the (part, order) pair (min is exact
+    * cross-engine; the basket-bounded q126 domain, linear at any
+    * scale). Graded over the deterministic `o % 97 = 0` order subset
+    * so the full projection edge list is output-bounded while the
+    * operator itself is exercised verbatim. */
+  def q139BipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("o"))
+      .agg(min(col("l_quantity")).as("ev"))
+    val a = e.select(col("t").as("u"), col("o"), col("ev").as("ev1"))
+    val b = e.select(col("t").as("v"), col("o").as("o2"), col("ev").as("ev2"))
+    a.join(b, col("o") === col("o2") && col("u") =!= col("v"))
+      .select(col("u"), col("v"), col("o").as("shared_order"),
+        col("ev1"), col("ev2"))
+      .orderBy(col("u"), col("v"), col("shared_order"))
+  }
+
+  val q139Sql: String =
+    """WITH e AS (
+      |  SELECT l_partkey AS t, l_orderkey AS o, min(l_quantity) AS ev
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |  GROUP BY l_partkey, l_orderkey)
+      |SELECT a.t AS u, b.t AS v, a.o AS shared_order,
+      |  a.ev AS ev1, b.ev AS ev2
+      |FROM e a JOIN e b ON a.o = b.o AND a.t <> b.t
+      |ORDER BY u, v, shared_order""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_bipartite_projection" -> (q139BipartiteProjection _),
     "q136_directed_vertex_metrics" -> (q136DirectedVertexMetrics _),
     "q137_directed_edge_metrics" -> (q137DirectedEdgeMetrics _),
     "q132_summarization" -> (q132Summarization _),
@@ -949,6 +986,7 @@ object Graph {
     "q119_sssp" -> (q119Sssp _))
 
   def oracles: Map[String, String] = Map(
+    "q139_bipartite_projection" -> q139Sql,
     "q136_directed_vertex_metrics" -> q136Sql,
     "q137_directed_edge_metrics" -> q137Sql,
     "q132_summarization" -> q132Sql,
