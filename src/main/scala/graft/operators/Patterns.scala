@@ -745,6 +745,48 @@ object Patterns {
        |ORDER BY user_id, match_idx""".stripMargin
   }
 
+  /** Flink's `Pattern.next()` — STRICT contiguity (reference
+    * flink-cep pattern/Pattern.java `next`; nfa strict transitions):
+    * the chain must occupy CONSECUTIVE events of the key's time-
+    * ordered stream, no gaps. Unlike the relaxed matchers this is
+    * declaratively expressible — `lead()` windows over
+    * (user, t, event_id) order — so the Spark-first form IS the plan:
+    * one window exchange, no per-key fold; the earliest qualifying
+    * run per user wins (row_number = 1), the deterministic analogue
+    * of the earliest-match rule. event_id breaks timestamp ties so
+    * both engines see one total order. */
+  def q140StrictNext(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("tag2", lead(col("event_type"), 1).over(w))
+      .withColumn("t2_us", lead(col("t_us"), 1).over(w))
+      .withColumn("tag3", lead(col("event_type"), 2).over(w))
+      .withColumn("t3_us", lead(col("t_us"), 2).over(w))
+      .filter(col("event_type") === "view" && col("tag2") === "click" &&
+        col("tag3") === "purchase")
+    runs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("t_us").as("t1_us"), col("t2_us"), col("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q140Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      |runs AS (
+      |  SELECT user_id, t, event_id, event_type,
+      |    lead(event_type, 1) OVER w AS tag2, lead(t, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS tag3, lead(t, 2) OVER w AS t3
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |m AS (
+      |  SELECT user_id, t AS t1_us, t2 AS t2_us, t3 AS t3_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+      |  FROM runs
+      |  WHERE event_type = 'view' AND tag2 = 'click' AND tag3 = 'purchase')
+      |SELECT user_id, t1_us, t2_us, t3_us FROM m WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** Streaming twin of the quantified chain (required steps only; the
     * FINAL step must be non-looping — a greedy tail loop never closes
     * on an unbounded stream, the same reason Flink requires a
@@ -827,12 +869,14 @@ object Patterns {
     "q117_funnel_guard" -> (q117FunnelGuard _),
     "q120_funnel_within" -> (q120FunnelWithin _),
     "q127_click_burst" -> (q127ClickBurst _),
-    "q135_all_funnels" -> (q135AllFunnels _))
+    "q135_all_funnels" -> (q135AllFunnels _),
+    "q140_strict_next" -> (q140StrictNext _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
     "q117_funnel_guard" -> q117Sql,
     "q120_funnel_within" -> q120Sql,
     "q127_click_burst" -> q127Sql,
-    "q135_all_funnels" -> q135Sql)
+    "q135_all_funnels" -> q135Sql,
+    "q140_strict_next" -> q140Sql)
 }
