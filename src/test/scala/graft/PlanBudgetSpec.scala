@@ -86,9 +86,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q122_volume_shipping" -> PlanCounts(6, 0, 4, 4),
     // one documents scan, window rank exchange + output sort
     "q123_priority_sample" -> PlanCounts(1, 0, 2, 0),
-    // final auth pass over the checkpointed hubs: 2 cached-edge reads
-    // (join + max), never a lineitem re-scan
-    "q125_hits" -> PlanCounts(0, 2, 3, 3),
+    // every half-step state is checkpointed before normalization (an
+    // unmaterialized score relation re-ran each join+agg up to 4x per
+    // superstep: 6.0 s -> 2.5 s); the final plan is just the
+    // normalize-join + sort over the checkpointed auth relation
+    "q125_hits" -> PlanCounts(0, 0, 1, 1),
     // two lineitem scans (pair legs), basket-bounded expansion; deg
     // relation broadcasts twice
     "q126_jaccard_index" -> PlanCounts(2, 0, 4, 2),
