@@ -90,6 +90,24 @@ object GraphGen {
     offDf.union(offDf.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** EchoGraph(n, d) (reference generator/EchoGraph.java:77 — a
+    * CirculantGraph over the single offset range of width d centered
+    * at n/2, start (n−d+1)/2): every vertex links the d vertices
+    * farthest from it. The centered range is complement-closed
+    * (offset o pairs with n−o inside the range), so one arc per
+    * (vertex, offset) already contains both directions of every edge
+    * — per-vertex degree is exactly d. */
+  def echo(spark: SparkSession, n: Long, d: Long): DataFrame = {
+    val start = (n - d + 1) / 2
+    spark.range(n)
+      .crossJoin(spark.range(start, start + d).select(col("id").as("off")))
+      .select(col("id").as("src"), ((col("id") + col("off")) % n).as("dst"))
+  }
+
+  /** EmptyGraph(n): n vertices, zero edges. */
+  def empty(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+
   /** m disjoint edges (2i, 2i+1), both arcs. */
   def singletonEdges(spark: SparkSession, m: Long): DataFrame = {
     val f = spark.range(m).select((col("id") * 2).as("src"),
@@ -128,7 +146,15 @@ object GraphGen {
       census("grid_wrap", grid(spark, 32, 32, wrap = true)),
       census("hypercube", hypercube(spark, 10)),
       census("circulant", circulant(spark, 512, Seq(1L, 2L, 5L))),
-      census("singleton", singletonEdges(spark, 500)))
+      census("echo", echo(spark, 64, 5)),
+      census("singleton", singletonEdges(spark, 500)),
+      // EmptyGraph has no edges, so its census row is the closed form
+      // (n vertices, all-zero edge stats) rather than an agg over an
+      // empty degree relation
+      spark.range(1024).agg(count(lit(1)).as("n_vertices"))
+        .select(lit("empty").as("gen"), col("n_vertices"),
+          lit(0L).as("n_edges"), lit(0L).as("min_degree"),
+          lit(0L).as("max_degree"), lit(0L).as("checksum")))
     all.reduce(_ union _).orderBy(col("gen"))
   }
 
@@ -164,6 +190,9 @@ object GraphGen {
         """WITH f AS (SELECT i.range AS src, (i.range + o.off) % 512 AS dst
           |           FROM range(512) i, (VALUES (1), (2), (5)) o(off))
           | SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f""".stripMargin,
+      "echo" ->
+        """SELECT i.range AS src, (i.range + o.range) % 64 AS dst
+          | FROM range(64) i, range(30, 35) o""".stripMargin,
       "singleton" ->
         """SELECT range * 2 AS src, range * 2 + 1 AS dst FROM range(500)
           | UNION ALL SELECT range * 2 + 1, range * 2 FROM range(500)""".stripMargin)
@@ -176,7 +205,12 @@ object GraphGen {
          |        count(*) OVER (PARTITION BY src) AS d
          |      FROM ($sql))""".stripMargin
     }
-    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY gen")
+    val emptyBlock =
+      """SELECT 'empty' AS gen, CAST(count(*) AS BIGINT) AS n_vertices,
+        |  CAST(0 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS min_degree,
+        |  CAST(0 AS BIGINT) AS max_degree, CAST(0 AS BIGINT) AS checksum
+        |FROM range(1024)""".stripMargin
+    (blocks :+ emptyBlock).mkString("", "\nUNION ALL\n", "\nORDER BY gen")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

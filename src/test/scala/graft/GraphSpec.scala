@@ -256,5 +256,8 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // circulant {1,2,5} on 512: every vertex degree 6
     assert(rows("circulant") == ((512L, 512L * 6L, 6L, 6L)))
     assert(rows("singleton") == ((1000L, 1000L, 1L, 1L)))
+    // echo(64, 5): complement-closed offset range => regular degree 5
+    assert(rows("echo") == ((64L, 64L * 5L, 5L, 5L)))
+    assert(rows("empty") == ((1024L, 0L, 0L, 0L)))
   }
 }
