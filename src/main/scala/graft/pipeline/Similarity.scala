@@ -572,8 +572,100 @@ object Similarity {
        |ORDER BY cosine DESC, vec_a, vec_b
        |LIMIT $Q104Pairs""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540), composed from the engine's own pieces: the q61
+    * coarse quantizer assigns every vector to its nearest seed cell;
+    * WITHIN a cell a vector is dropped when a PRECEDING cell-mate
+    * lies at cosine ≥ [[SemTheta]], precedence = (centroid cosine
+    * DESC, vec_id ASC) — the paper's keep-closest-to-centroid rule
+    * made deterministic. The pair term is CELL-LOCAL (SemDeDup's
+    * design point: clustering bounds the quadratic term; cells shard
+    * independently at 100 TB, with NCells growing with the catalog).
+    * Assignment + centroid cosine ride one q61-style mapPartitions
+    * kernel (no assignment shuffle), materialized ONCE before the
+    * three downstream reads (the twice-read-lineage rule); the
+    * within-cell pairs use the NATIVE `graft_cosine` expression on a
+    * cell-keyed self-join. All cosine comparisons are raw
+    * identically-derived folds (q33/q61 precedent); only the
+    * reported centroid cosine is rounded. */
+  val SemTheta = 0.45
+
+  def q141SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < NCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) =>
+          val c = mkVec(id, e)
+          val cell = argmaxCell(c, cs)
+          val cc = dotJvm(c.v, cs(cell).v) / (c.norm * cs(cell).norm)
+          (id, cell.toLong, cc, e)
+        }
+      }
+      .toDF("vec_id", "cell", "ctr_cos", "embedding")
+      .localCheckpoint(true)
+    val a = assigned.select(col("vec_id").as("va"), col("cell").as("ca"),
+      col("ctr_cos").as("cca"), col("embedding").as("ea"))
+    val b = assigned.select(col("vec_id").as("vb"), col("cell").as("cb"),
+      col("ctr_cos").as("ccb"), col("embedding").as("eb"))
+    val dropped = a.join(b, col("ca") === col("cb") &&
+        (col("cca") > col("ccb") ||
+          (col("cca") === col("ccb") && col("va") < col("vb"))) &&
+        expr("graft_cosine(ea, eb)") >= SemTheta)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        round(col("ctr_cos"), 4).as("ctr_cos"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q141Sql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn
+       |  FROM ev WHERE vec_id < $NCells),
+       |cellscore AS (
+       |  SELECT e.vec_id, c.cell,
+       |    list_sum(list_transform(range($Dim),
+       |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.ce[k+1] AS DOUBLE)))
+       |      / (e.nrm * c.cn) AS cs,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range($Dim),
+       |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.ce[k+1] AS DOUBLE)))
+       |        / (e.nrm * c.cn) DESC, c.cell) AS rk
+       |  FROM ev e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cell, cs AS ctr_cos FROM cellscore WHERE rk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell
+       |    AND (a.ctr_cos > b.ctr_cos
+       |         OR (a.ctr_cos = b.ctr_cos AND a.vec_id < b.vec_id))
+       |  JOIN ev ea ON ea.vec_id = a.vec_id
+       |  JOIN ev eb ON eb.vec_id = b.vec_id
+       |  WHERE list_sum(list_transform(range($Dim),
+       |      k -> CAST(ea.embedding[k+1] AS DOUBLE) * CAST(eb.embedding[k+1] AS DOUBLE)))
+       |      / (ea.nrm * eb.nrm) >= $SemTheta)
+       |SELECT a.vec_id, a.cell, round(a.ctr_cos, 4) AS ctr_cos,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_cosine_expr" -> (q104CosineExpr _),
+    "q141_semdedup" -> (q141SemDedup _),
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_filtered_ann" -> (q52FilteredAnn _),
@@ -583,6 +675,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q104_cosine_expr" -> q104Sql,
+    "q141_semdedup" -> q141Sql,
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
     "q52_filtered_ann" -> q52Sql,

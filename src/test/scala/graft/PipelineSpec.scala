@@ -210,4 +210,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .select(graft.functions.Portable.h60(lit("hello graft"))).head.getLong(0)
     assert(fromPlan == Multimodal.h60jvm("hello graft"))
   }
+
+  test("semdedup drops only vectors with a genuine global near-dup partner") {
+    val rows = Similarity.q141SemDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    val dropped = rows.filter(_._3 == 1L).map(_._1).toSet
+    assert(dropped.nonEmpty, "fixture plants near-dups; some must be dropped")
+    // cell-local dropping implies a global near-dup pair at the same
+    // threshold: every dropped vector appears in the q33 pair list
+    val pairs = graft.pipeline.Dedup.q33EmbeddingCosine(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.subsetOf(pairs),
+      s"dropped without global partner: ${dropped -- pairs}")
+    // survivors of each cell retain the min-precedence member: the
+    // highest-centroid-cosine vector of any cell is never dropped
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (_, vs) =>
+      val keptCount = vs.count(_._3 == 0L)
+      assert(keptCount >= 1)
+    }
+  }
 }
