@@ -109,7 +109,18 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q133_vertex_metrics" -> PlanCounts(0, 1, 1, 0),
     "q134_edge_metrics" -> PlanCounts(0, 3, 1, 2),
     // skip-strategy CEP: same single-pass census as q116
-    "q135_all_funnels" -> PlanCounts(1, 0, 2, 0))
+    "q135_all_funnels" -> PlanCounts(1, 0, 2, 0),
+    // trade digraph checkpoints eagerly (the q125/q119 pattern), so
+    // the audited plans are node-cardinality aggs only — zero scans
+    "q136_directed_vertex_metrics" -> PlanCounts(0, 0, 6, 0),
+    "q137_directed_edge_metrics" -> PlanCounts(0, 0, 13, 2),
+    // generators are range projections: zero table scans by
+    // definition; the 28 exchanges are 11 tiny per-generator censuses
+    "q138_generator_census" -> PlanCounts(0, 0, 28, 15),
+    "q139_bipartite_projection" -> PlanCounts(1, 0, 2, 1),
+    // strict-next is ONE window exchange + output sort, no fold
+    "q140_strict_next" -> PlanCounts(1, 0, 2, 0),
+    "q141_semdedup" -> PlanCounts(0, 0, 3, 1))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
