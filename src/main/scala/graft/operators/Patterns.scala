@@ -787,6 +787,57 @@ object Patterns {
       |SELECT user_id, t1_us, t2_us, t3_us FROM m WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Flink's default `AfterMatchSkipStrategy.noSkip()` restricted to
+    * the library's deterministic earliest-per-seed rule: ONE match
+    * per seed (view) event — the earliest click after it, then the
+    * earliest purchase after that click — so overlapping matches
+    * from different seeds all emit (NO_SKIP's observable surface)
+    * while each seed stays deterministic. Declarative Spark-first
+    * plan: per-event "next tag time" via min() over the FOLLOWING
+    * window frame (two passes), then one (user, time) equi-join to
+    * chain the purchase lookup through the matched click — no
+    * per-key fold, no correlated re-scan. */
+  def q142AllStarts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+    val frame = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val annotated = ev
+      .withColumn("next_click",
+        min(when(col("event_type") === "click", col("t_us"))).over(frame))
+      .withColumn("next_purchase",
+        min(when(col("event_type") === "purchase", col("t_us"))).over(frame))
+    val views = annotated.filter(col("event_type") === "view" &&
+        col("next_click").isNotNull)
+      .select(col("user_id"), col("t_us").as("t1_us"),
+        col("next_click").as("t2_us"))
+    val clicks = annotated.filter(col("event_type") === "click" &&
+        col("next_purchase").isNotNull)
+      .select(col("user_id").as("cu"), col("t_us").as("ct"),
+        col("next_purchase").as("t3_us"))
+    views.join(clicks, col("user_id") === col("cu") && col("t2_us") === col("ct"))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+  }
+
+  val q142Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      |ann AS (
+      |  SELECT user_id, t, event_type,
+      |    min(CASE WHEN event_type = 'click' THEN t END) OVER w AS next_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN t END) OVER w AS next_purchase
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |v AS (SELECT user_id, t AS t1_us, next_click AS t2_us FROM ann
+      |      WHERE event_type = 'view' AND next_click IS NOT NULL),
+      |c AS (SELECT user_id AS cu, t AS ct, next_purchase AS t3_us FROM ann
+      |      WHERE event_type = 'click' AND next_purchase IS NOT NULL)
+      |SELECT user_id, t1_us, t2_us, t3_us
+      |FROM v JOIN c ON user_id = cu AND t2_us = ct
+      |ORDER BY user_id, t1_us""".stripMargin
+
   /** Streaming twin of the quantified chain (required steps only; the
     * FINAL step must be non-looping — a greedy tail loop never closes
     * on an unbounded stream, the same reason Flink requires a
@@ -870,7 +921,8 @@ object Patterns {
     "q120_funnel_within" -> (q120FunnelWithin _),
     "q127_click_burst" -> (q127ClickBurst _),
     "q135_all_funnels" -> (q135AllFunnels _),
-    "q140_strict_next" -> (q140StrictNext _))
+    "q140_strict_next" -> (q140StrictNext _),
+    "q142_all_starts" -> (q142AllStarts _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -878,5 +930,6 @@ object Patterns {
     "q120_funnel_within" -> q120Sql,
     "q127_click_burst" -> q127Sql,
     "q135_all_funnels" -> q135Sql,
-    "q140_strict_next" -> q140Sql)
+    "q140_strict_next" -> q140Sql,
+    "q142_all_starts" -> q142Sql)
 }

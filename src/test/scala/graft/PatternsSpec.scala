@@ -479,4 +479,16 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
     assert(batch.exists(_._2 > 1L), "fixture should produce repeat matches")
   }
+
+  test("q142 all-starts matches: earliest seed per user equals the q116 funnel") {
+    val all = graft.operators.Patterns.q142AllStarts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(all.nonEmpty)
+    // overlapping seeds exist (NO_SKIP's observable surface)
+    assert(all.groupBy(_._1).exists(_._2.length > 1))
+    val firstSeed = all.groupBy(_._1).map { case (_, ms) => ms.minBy(_._2) }.toSet
+    val q116 = graft.operators.Patterns.q116Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(firstSeed == q116)
+  }
 }
