@@ -124,38 +124,40 @@ object GraphGen {
     * the thing under test, cross-engine. */
   val ChkP = 1000003L
 
-  private def census(name: String, edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    deg.agg(
-      count(lit(1)).as("n_vertices"),
-      sum(col("d")).as("n_edges"),
-      min(col("d")).as("min_degree"),
-      max(col("d")).as("max_degree")).crossJoin(
-      edges.agg(sum(col("src") * ChkP + col("dst")).as("checksum")))
-      .select(lit(name).as("gen"), col("n_vertices"), col("n_edges"),
-        col("min_degree"), col("max_degree"), col("checksum"))
-  }
+  private def tag(name: String, edges: DataFrame): DataFrame =
+    edges.select(lit(name).as("gen"), col("src"), col("dst"))
 
   def q138GeneratorCensus(spark: SparkSession, dir: String): DataFrame = {
+    // ONE unioned pass over every generator: per-(gen, src) partial
+    // degree + checksum, then one per-gen rollup — two exchanges
+    // total instead of a groupBy + crossJoin per generator (the
+    // 11-census first draft planned 28)
     val all = Seq(
-      census("complete", complete(spark, 64)),
-      census("cycle", cycle(spark, 1000)),
-      census("path", path(spark, 1000)),
-      census("star", star(spark, 1000)),
-      census("grid", grid(spark, 32, 32)),
-      census("grid_wrap", grid(spark, 32, 32, wrap = true)),
-      census("hypercube", hypercube(spark, 10)),
-      census("circulant", circulant(spark, 512, Seq(1L, 2L, 5L))),
-      census("echo", echo(spark, 64, 5)),
-      census("singleton", singletonEdges(spark, 500)),
-      // EmptyGraph has no edges, so its census row is the closed form
-      // (n vertices, all-zero edge stats) rather than an agg over an
-      // empty degree relation
-      spark.range(1024).agg(count(lit(1)).as("n_vertices"))
-        .select(lit("empty").as("gen"), col("n_vertices"),
-          lit(0L).as("n_edges"), lit(0L).as("min_degree"),
-          lit(0L).as("max_degree"), lit(0L).as("checksum")))
-    all.reduce(_ union _).orderBy(col("gen"))
+      tag("complete", complete(spark, 64)),
+      tag("cycle", cycle(spark, 1000)),
+      tag("path", path(spark, 1000)),
+      tag("star", star(spark, 1000)),
+      tag("grid", grid(spark, 32, 32)),
+      tag("grid_wrap", grid(spark, 32, 32, wrap = true)),
+      tag("hypercube", hypercube(spark, 10)),
+      tag("circulant", circulant(spark, 512, Seq(1L, 2L, 5L))),
+      tag("echo", echo(spark, 64, 5)),
+      tag("singleton", singletonEdges(spark, 500))).reduce(_ union _)
+    val perSrc = all.groupBy(col("gen"), col("src"))
+      .agg(count(lit(1)).as("d"),
+        sum(col("src") * ChkP + col("dst")).as("chk"))
+    val censuses = perSrc.groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("n_edges"),
+        min(col("d")).as("min_degree"), max(col("d")).as("max_degree"),
+        sum(col("chk")).as("checksum"))
+    // EmptyGraph has no edges, so its census row is the closed form
+    // (n vertices, all-zero edge stats) rather than an agg over an
+    // empty degree relation
+    val emptyRow = spark.range(1024).agg(count(lit(1)).as("n_vertices"))
+      .select(lit("empty").as("gen"), col("n_vertices"),
+        lit(0L).as("n_edges"), lit(0L).as("min_degree"),
+        lit(0L).as("max_degree"), lit(0L).as("checksum"))
+    censuses.union(emptyRow).orderBy(col("gen"))
   }
 
   val q138Sql: String = {

@@ -115,8 +115,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q136_directed_vertex_metrics" -> PlanCounts(0, 0, 6, 0),
     "q137_directed_edge_metrics" -> PlanCounts(0, 0, 13, 2),
     // generators are range projections: zero table scans by
-    // definition; the 28 exchanges are 11 tiny per-generator censuses
-    "q138_generator_census" -> PlanCounts(0, 0, 28, 15),
+    // definition; ONE unioned pass (per-(gen,src) partials + per-gen
+    // rollup) replaced the 28-exchange per-generator first draft
+    "q138_generator_census" -> PlanCounts(0, 0, 4, 3),
     "q139_bipartite_projection" -> PlanCounts(1, 0, 2, 1),
     // strict-next is ONE window exchange + output sort, no fold
     "q140_strict_next" -> PlanCounts(1, 0, 2, 0),
