@@ -793,10 +793,15 @@ object Patterns {
     * earliest purchase after that click — so overlapping matches
     * from different seeds all emit (NO_SKIP's observable surface)
     * while each seed stays deterministic. Declarative Spark-first
-    * plan: per-event "next tag time" via min() over the FOLLOWING
-    * window frame (two passes), then one (user, time) equi-join to
-    * chain the purchase lookup through the matched click — no
-    * per-key fold, no correlated re-scan. */
+    * plan, ONE scan and zero joins: pass 1 annotates every event
+    * with its next-click and next-purchase times over the FOLLOWING
+    * window frame; pass 2 (same frame, same sort — no extra
+    * exchange) takes min over following CLICKS of their
+    * next-purchase, which IS the matched click's purchase because
+    * next-purchase is monotone nondecreasing in click time
+    * (purchases after a later click are a subset). A join-back
+    * through the matched click — the first draft — re-scanned events
+    * for the second leg (the twice-read rule, fourth sighting). */
   def q142AllStarts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
@@ -804,38 +809,36 @@ object Patterns {
         col("event_id"), col("event_type"))
     val frame = Window.partitionBy("user_id").orderBy("t_us", "event_id")
       .rowsBetween(1, Window.unboundedFollowing)
-    val annotated = ev
+    ev
       .withColumn("next_click",
         min(when(col("event_type") === "click", col("t_us"))).over(frame))
       .withColumn("next_purchase",
         min(when(col("event_type") === "purchase", col("t_us"))).over(frame))
-    val views = annotated.filter(col("event_type") === "view" &&
-        col("next_click").isNotNull)
+      .withColumn("t3",
+        min(when(col("event_type") === "click", col("next_purchase"))).over(frame))
+      .filter(col("event_type") === "view" &&
+        col("next_click").isNotNull && col("t3").isNotNull)
       .select(col("user_id"), col("t_us").as("t1_us"),
-        col("next_click").as("t2_us"))
-    val clicks = annotated.filter(col("event_type") === "click" &&
-        col("next_purchase").isNotNull)
-      .select(col("user_id").as("cu"), col("t_us").as("ct"),
-        col("next_purchase").as("t3_us"))
-    views.join(clicks, col("user_id") === col("cu") && col("t2_us") === col("ct"))
-      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+        col("next_click").as("t2_us"), col("t3").as("t3_us"))
       .orderBy(col("user_id"), col("t1_us"))
   }
 
   val q142Sql: String =
     """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
       |ann AS (
-      |  SELECT user_id, t, event_type,
+      |  SELECT user_id, t, event_id, event_type,
       |    min(CASE WHEN event_type = 'click' THEN t END) OVER w AS next_click,
       |    min(CASE WHEN event_type = 'purchase' THEN t END) OVER w AS next_purchase
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
       |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-      |v AS (SELECT user_id, t AS t1_us, next_click AS t2_us FROM ann
-      |      WHERE event_type = 'view' AND next_click IS NOT NULL),
-      |c AS (SELECT user_id AS cu, t AS ct, next_purchase AS t3_us FROM ann
-      |      WHERE event_type = 'click' AND next_purchase IS NOT NULL)
-      |SELECT user_id, t1_us, t2_us, t3_us
-      |FROM v JOIN c ON user_id = cu AND t2_us = ct
+      |ann2 AS (
+      |  SELECT user_id, t, event_type, next_click,
+      |    min(CASE WHEN event_type = 'click' THEN next_purchase END) OVER w AS t3
+      |  FROM ann WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, t AS t1_us, next_click AS t2_us, t3 AS t3_us
+      |FROM ann2
+      |WHERE event_type = 'view' AND next_click IS NOT NULL AND t3 IS NOT NULL
       |ORDER BY user_id, t1_us""".stripMargin
 
   /** Streaming twin of the quantified chain (required steps only; the

@@ -121,7 +121,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q139_bipartite_projection" -> PlanCounts(1, 0, 2, 1),
     // strict-next is ONE window exchange + output sort, no fold
     "q140_strict_next" -> PlanCounts(1, 0, 2, 0),
-    "q141_semdedup" -> PlanCounts(0, 0, 3, 1))
+    "q141_semdedup" -> PlanCounts(0, 0, 3, 1),
+    // NO_SKIP window matches: ONE events scan, two chained window
+    // passes over one sort, no join (the join-back draft re-scanned
+    // events for the clicks leg — twice-read rule, fourth sighting)
+    "q142_all_starts" -> PlanCounts(1, 0, 2, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
