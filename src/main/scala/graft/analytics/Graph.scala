@@ -735,17 +735,22 @@ object Graph {
     * part↔supplier edge cache (degrees ride the cache — zero extra
     * joins) and one scalar hash-agg; all values exact integers
     * (d(d−1) is even, so /2 is exact). */
-  def q133VertexMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val deg = edgesWithDeg(spark, dir).select(col("src"), col("d")).distinct()
-    // exact long arithmetic throughout — `div`, not `/` (double): the
-    // triplet sums exceed 2^53 long before 100 TB does
+  /** Library form: undirected vertex metrics from a per-vertex degree
+    * frame (`src`, `d`) — callers bring any graph's degrees (GraphSpec
+    * cross-checks random graphs against a brute-force fold). Exact
+    * long arithmetic throughout — `div`, not `/` (double): the
+    * triplet sums exceed 2^53 long before 100 TB does. */
+  def vertexMetricsFromDegrees(deg: DataFrame): DataFrame =
     deg.agg(
       count(lit(1)).as("vertex_cnt"),
       expr("sum(d) div 2").as("edge_cnt"),
       sum(expr("(d * (d - 1)) div 2")).as("triplet_cnt"),
       max(col("d")).as("max_degree"),
       max(expr("(d * (d - 1)) div 2")).as("max_triplets"))
-  }
+
+  def q133VertexMetrics(spark: SparkSession, dir: String): DataFrame =
+    vertexMetricsFromDegrees(
+      edgesWithDeg(spark, dir).select(col("src"), col("d")).distinct())
 
   val q133Sql: String =
     s"""WITH $edgesSql
@@ -767,9 +772,10 @@ object Graph {
     * shared edge cache joined once with its own degree projection
     * (broadcast — node cardinality) to pair (d(src), d(dst)) per
     * directed edge, one per-src hash-agg, one scalar agg. */
-  def q134EdgeMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val ed = edgesWithDeg(spark, dir) // (src, dst, d = deg(src))
-    val deg = ed.select(col("src"), col("d")).distinct()
+  /** Library form: undirected edge metrics from a degree-annotated
+    * both-arcs edge frame (`src`, `dst`, `d` = deg(src)) and its
+    * degree projection (`src`, `d`). */
+  def edgeMetricsFromEdges(ed: DataFrame, deg: DataFrame): DataFrame = {
     val low = ed
       .join(broadcast(deg.select(col("src").as("t"), col("d").as("dt"))),
         col("dst") === col("t"))
@@ -784,6 +790,11 @@ object Graph {
         sum(expr("(l * (l - 1)) div 2 + l * h")).as("rectangle_triplet_cnt"),
         max(expr("(l * (l - 1)) div 2")).as("max_triangle_triplets"),
         max(expr("(l * (l - 1)) div 2 + l * h")).as("max_rectangle_triplets"))
+  }
+
+  def q134EdgeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edgesWithDeg(spark, dir) // (src, dst, d = deg(src))
+    edgeMetricsFromEdges(ed, ed.select(col("src"), col("d")).distinct())
   }
 
   val q134Sql: String =

@@ -263,4 +263,45 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // out-degrees (max 57 vs mean ~12), the power-law shape RMat exists for
     assert(rows("rmat") == ((172L, 2048L, 1L, 57L)))
   }
+
+  test("metric library forms equal a brute-force fold on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    (1 to 8).foreach { case_i =>
+      val n = 4 + rng.nextInt(8)
+      val und = (for {
+        u <- 0 until n; v <- (u + 1) until n if rng.nextDouble() < 0.4
+      } yield (u.toLong, v.toLong)).toSeq
+      if (und.nonEmpty) {
+        // brute force on adjacency sets
+        val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+          .withDefaultValue(Set.empty)
+        und.foreach { case (u, v) =>
+          adj(u) = adj(u) + v; adj(v) = adj(v) + u
+        }
+        val degs = adj.view.mapValues(_.size.toLong).toMap
+        val wantVm = (degs.size.toLong, degs.values.sum / 2,
+          degs.values.map(d => d * (d - 1) / 2).sum,
+          degs.values.max, degs.values.map(d => d * (d - 1) / 2).max)
+        def lowOf(v: Long): Long = adj(v).count { u =>
+          degs(v) < degs(u) || (degs(v) == degs(u) && v < u)
+        }.toLong
+        val lows = degs.keys.toSeq.map(v => (lowOf(v), degs(v) - lowOf(v)))
+        val wantEm = (lows.map { case (l, _) => l * (l - 1) / 2 }.sum,
+          lows.map { case (l, h) => l * (l - 1) / 2 + l * h }.sum,
+          lows.map { case (l, _) => l * (l - 1) / 2 }.max,
+          lows.map { case (l, h) => l * (l - 1) / 2 + l * h }.max)
+
+        val arcs = (und ++ und.map(_.swap)).toDF("src", "dst")
+        val deg = arcs.groupBy("src").agg(count(lit(1)).as("d"))
+        val vm = Graph.vertexMetricsFromDegrees(deg).head
+        assert((vm.getLong(0), vm.getLong(1), vm.getLong(2), vm.getLong(3),
+          vm.getLong(4)) == wantVm, s"vertex metrics, case $case_i edges=$und")
+        val ed = arcs.join(deg, "src").select(col("src"), col("dst"), col("d"))
+        val em = Graph.edgeMetricsFromEdges(ed, deg).head
+        assert((em.getLong(0), em.getLong(1), em.getLong(2), em.getLong(3))
+          == wantEm, s"edge metrics, case $case_i edges=$und")
+      }
+    }
+  }
 }
