@@ -59,8 +59,9 @@ object Graph {
     * superstep; ranks stay distributed, lineage cut via
     * localCheckpoint.
     */
-  def q41PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val ed = edgesWithDeg(spark, dir)
+  /** Library form: PageRank over any degree-annotated both-arcs edge
+    * frame (`src`, `dst`, `d` = deg(src)); returns (node, r). */
+  def pageRankFromEdges(ed: DataFrame, iters: Int): DataFrame = {
     val init = ed.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1.0))
     // node state (1 row per node) is orders of magnitude smaller than
@@ -68,15 +69,18 @@ object Graph {
     // partial-aggregated contributions shuffle. (For node counts past
     // broadcast range, drop the hint — the src-partitioned edge cache
     // still pins the big side in place.)
-    val ranks = graft.engine.Iterate.loopDF(init, Iters, checkpointEvery = 2) { (rs, _) =>
+    graft.engine.Iterate.loopDF(init, iters, checkpointEvery = 2) { (rs, _) =>
       ed.join(broadcast(rs), ed("src") === rs("node"))
         .groupBy(col("dst").as("node2"))
         .agg(round(lit(0.15) + lit(0.85) * sum(col("r") / col("d")), 6).as("r2"))
         .select(col("node2").as("node"), col("r2").as("r"))
     }
-    ranks.orderBy(desc("r"), col("node")).limit(20)
-      .select(col("node"), col("r").as("rank"))
   }
+
+  def q41PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankFromEdges(edgesWithDeg(spark, dir), Iters)
+      .orderBy(desc("r"), col("node")).limit(20)
+      .select(col("node"), col("r").as("rank"))
 
   val q41Sql: String = {
     val steps = (1 to Iters).map { i =>
@@ -96,8 +100,10 @@ object Graph {
     * min(neighbor labels)). Integer arithmetic — exact across
     * engines. Output: component summary (min-label → member count).
     */
-  def q42ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val ed = edgesWithDeg(spark, dir).select("src", "dst")
+  /** Library form: min-label propagation over any both-arcs edge
+    * frame (`src`, `dst`); returns (node, label) after `iters`
+    * supersteps. */
+  def connectedComponentsFromEdges(ed: DataFrame, iters: Int): DataFrame = {
     val init = ed.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     // checkpointEvery=1, unlike q41's 2: this step references `ls`
@@ -106,7 +112,7 @@ object Graph {
     // history 2^k times. Materializing the (node-cardinality, tiny)
     // label relation each step keeps every superstep one join + one
     // hash-agg over the persisted edges, at any iteration count.
-    val labels = graft.engine.Iterate.loopDF(init.localCheckpoint(true), Iters,
+    graft.engine.Iterate.loopDF(init.localCheckpoint(true), iters,
         checkpointEvery = 1) { (ls, _) =>
       // label' = min(own ∪ neighbors): folding the self-label into the
       // aggregation replaces the join-back-then-least shape with ONE
@@ -118,9 +124,12 @@ object Graph {
         .groupBy(col("node2")).agg(min(col("label")).as("label2"))
         .select(col("node2").as("node"), col("label2").as("label"))
     }
-    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("label"))
   }
+
+  def q42ConnectedComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsFromEdges(edgesWithDeg(spark, dir).select("src", "dst"), Iters)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
 
   val q42Sql: String = {
     val steps = (1 to Iters).map { i =>
@@ -299,21 +308,30 @@ object Graph {
     * determinism; unreached-in-k-hops nodes simply have no row. */
   val SsspIters = 4
 
-  def q119Sssp(spark: SparkSession, dir: String): DataFrame = {
-    val ed = edgesWithDeg(spark, dir)
-      .select(col("src"), col("dst"),
-        (lit(1L) + (col("src") + col("dst")) % 7).as("w"))
-    // bounded model state: ONE scalar (the source node id)
-    val src0 = ed.agg(min(col("src"))).head.getLong(0)
-    val init = spark.range(1).select(lit(src0).as("node"), lit(0L).as("dist"))
-    val dists = graft.engine.Iterate.loopDF(init, SsspIters, checkpointEvery = 2) { (ds, _) =>
+  /** Library form: Bellman-Ford over any weighted both-arcs edge
+    * frame (`src`, `dst`, `w` — integer weights recommended for
+    * cross-engine exactness); returns (node, dist) for nodes reached
+    * within `iters` hops of `source`. */
+  def ssspFromEdges(spark: SparkSession, ed: DataFrame, source: Long,
+      iters: Int): DataFrame = {
+    val init = spark.range(1).select(lit(source).as("node"), lit(0L).as("dist"))
+    graft.engine.Iterate.loopDF(init, iters, checkpointEvery = 2) { (ds, _) =>
       val cand = ed.join(broadcast(ds), ed("src") === ds("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(min(col("dist") + col("w")).as("cdist"))
         .select(col("cnode").as("node"), col("cdist").as("dist"))
       ds.union(cand).groupBy(col("node")).agg(min(col("dist")).as("dist"))
     }
-    dists.orderBy(col("dist"), col("node")).limit(50)
+  }
+
+  def q119Sssp(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edgesWithDeg(spark, dir)
+      .select(col("src"), col("dst"),
+        (lit(1L) + (col("src") + col("dst")) % 7).as("w"))
+    // bounded model state: ONE scalar (the source node id)
+    val src0 = ed.agg(min(col("src"))).head.getLong(0)
+    ssspFromEdges(spark, ed, src0, SsspIters)
+      .orderBy(col("dist"), col("node")).limit(50)
   }
 
   val q119Sql: String = {
@@ -345,11 +363,12 @@ object Graph {
     * by node id. Output is the label histogram (community sizes). */
   val LpIters = 3
 
-  def q124LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val ed = edgesWithDeg(spark, dir).select("src", "dst")
+  /** Library form: majority-label propagation (max count, min-label
+    * ties) over any both-arcs edge frame; returns (node, label). */
+  def labelPropagationFromEdges(ed: DataFrame, iters: Int): DataFrame = {
     val init = ed.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val labels = graft.engine.Iterate.loopDF(init, LpIters, checkpointEvery = 2) { (ls, _) =>
+    graft.engine.Iterate.loopDF(init, iters, checkpointEvery = 2) { (ls, _) =>
       ed.join(broadcast(ls), ed("src") === ls("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("n"))
@@ -357,9 +376,12 @@ object Graph {
         .agg(max(struct(col("n").as("n"), (lit(0L) - col("label")).as("negl"))).as("m"))
         .select(col("node2").as("node"), (lit(0L) - col("m.negl")).as("label"))
     }
-    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("label"))
   }
+
+  def q124LabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagationFromEdges(edgesWithDeg(spark, dir).select("src", "dst"), LpIters)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
 
   val q124Sql: String = {
     val steps = (1 to LpIters).map { i =>

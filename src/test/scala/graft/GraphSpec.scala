@@ -304,4 +304,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("library algorithms on generated graphs match closed-form answers") {
+    import graft.analytics.GraphGen
+    // PageRank on a cycle: perfect symmetry => every node same rank
+    val cyc = GraphGen.cycle(spark, 16L)
+    val cdeg = cyc.groupBy("src").agg(count(lit(1)).as("d"))
+    val ranks = Graph.pageRankFromEdges(cyc.join(cdeg, "src"), 3).collect()
+    assert(ranks.length == 16 && ranks.map(_.getDouble(1)).distinct.length == 1)
+
+    // SSSP with unit weights on a path from node 0: dist(i) = i
+    val pathE = GraphGen.path(spark, 8L).withColumn("w", lit(1L))
+    val dists = Graph.ssspFromEdges(spark, pathE, 0L, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 8).foreach(i => assert(dists(i.toLong) == i.toLong, s"node $i"))
+
+    // CC on m disjoint edges: m components of size 2, labelled by even ids
+    val se = GraphGen.singletonEdges(spark, 5L)
+    val labels = Graph.connectedComponentsFromEdges(se, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 10)
+    labels.foreach { case (node, label) => assert(label == node - node % 2) }
+
+    // label propagation on a star, one round: every spoke sees only
+    // the hub (adopts 0); the hub sees five singleton labels and the
+    // min-label tie rule picks 1. (Two rounds would flip-flop — the
+    // classic LP oscillation on bipartite graphs.)
+    val st = GraphGen.star(spark, 6L)
+    val lp = Graph.labelPropagationFromEdges(st, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1 until 6).foreach(i => assert(lp(i.toLong) == 0L, s"spoke $i"))
+    assert(lp(0L) == 1L)
+  }
 }
