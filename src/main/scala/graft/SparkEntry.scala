@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Graph, GraphGen, Iterative}
+import graft.analytics.{Graph, GraphGen, Iterative, PropertyGraph}
 import graft.operators.{Aggregators, AsOfJoin, Partitioning, Patterns, RangeJoin, Relational, Typed, Windows}
 import graft.pipeline.{Curation, Dedup, Multimodal, Scoring, Similarity, TextAnalysis}
 import graft.streaming.WindowSpi
@@ -24,14 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Typed.queries ++ Windows.queries ++ Iterative.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Graph.queries ++ GraphGen.queries ++ Aggregators.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
+      Graph.queries ++ GraphGen.queries ++ PropertyGraph.queries ++ Aggregators.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Curation.queries ++ Scoring.queries ++ Partitioning.queries ++ WindowSpi.queries ++
       Patterns.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Graph.oracles ++ GraphGen.oracles ++ Aggregators.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
+      Graph.oracles ++ GraphGen.oracles ++ PropertyGraph.oracles ++ Aggregators.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Curation.oracles ++ Scoring.oracles ++ Partitioning.oracles ++ WindowSpi.oracles ++
       Patterns.oracles
 }
