@@ -102,6 +102,24 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .groupBy(col("id")).agg(agg(col("value")).as("agg_value"))
   }
 
+  /** Gelly `runScatterGatherIteration` (reference
+    * flink-gelly/.../spargel/ScatterGatherIteration.java): per
+    * superstep, `scatter(edges, states)` derives a message frame and
+    * `gather(states, messages)` folds it into the next state frame.
+    * The substrate is the same [[graft.engine.Iterate.loopDF]]
+    * driver loop every library algorithm rides (per-superstep
+    * localCheckpoint — the state is read by both the scatter join
+    * and the gather merge, the twice-read rule), so a user-supplied
+    * vertex program gets the exact posture of the graded q41/q42:
+    * broadcast-sized states, partial-aggregated messages, persisted
+    * edges. GraphSpec re-derives connected components through it and
+    * pins equality with [[Graph.connectedComponentsFromEdges]]. */
+  def scatterGatherIteration(states0: DataFrame, iters: Int)(
+      scatter: (DataFrame, DataFrame) => DataFrame,
+      gather: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    graft.engine.Iterate.loopDF(states0.localCheckpoint(true), iters,
+      checkpointEvery = 1) { (st, _) => gather(st, scatter(edges, st)) }
+
   /** Gelly reverse: flip every edge. */
   def reverse: PropertyGraph =
     copy(edges = edges.select(col("dst").as("src"), col("src").as("dst"), col("value")))

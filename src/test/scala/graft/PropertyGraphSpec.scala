@@ -88,4 +88,31 @@ class PropertyGraphSpec extends AnyFunSuite with SparkSpec {
     assert(back == g.edges.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("scatterGatherIteration re-derives connected components exactly") {
+    import graft.analytics.{Graph, GraphGen}
+    // disconnected graph: a 6-cycle shifted to 100+ and 3 disjoint edges
+    val edges = GraphGen.cycle(spark, 6L)
+      .select((col("src") + 100L).as("src"), (col("dst") + 100L).as("dst"))
+      .union(GraphGen.singletonEdges(spark, 3L))
+      .withColumn("value", lit(1L))
+    val pg = PropertyGraph(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("value", col("id")), edges)
+    val viaSg = pg.scatterGatherIteration(
+      pg.vertices.select(col("id").as("node"), col("value").as("label")), 6)(
+      scatter = (es, st) =>
+        es.join(broadcast(st), es("src") === st("node"))
+          .select(col("dst").as("node2"), col("label")),
+      gather = (st, msgs) =>
+        msgs.union(st.select(col("node").as("node2"), col("label")))
+          .groupBy(col("node2")).agg(min(col("label")).as("label2"))
+          .select(col("node2").as("node"), col("label2").as("label")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLib = Graph.connectedComponentsFromEdges(edges.select("src", "dst"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSg == viaLib && viaSg.nonEmpty)
+    // 4 components: the cycle (label 100) + three pairs (0, 2, 4)
+    assert(viaSg.map(_._2) == Set(100L, 0L, 2L, 4L))
+  }
 }
