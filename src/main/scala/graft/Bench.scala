@@ -69,24 +69,52 @@ object Bench {
 
   /** Centiseconds below 10 s, deciseconds to 100 s, whole seconds to
     * 1000 s, exponent notation above (a >16-minute single query means
-    * the round is dead anyway — only the magnitude matters). The trim
-    * bounds the worst-case per-entry cost at 11 chars so the line
-    * stays inside the tail-capture budget as the registry grows. */
+    * the round is dead anyway — only the magnitude matters). */
   private def fmt(v: Double): String =
     if (v >= 1000) f"$v%.0e" else if (v >= 100) f"$v%.0f"
     else if (v >= 10) f"$v%.1f" else f"$v%.2f"
 
+  /** The harness's log capture holds only the last ~2000 chars of
+    * stdout, and ~80 of those go to sbt's trailer — past this budget
+    * the line itself gets truncated and nothing parses. */
+  val LineBudget = 1880
+
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val byShort = results.map { case (k, v) => shortKey(k) -> v }.toMap
-    val ref = RefBenchmarks.flatMap { case (name, q) =>
-      byShort.get(q).map(v => "\"" + name + "\":" + fmt(v))
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // failed count rides the headline so a cross-round total compare
-    // can never mistake "13 queries crashed" for "2.5x faster"
-    val failed = results.count(_._2 < 0)
-    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"queries":$qs,"ref":$ref,"sf":"$sfDir"}"""
+    def entry(k: String, v: Double) = "\"" + shortKey(k) + "\":" + fmt(v)
+    def render(qs: Seq[(String, Double)], others: Seq[(String, Double)]): String = {
+      val qmap = qs.map((entry _).tupled).mkString("{", ",", "}")
+      val byShort = results.map { case (k, v) => shortKey(k) -> v }.toMap
+      val ref = RefBenchmarks.flatMap { case (name, q) =>
+        byShort.get(q).map(v => "\"" + name + "\":" + fmt(v))
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      // failed count rides the headline so a cross-round total compare
+      // can never mistake "13 queries crashed" for "2.5x faster"
+      val failed = results.count(_._2 < 0)
+      val oth = if (others.isEmpty) "" else {
+        val t = others.map(_._2).filter(_ >= 0).sum
+        s""","others":{"n":${others.size},"total":${f"$t%.2f"}}"""
+      }
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"queries":$qmap$oth,"ref":$ref,"sf":"$sfDir"}"""
+    }
+    val full = render(results, Nil)
+    if (full.length <= LineBudget) full
+    else {
+      // overflow: keep the SLOW queries (and every crash) individual —
+      // the entries anyone analyzes — and fold the fastest into one
+      // "others" count+total. Full per-query precision always goes to
+      // stderr regardless. Deterministic: drop ascending by (time, key).
+      val ordered = results.sortBy { case (k, v) =>
+        (if (v < 0) Double.MaxValue else -v, k) // slowest first, crashes pinned
+      }
+      var keep = ordered.length
+      var line = full
+      while (line.length > LineBudget && keep > 1) {
+        keep -= 1
+        val (kept, dropped) = ordered.splitAt(keep)
+        line = render(kept.sortBy(_._1), dropped)
+      }
+      line
+    }
   }
 }

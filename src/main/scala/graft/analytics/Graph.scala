@@ -687,6 +687,33 @@ object Graph {
        |WHERE deg.d >= 2
        |ORDER BY node""".stripMargin
 
+  /** (cust nation, supp nation, l_returnflag, cnt): the ≤ 25×25×3-row
+    * rollup of the lineitem⋈orders⋈customer⋈supplier fact join,
+    * memoized per (session, dir) so q132/q136/q137 and
+    * [[PropertyGraph.nationTrade]] (q143) share ONE scan-bound
+    * derivation instead of four (review finding: the fact join was
+    * re-derived per query family). */
+  private val tradeAggCache = new graft.engine.SessionCache(buildTradeAgg)
+
+  private[analytics] def tradeAgg(spark: SparkSession, dir: String): DataFrame =
+    tradeAggCache.get(spark, dir)
+
+  private def buildTradeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   // ---------------------------------------------------------------- q132
   /** Graph summarization (reference Gelly `library/Summarization.java`:
     * vertices grouped by value become super-vertices carrying the
@@ -711,21 +738,15 @@ object Graph {
     val nm = Tables.nation(spark, dir)
       .join(broadcast(rep), col("n_regionkey") === col("g"))
       .select(col("n_nationkey").as("nk"), col("rep"), col("sz"))
-    val cust = Tables.customer(spark, dir)
-      .join(broadcast(nm), col("c_nationkey") === col("nk"))
-      .select(col("c_custkey"), col("rep").as("src_rep"), col("sz").as("src_sz"))
-    val supp = Tables.supplier(spark, dir)
-      .join(broadcast(nm), col("s_nationkey") === col("nk"))
-      .select(col("s_suppkey"), col("rep").as("dst_rep"), col("sz").as("dst_sz"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val srcMap = nm.select(col("nk").as("src"), col("rep").as("src_rep"),
+      col("sz").as("src_sz"))
+    val dstMap = nm.select(col("nk").as("dst"), col("rep").as("dst_rep"),
+      col("sz").as("dst_sz"))
+    tradeAgg(spark, dir)
+      .join(broadcast(srcMap), "src").join(broadcast(dstMap), "dst")
       .groupBy(col("src_rep"), col("dst_rep"), col("l_returnflag").as("edge_value"),
         col("src_sz"), col("dst_sz"))
-      .agg(count(lit(1)).as("edge_cnt"))
+      .agg(sum(col("cnt")).as("edge_cnt"))
       .select(col("src_rep"), col("dst_rep"), col("edge_value"), col("edge_cnt"),
         col("src_sz").as("src_group_sz"), col("dst_sz").as("dst_group_sz"))
       .orderBy(col("src_rep"), col("dst_rep"), col("edge_value"))
@@ -844,20 +865,10 @@ object Graph {
     * `asm/simple/directed/Simplify` applied to the q132 edge list.
     * The fact join is the scan-bound term (broadcast dims, one
     * lineitem⋈orders shuffle); everything after is node-cardinality. */
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
-    val supp = Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    tradeAgg(spark, dir)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-  }
 
   private val tradeSql: String =
     """trade AS (

@@ -83,11 +83,10 @@ object GraphGen {
 
   /** Circulant graph: i ~ (i+off) mod n per offset, both arcs. */
   def circulant(spark: SparkSession, n: Long, offsets: Seq[Long]): DataFrame = {
-    val offDf = offsets.foldLeft(Option.empty[DataFrame]) { (acc, off) =>
-      val f = spark.range(n).select(col("id").as("src"),
-        ((col("id") + off) % n).as("dst"))
-      Some(acc.map(_.union(f)).getOrElse(f))
-    }.get
+    require(offsets.nonEmpty, "circulant needs at least one offset")
+    val offDf = offsets.map { off =>
+      spark.range(n).select(col("id").as("src"), ((col("id") + off) % n).as("dst"))
+    }.reduce(_ union _)
     offDf.union(offDf.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -105,8 +104,11 @@ object GraphGen {
       .select(col("id").as("src"), ((col("id") + col("off")) % n).as("dst"))
   }
 
-  /** EmptyGraph(n): n vertices, zero edges. */
-  def empty(spark: SparkSession, n: Long): DataFrame =
+  /** EmptyGraph: zero edges. An edge frame cannot carry isolated
+    * vertices — the vertex set lives beside it ([[PropertyGraph]]
+    * holds both), which is why the q138 census states the empty
+    * graph's row in closed form instead of aggregating this frame. */
+  def empty(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
 
   /** RMatGraph (reference generator/RMatGraph.java — recursive-matrix

@@ -134,24 +134,16 @@ object PropertyGraph {
 
   /** The nation trade property graph: vertices (nationkey, regionkey),
     * directed edges (cust nation → supp nation, value = number of
-    * lineitem trades). The q132/q136 fact derivation with the count
-    * kept as the edge value. */
+    * lineitem trades), derived from the SHARED trade rollup
+    * ([[Graph.tradeAgg]] — one memoized fact join feeds
+    * q132/q136/q137/q143). */
   def nationTrade(spark: SparkSession, dir: String): PropertyGraph = {
     val v = Tables.nation(spark, dir)
       .select(col("n_nationkey").cast("long").as("id"),
         col("n_regionkey").cast("long").as("value"))
-    val cust = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
-    val supp = Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
-    val e = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val e = Graph.tradeAgg(spark, dir)
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("value"))
+      .agg(sum(col("cnt")).as("value"))
     PropertyGraph(v, e)
   }
 

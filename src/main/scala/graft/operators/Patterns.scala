@@ -368,7 +368,9 @@ object Patterns {
             Iterator.empty
           } else {
             var s = state.getOption.getOrElse(
-              ChainAllState(Nil, Long.MinValue, 0, false))
+              // a non-positive cap means "emit nothing", matching the
+              // batch twin's loop guard
+              ChainAllState(Nil, Long.MinValue, 0, maxMatches <= 0))
             val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatchIdx]
             var lastSeenUs = Long.MinValue
             it.toSeq.sortBy(_.t_us).foreach { e =>
@@ -739,7 +741,8 @@ object Patterns {
       s"SELECT user_id, CAST($r AS BIGINT) AS match_idx, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us FROM m$r"
     }.mkString("\nUNION ALL ")
     s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
-       |seed AS (SELECT DISTINCT user_id, CAST(-1 AS BIGINT) AS t3 FROM ev),
+       |seed AS (SELECT DISTINCT user_id,
+       |  CAST(-9223372036854775808 AS BIGINT) AS t3 FROM ev),
        |$rounds
        |$union
        |ORDER BY user_id, match_idx""".stripMargin
@@ -799,16 +802,22 @@ object Patterns {
     * exchange) takes min over following CLICKS of their
     * next-purchase, which IS the matched click's purchase because
     * next-purchase is monotone nondecreasing in click time
-    * (purchases after a later click are a subset). A join-back
-    * through the matched click — the first draft — re-scanned events
-    * for the second leg (the twice-read rule, fourth sighting). */
+    * (purchases after a later click are a subset). RANGE frames on
+    * the event time keep "after" strictly-later-in-time — the same
+    * strict-t rule as the fold matchers, tie-safe by construction. A
+    * join-back through the matched click — the first draft —
+    * re-scanned events for the second leg (the twice-read rule,
+    * fourth sighting). */
   def q142AllStarts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("t_us"),
         col("event_id"), col("event_type"))
-    val frame = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-      .rowsBetween(1, Window.unboundedFollowing)
+    // RANGE (value) frame, not ROWS: "after" means STRICTLY LATER
+    // event time, the same strict-t rule as every other matcher — a
+    // ROWS frame would let a same-timestamp event count as after
+    val frame = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(1, Window.unboundedFollowing)
     ev
       .withColumn("next_click",
         min(when(col("event_type") === "click", col("t_us"))).over(frame))
@@ -829,13 +838,13 @@ object Patterns {
       |  SELECT user_id, t, event_id, event_type,
       |    min(CASE WHEN event_type = 'click' THEN t END) OVER w AS next_click,
       |    min(CASE WHEN event_type = 'purchase' THEN t END) OVER w AS next_purchase
-      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
-      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
       |ann2 AS (
       |  SELECT user_id, t, event_type, next_click,
       |    min(CASE WHEN event_type = 'click' THEN next_purchase END) OVER w AS t3
-      |  FROM ann WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
-      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |  FROM ann WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
       |SELECT user_id, t AS t1_us, next_click AS t2_us, t3 AS t3_us
       |FROM ann2
       |WHERE event_type = 'view' AND next_click IS NOT NULL AND t3 IS NOT NULL

@@ -21,12 +21,31 @@ class BenchSpec extends AnyFunSuite {
     // sbt's trailing [success] line (~80 chars observed) inside the
     // ~2000-char tail window; values >= 100s drop their (noise)
     // centiseconds, 10-100s keep one decimal
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.99)
+    // worst case: every query at fmt's widest rendering (99.99 ->
+    // "100.0", 5 chars). The line must NEVER exceed the tail budget:
+    // past LineBudget the fastest queries fold into an "others"
+    // count+total while every slow/crashed query stays individual.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val worst = names.map(_ -> 99.99)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
-    assert(line.length < 1900, s"metric line ${line.length} chars — trim keys or precision")
-    val slow = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
-    assert(Bench.jsonLine(slow, "/root/testdata/sf0.1").contains(""""q01":100.0"""))
-    assert(line.contains(""""q01":1000"""), "slow queries render without decimals")
+    assert(line.length <= Bench.LineBudget,
+      s"metric line ${line.length} chars — budget enforcement broken")
+    // truncation keeps a summary whose count covers what was dropped
+    if (line.contains(""""others"""")) {
+      val n = """"others":\{"n":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+      assert(n > 0 && n < names.size)
+    }
+    // mixed timings: the SLOW queries always survive truncation
+    val mixed = names.zipWithIndex.map { case (nm, i) =>
+      nm -> (if (i % 20 == 0) 50.0 else 0.05)
+    }
+    val mline = Bench.jsonLine(mixed, "/x")
+    assert(mline.length <= Bench.LineBudget)
+    mixed.filter(_._2 == 50.0).foreach { case (nm, _) =>
+      assert(mline.contains("\"" + Bench.shortKey(nm) + "\":50.0"), nm)
+    }
+    val secs = Bench.jsonLine(Seq("q01_x" -> 999.99), "/x")
+    assert(secs.contains(""""q01":1000"""), "slow queries render without decimals")
     // past 1000 s the value degrades to magnitude-only e-notation --
     // still valid JSON, never more than 11 chars per entry
     val absurd = Bench.jsonLine(Seq("q01_x" -> 99999.99), "/x")

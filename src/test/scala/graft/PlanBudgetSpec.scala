@@ -102,9 +102,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // groupBy+join-back here re-shuffled the EXPANDED pair relation
     // (measured 14 s at sf1, the q85/q90 regression class)
     "q128_adamic_adar" -> PlanCounts(1, 0, 3, 1),
-    // summarization: lineitem + orders fact join (2 exchanges) + agg
-    // + sort; customer/supplier/nation-rep maps all broadcast
-    "q132_summarization" -> PlanCounts(6, 0, 3, 5),
+    // summarization reads the MEMOIZED trade rollup (nation×nation×
+    // flag, ≤ 1875 rows) + 2 tiny nation scans for the rep maps — the
+    // fact join materializes once for q132/q136/q137/q143
+    "q132_summarization" -> PlanCounts(2, 1, 3, 2),
     // both metrics read ONLY the shared edge cache — zero file scans
     "q133_vertex_metrics" -> PlanCounts(0, 1, 1, 0),
     "q134_edge_metrics" -> PlanCounts(0, 3, 1, 2),
@@ -112,8 +113,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q135_all_funnels" -> PlanCounts(1, 0, 2, 0),
     // trade digraph checkpoints eagerly (the q125/q119 pattern), so
     // the audited plans are node-cardinality aggs only — zero scans
-    "q136_directed_vertex_metrics" -> PlanCounts(0, 0, 6, 0),
-    "q137_directed_edge_metrics" -> PlanCounts(0, 0, 13, 2),
+    "q136_directed_vertex_metrics" -> PlanCounts(0, 0, 6, 2),
+    "q137_directed_edge_metrics" -> PlanCounts(0, 0, 13, 3),
     // generators are range projections: zero table scans by
     // definition; ONE unioned pass (per-(gen,src) partials + per-gen
     // rollup) replaced the 28-exchange per-generator first draft
