@@ -196,9 +196,67 @@ object PropertyGraph {
        |           GROUP BY id) t ON vs.id = t.id
        |ORDER BY vs.id""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** Graded drive of [[PropertyGraph.scatterGatherIteration]] — the
+    * user-supplied vertex program surface (reference flink-gelly
+    * spargel/ScatterGatherIteration.java, the API Gelly's own
+    * SingleSourceShortestPaths.java is written against): bounded
+    * Bellman-Ford, [[SgIters]] supersteps, over the nation trade
+    * graph with the trade count as the edge cost, source nation 0.
+    * scatter = broadcast the (tiny) reached-state onto the edge
+    * frame and min-aggregate candidate distances per destination;
+    * gather = outer-merge the candidates into the state (`least`
+    * skips nulls, so unreached stays null). Integer costs → zero
+    * cross-engine FP concerns; the oracle is the superstep unrolled
+    * as CTEs. Same 100 TB posture as q119: broadcast-sized state,
+    * partial-aggregated messages, per-superstep checkpoint inside
+    * the iteration surface itself. */
+  val SgIters = 4
+
+  def q146ScatterGather(spark: SparkSession, dir: String): DataFrame = {
+    val g = nationTrade(spark, dir)
+    val init = g.vertices.select(col("id").as("node"),
+      when(col("id") === 0L, 0L).otherwise(lit(null).cast("long")).as("dist"))
+    g.scatterGatherIteration(init, SgIters)(
+      scatter = (edges, st) =>
+        edges.join(broadcast(st.filter(col("dist").isNotNull)),
+            edges("src") === col("node"))
+          .groupBy(col("dst").as("mnode"))
+          .agg(min(col("dist") + col("value")).as("msg")),
+      gather = (st, msgs) =>
+        st.join(msgs, st("node") === msgs("mnode"), "left_outer")
+          .select(col("node"), least(col("dist"), col("msg")).as("dist")))
+      .filter(col("dist").isNotNull)
+      .orderBy(col("node"))
+  }
+
+  val q146Sql: String = {
+    val steps = (1 to SgIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, min(d.dist + e.value) AS dist
+         |  FROM te e JOIN d${i - 1} d ON e.src = d.node GROUP BY e.dst),
+         |d$i AS (SELECT node, min(dist) AS dist FROM
+         |  (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM c$i) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH te AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS src,
+       |         CAST(s_nationkey AS BIGINT) AS dst,
+       |         CAST(count(*) AS BIGINT) AS value
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$steps
+       |SELECT node, dist FROM d$SgIters ORDER BY node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q143_graph_api" -> (q143GraphApi _))
+    "q143_graph_api" -> (q143GraphApi _),
+    "q146_scatter_gather_sssp" -> (q146ScatterGather _))
 
   def oracles: Map[String, String] = Map(
-    "q143_graph_api" -> q143Sql)
+    "q143_graph_api" -> q143Sql,
+    "q146_scatter_gather_sssp" -> q146Sql)
 }

@@ -526,7 +526,8 @@ object Patterns {
     *    when one exists).
     */
   final case class QStep(tag: String, times: Int = 1,
-      looping: Boolean = false, optional: Boolean = false)
+      looping: Boolean = false, optional: Boolean = false,
+      until: Option[String] = None)
   object QStep {
     def once(tag: String): QStep = QStep(tag)
     def oneOrMore(tag: String): QStep = QStep(tag, 1, looping = true)
@@ -534,6 +535,22 @@ object Patterns {
       require(n >= 1, "timesOrMore needs n >= 1"); QStep(tag, n, looping = true)
     }
     def optional(tag: String): QStep = QStep(tag, 0, optional = true)
+    /** Flink `Pattern.oneOrMore().until(cond)` (reference flink-cep
+      * pattern/Pattern.java `until`; nfa/NFA.java stop states): the
+      * loop stops ACCEPTING at the first `untilTag` event strictly
+      * after the previous step's completion — events at or past that
+      * boundary can neither be consumed by the step nor counted in
+      * its greedy extent. A chain whose step cannot reach `times`
+      * before the boundary has no match at all. Documented deviation:
+      * this library's matcher is COMMITTED to the deterministic
+      * earliest-seed chain (one match per key, a pure function of the
+      * event set); Flink's NFA would also branch runs from later
+      * seeds, so a boundary that kills the earliest seed can still
+      * yield a Flink match from a later one. The committed rule is
+      * what the DuckDB oracle states, so the semantics are pinned
+      * cross-engine exactly as implemented. */
+    def oneOrMoreUntil(tag: String, untilTag: String): QStep =
+      QStep(tag, 1, looping = true, until = Some(untilTag))
   }
 
   /** Earliest quantified chain: greedy forward match of the required
@@ -550,6 +567,9 @@ object Patterns {
       events: Iterator[(Long, String)]): Option[IndexedSeq[(Long, Int)]] = {
     val sorted = events.toArray.sortBy(_._1)
     val res = Array.fill[(Long, Int)](steps.length)((-1L, 0))
+    // per-step until boundary (Long.MaxValue = none) — pass 1 fills
+    // it, pass 2 caps the greedy extent with it
+    val bnd = Array.fill[Long](steps.length)(Long.MaxValue)
     // pass 1: required steps, single forward pointer (skipped events
     // precede the current completion and can never match later steps)
     var prev = Long.MinValue
@@ -558,9 +578,19 @@ object Patterns {
     steps.indices.foreach { si =>
       val st = steps(si)
       if (ok && !st.optional) {
+        // until boundary: first until-tag event strictly after the
+        // previous completion (events before index i all precede it)
+        st.until.foreach { ut =>
+          var j = i
+          while (j < sorted.length && bnd(si) == Long.MaxValue) {
+            val (t, tag) = sorted(j)
+            if (tag == ut && t > prev) bnd(si) = t
+            j += 1
+          }
+        }
         var cnt = 0
         var last = prev
-        while (i < sorted.length && cnt < st.times) {
+        while (i < sorted.length && cnt < st.times && sorted(i)._1 < bnd(si)) {
           val (t, tag) = sorted(i)
           if (tag == st.tag && t > last) { cnt += 1; last = t }
           i += 1
@@ -587,8 +617,9 @@ object Patterns {
             .map(_._1).nextOption()
           res(si) = hit.map((_, 1)).getOrElse((-1L, 0))
         } else if (st.looping) {
-          val lo = loOf(si); val hi = hiOf(si)
-          // distinct tag times strictly inside (lo, hi) — the greedy extent
+          val lo = loOf(si); val hi = math.min(hiOf(si), bnd(si))
+          // distinct tag times strictly inside (lo, hi) — the greedy
+          // extent, capped at the until boundary when one exists
           var cnt = 0
           var last = Long.MinValue
           sorted.foreach { case (t, tag) =>
@@ -606,10 +637,13 @@ object Patterns {
     * their first view and the purchase that follows the second click.
     * Emits the loop completion (2nd click) and the loop's greedy
     * click count inside the matched span. */
-  def q127ClickBurst(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared three-step quantified-funnel driver (looping middle step)
+    * over the events table: one user-keyed shuffle, emits per-step
+    * completions + the middle step's greedy count. */
+  def matchQuant3(spark: SparkSession, dir: String,
+      steps: IndexedSeq[QStep]): DataFrame = {
     import spark.implicits._
-    val steps = IndexedSeq(QStep.once("view"), QStep.timesOrMore("click", 2),
-      QStep.once("purchase"))
+    require(steps.length == 3, "matchQuant3 drives exactly three steps")
     Tables.events(spark, dir)
       .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
         col("event_type").as("tag"))
@@ -623,6 +657,10 @@ object Patterns {
         col("_3").as("t2_us"), col("_4").as("t3_us"), col("_5").as("n_clicks"))
       .orderBy(col("user_id"))
   }
+
+  def q127ClickBurst(spark: SparkSession, dir: String): DataFrame =
+    matchQuant3(spark, dir, IndexedSeq(QStep.once("view"),
+      QStep.timesOrMore("click", 2), QStep.once("purchase")))
 
   val q127Sql: String =
     """WITH v AS (
@@ -850,6 +888,88 @@ object Patterns {
       |WHERE event_type = 'view' AND next_click IS NOT NULL AND t3 IS NOT NULL
       |ORDER BY user_id, t1_us""".stripMargin
 
+  /** Flink's `Pattern.followedByAny` — SKIP_TILL_ANY_MATCH contiguity
+    * (reference flink-cep pattern/Pattern.java `followedByAny`;
+    * nfa/NFA.java keeps the pre-branch state alive so EVERY later
+    * candidate extends it, not just the earliest). For a two-step
+    * `view followedByAny purchase` with `within(T)` the emitted match
+    * set is, exactly, every (view, purchase) pair of one key with
+    * `0 < t2 − t1 ≤ T` — so the Spark-first form needs no NFA at all:
+    * it IS a time-bounded equi-key pair join, fully declarative.
+    * Scale posture: one shuffle per side on the key, pair expansion
+    * bounded per (key, within-window) — the `within` clause is what
+    * keeps skip-till-any-match from going quadratic on a long-lived
+    * key, the same reason Flink requires it in production patterns. */
+  val AnyWithinUs: Long = 24L * 3600L * 1000000L
+
+  def q144AnyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t_us").as("t1_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("t_us").as("t2_us"))
+    v.join(p, col("user_id") === col("uid") &&
+        col("t2_us") > col("t1_us") &&
+        col("t2_us") <= col("t1_us") + AnyWithinUs)
+      .select(col("user_id"), col("t1_us"), col("t2_us"))
+      .orderBy(col("user_id"), col("t1_us"), col("t2_us"))
+  }
+
+  val q144Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events)
+       |SELECT v.user_id, v.t AS t1_us, p.t AS t2_us
+       |FROM ev v JOIN ev p ON v.user_id = p.user_id
+       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+       |  AND p.t > v.t AND p.t <= v.t + $AnyWithinUs
+       |ORDER BY v.user_id, t1_us, t2_us""".stripMargin
+
+  /** `view  followedBy  click.oneOrMore().until(error)  followedBy
+    * purchase` — the until-bounded loop (see [[QStep.oneOrMoreUntil]]):
+    * the click loop stops accepting at the user's first error after
+    * the view, so the first click must land before that boundary and
+    * the greedy click count stops at min(purchase, boundary). Same
+    * driver shape as q127 (one user-keyed shuffle, O(steps) state). */
+  def q145UntilBurst(spark: SparkSession, dir: String): DataFrame =
+    matchQuant3(spark, dir, IndexedSeq(QStep.once("view"),
+      QStep.oneOrMoreUntil("click", "error"), QStep.once("purchase")))
+
+  val q145Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |u AS (
+      |  SELECT v.user_id, min(epoch_us(e.ts)) AS fu
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'error' AND epoch_us(e.ts) > v.t1
+      |  GROUP BY v.user_id),
+      |c AS (
+      |  SELECT v.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  LEFT JOIN u ON v.user_id = u.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |    AND (u.fu IS NULL OR epoch_us(e.ts) < u.fu)
+      |  GROUP BY v.user_id),
+      |p AS (
+      |  SELECT c.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY c.user_id),
+      |n AS (
+      |  SELECT v.user_id, count(DISTINCT epoch_us(e.ts)) AS n_clicks
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  JOIN p ON v.user_id = p.user_id
+      |  LEFT JOIN u ON v.user_id = u.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |    AND epoch_us(e.ts) < p.t3
+      |    AND (u.fu IS NULL OR epoch_us(e.ts) < u.fu)
+      |  GROUP BY v.user_id)
+      |SELECT v.user_id, v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us, n.n_clicks
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |       JOIN p ON v.user_id = p.user_id
+      |       JOIN n ON v.user_id = n.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** Streaming twin of the quantified chain (required steps only; the
     * FINAL step must be non-looping — a greedy tail loop never closes
     * on an unbounded stream, the same reason Flink requires a
@@ -862,7 +982,7 @@ object Patterns {
     * feeds (PatternsSpec). */
   final case class QuantState(stepIdx: Int, cnt: Int, last: Long,
       comps: List[Long], counts: List[Int], extCnt: Int, extLast: Long,
-      done: Boolean)
+      done: Boolean, extClosed: Boolean = false)
   final case class QuantMatch(key: Long, ts: Seq[Long], counts: Seq[Int])
 
   def matchQuantStream(events: Dataset[PEvent], steps: IndexedSeq[QStep],
@@ -873,6 +993,9 @@ object Patterns {
     require(steps.forall(!_.optional), "streaming twin supports required steps only")
     require(!steps.last.looping, "final step must be non-looping on a stream")
     val n = steps.length
+    // an until boundary is STRICT (consumption needs t < boundary), so
+    // same-time ties must process the boundary event first
+    val untilTags = steps.flatMap(_.until).toSet
     events
       .withColumn("ets", timestamp_micros(col("t_us")))
       .withWatermark("ets", watermarkDelay)
@@ -887,12 +1010,30 @@ object Patterns {
               QuantState(0, 0, Long.MinValue, Nil, Nil, 0, Long.MinValue, false))
             val out = scala.collection.mutable.ArrayBuffer.empty[QuantMatch]
             var lastSeenUs = Long.MinValue
-            it.toSeq.sortBy(_.t_us).foreach { e =>
+            it.toSeq.sortBy(e => (e.t_us, if (untilTags(e.tag)) 0 else 1))
+              .foreach { e =>
               lastSeenUs = math.max(lastSeenUs, e.t_us)
+              if (!s.done) {
+                // until boundary of the CURRENT step: in-order arrival
+                // means the step is still short of `times`, so the
+                // committed chain can never complete — dead tombstone
+                // (same lifecycle as done, nothing emitted)
+                if (steps(s.stepIdx).until.contains(e.tag) &&
+                    e.t_us > s.comps.lastOption.getOrElse(Long.MinValue))
+                  s = s.copy(done = true)
+                // until boundary of the PREVIOUS looping step closes
+                // its greedy extension window (batch: extent capped at
+                // min(next completion, boundary))
+                else if (s.stepIdx > 0 &&
+                    steps(s.stepIdx - 1).until.contains(e.tag))
+                  s = s.copy(extClosed = true)
+              }
               if (!s.done) {
                 // greedy extension of the PREVIOUS completed step: its
                 // loop absorbs tag events until the current step closes
+                // (or its own until boundary hits)
                 if (s.stepIdx > 0 && steps(s.stepIdx - 1).looping &&
+                    !s.extClosed &&
                     e.tag == steps(s.stepIdx - 1).tag && e.t_us > s.extLast)
                   s = s.copy(extCnt = s.extCnt + 1, extLast = e.t_us)
                 val st = steps(s.stepIdx)
@@ -934,7 +1075,9 @@ object Patterns {
     "q127_click_burst" -> (q127ClickBurst _),
     "q135_all_funnels" -> (q135AllFunnels _),
     "q140_strict_next" -> (q140StrictNext _),
-    "q142_all_starts" -> (q142AllStarts _))
+    "q142_all_starts" -> (q142AllStarts _),
+    "q144_any_pairs" -> (q144AnyPairs _),
+    "q145_until_burst" -> (q145UntilBurst _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -943,5 +1086,7 @@ object Patterns {
     "q127_click_burst" -> q127Sql,
     "q135_all_funnels" -> q135Sql,
     "q140_strict_next" -> q140Sql,
-    "q142_all_starts" -> q142Sql)
+    "q142_all_starts" -> q142Sql,
+    "q144_any_pairs" -> q144Sql,
+    "q145_until_burst" -> q145Sql)
 }

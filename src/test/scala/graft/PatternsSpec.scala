@@ -480,6 +480,123 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exists(_._2 > 1L), "fixture should produce repeat matches")
   }
 
+  test("streaming until matcher over ordered batches equals the graded q145") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Patterns.QStep
+    implicit val ctx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, tag) => Patterns.PEvent(u, t, tag) }
+      .sortBy(_.t_us)
+    val steps = IndexedSeq(QStep.once("view"),
+      QStep.oneOrMoreUntil("click", "error"), QStep.once("purchase"))
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchQuantStream(ms.toDS(), steps)
+      .writeStream.format("memory").queryName("cepu").outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cepu").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Int](2).toList)).toSet
+    val batch = Patterns.q145UntilBurst(spark, sf).collect()
+      .map(r => (r.getLong(0), List(r.getLong(1), r.getLong(2), r.getLong(3)),
+        List(1, r.getLong(4).toInt, 1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the boundary must actually bite on this fixture: the same steps
+    // WITHOUT until admit strictly more users (8 of 15 first-clicks
+    // move or vanish at sf0.001 per the oracle derivation)
+    val free = Patterns.matchQuant3(
+      spark, sf, IndexedSeq(QStep.once("view"), QStep.oneOrMore("click"),
+        QStep.once("purchase")))
+    assert(free.count() > batch.size)
+  }
+
+  test("until boundary: consumption cut, greedy cap, and no-boundary degradation") {
+    import graft.operators.Patterns.QStep
+    val steps = IndexedSeq(QStep.once("a"), QStep.oneOrMoreUntil("b", "u"),
+      QStep.once("c"))
+    // boundary cuts required consumption -> no match at all
+    assert(Patterns.earliestQuantChain(
+      IndexedSeq(QStep.once("a"), QStep.oneOrMoreUntil("b", "u")),
+      Seq((1L, "a"), (2L, "u"), (3L, "b")).iterator).isEmpty)
+    // boundary caps the greedy extent but not the chain
+    val m1 = Patterns.earliestQuantChain(steps,
+      Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "u"), (5L, "b"), (6L, "c")).iterator)
+    assert(m1.contains(IndexedSeq((1L, 1), (2L, 2), (6L, 1))),
+      s"greedy count stops at the boundary: $m1")
+    // boundary past the next step's completion is inert
+    val m2 = Patterns.earliestQuantChain(steps,
+      Seq((1L, "a"), (2L, "b"), (3L, "b"), (5L, "b"), (6L, "c"), (10L, "u")).iterator)
+    assert(m2.contains(IndexedSeq((1L, 1), (2L, 3), (6L, 1))), s"$m2")
+    // no until event at all == plain oneOrMore
+    val evs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (6L, "c"))
+    assert(Patterns.earliestQuantChain(steps, evs.iterator) ==
+      Patterns.earliestQuantChain(IndexedSeq(QStep.once("a"),
+        QStep.oneOrMore("b"), QStep.once("c")), evs.iterator))
+    // until tag at/before the previous completion does not bound
+    val m3 = Patterns.earliestQuantChain(steps,
+      Seq((0L, "u"), (1L, "a"), (2L, "b"), (6L, "c")).iterator)
+    assert(m3.contains(IndexedSeq((1L, 1), (2L, 1), (6L, 1))), s"$m3")
+  }
+
+  test("until matcher equals the independent min/filter derivation on random event sets") {
+    import graft.operators.Patterns.QStep
+    val rng = new scala.util.Random(47)
+    val steps = IndexedSeq(QStep.once("a"), QStep.oneOrMoreUntil("b", "u"),
+      QStep.once("c"))
+    // independent formulation — the same derivation q145's DuckDB
+    // oracle states in SQL (min-chains + boundary filters), not the
+    // fold's forward pointer
+    def reference(evs: Seq[(Long, String)]): Option[(Long, Long, Long, Int)] = {
+      val t1 = evs.filter(_._2 == "a").map(_._1).minOption
+      t1.flatMap { t1 =>
+        val fu = evs.filter(e => e._2 == "u" && e._1 > t1).map(_._1)
+          .minOption.getOrElse(Long.MaxValue)
+        val t2 = evs.filter(e => e._2 == "b" && e._1 > t1 && e._1 < fu)
+          .map(_._1).minOption
+        t2.flatMap { t2 =>
+          val t3 = evs.filter(e => e._2 == "c" && e._1 > t2).map(_._1).minOption
+          t3.map { t3 =>
+            val n = evs.filter(e => e._2 == "b" && e._1 > t1 &&
+              e._1 < math.min(t3, fu)).map(_._1).distinct.size
+            (t1, t2, t3, n)
+          }
+        }
+      }
+    }
+    (1 to 300).foreach { i =>
+      val n = 1 + rng.nextInt(16)
+      val tags = IndexedSeq("a", "b", "c", "u")
+      val evs = Seq.fill(n)((rng.nextInt(12).toLong, tags(rng.nextInt(4))))
+      val got = Patterns.earliestQuantChain(steps, evs.iterator)
+        .map(m => (m(0)._1, m(1)._1, m(2)._1, m(1)._2))
+      assert(got == reference(evs), s"case $i evs=$evs got=$got")
+    }
+  }
+
+  test("q144 any-pairs equals the per-user nested-loop enumeration") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val brute = ev.filter(_._3 == "view").flatMap { case (u, tv, _) =>
+      ev.filter { case (u2, tp, tag) =>
+        u2 == u && tag == "purchase" && tp > tv &&
+          tp <= tv + graft.operators.Patterns.AnyWithinUs
+      }.map(p => (u, tv, p._2))
+    }.toSeq
+    val got = graft.operators.Patterns.q144AnyPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == brute.sorted && got.nonEmpty)
+    // overlapping alternatives exist (the skip-till-any surface)
+    assert(got.groupBy(t => (t._1, t._2)).exists(_._2.length > 1) ||
+      got.groupBy(t => (t._1, t._3)).exists(_._2.length > 1),
+      "fixture should produce at least one one-to-many pairing")
+  }
+
   test("q142 all-starts matches: earliest seed per user equals the q116 funnel") {
     val all = graft.operators.Patterns.q142AllStarts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
