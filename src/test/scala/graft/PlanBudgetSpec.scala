@@ -126,7 +126,17 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // NO_SKIP window matches: ONE events scan, two chained window
     // passes over one sort, no join (the join-back draft re-scanned
     // events for the clicks leg — twice-read rule, fourth sighting)
-    "q142_all_starts" -> PlanCounts(1, 0, 2, 0))
+    "q142_all_starts" -> PlanCounts(1, 0, 2, 0),
+    // followedByAny: two filtered events scans into one equi-key join
+    // (broadcast-hash at test scale; SMJ with one exchange per side on
+    // a cluster) + output sort — the within bound is a join condition,
+    // never a cross product
+    "q144_any_pairs" -> PlanCounts(2, 0, 1, 1),
+    // until burst: same single-pass census as q116/q127
+    "q145_until_burst" -> PlanCounts(1, 0, 2, 0),
+    // scatter-gather supersteps end on a localCheckpoint: the final
+    // plan is filter+sort over the checkpointed state relation
+    "q146_scatter_gather_sssp" -> PlanCounts(0, 0, 1, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
