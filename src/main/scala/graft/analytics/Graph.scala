@@ -687,6 +687,75 @@ object Graph {
        |WHERE deg.d >= 2
        |ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Global + average clustering coefficient (reference Gelly
+    * `library/clustering/undirected/GlobalClusteringCoefficient.java`
+    * — score = 3·triangles / triplets, triplets = Σ d(d−1)/2 — and
+    * `AverageClusteringCoefficient.java` — vertexCount counts EVERY
+    * degree-annotated vertex, the local-score sum only vertices with
+    * d > 1, average = sum / vertexCount). One graded row over the
+    * q56/q129 workload graph, reusing the degree-oriented triangle
+    * plan. Cross-engine exactness: counts are integers; gcc is ONE
+    * division of exact integers (bit-identical, the q126 device);
+    * acc follows the q128 device — per-vertex scores rounded to 9
+    * decimals before the sum, the aggregate rounded to 6. */
+  def q148ClusteringMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= TriQtyMax)
+      .select((col("l_partkey") % TriMod).as("a"),
+        ((col("l_suppkey") + TriShift) % TriMod).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+    // every metric is a sum over the SAME per-node (degree, triangle
+    // credit) frame — triangle_count falls out of the credits (each
+    // triangle credits exactly 3 vertices, so Σnt = 3T) — so the
+    // whole query is deg ⋈ vt → ONE aggregate: the triangle list,
+    // the degree relation, and the joined frame are each derived and
+    // read exactly once (no twice-read hazard, no checkpoint needed)
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val vt = q56EnumTriangles(spark, dir)
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("nt"))
+    deg.join(vt, Seq("n"), "left_outer")
+      .agg(
+        count(lit(1)).as("vertex_count"),
+        sum(expr("(d * (d - 1)) div 2")).as("triplet_count"),
+        sum(coalesce(col("nt"), lit(0L))).as("triangle_count"),
+        sum(when(col("d") >= 2, round((lit(2.0) * coalesce(col("nt"), lit(0L))) /
+          (col("d") * (col("d") - 1)), 9))).as("lcc_sum"))
+      .select(col("vertex_count"), col("triplet_count"), col("triangle_count"),
+        (col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
+        round(col("lcc_sum") / col("vertex_count"), 6).as("acc"))
+  }
+
+  val q148Sql: String =
+    s"""WITH raw AS (SELECT l_partkey % $TriMod AS a, (l_suppkey + $TriShift) % $TriMod AS b
+       |            FROM lineitem WHERE l_quantity <= $TriQtyMax),
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+       |tri AS (SELECT x.u AS t1, x.v AS t2, y.v AS t3
+       |        FROM e x JOIN e y ON x.u = y.u AND x.v < y.v),
+       |ctri AS (SELECT t1, t2, t3 FROM tri
+       |         WHERE EXISTS (SELECT 1 FROM e z WHERE z.u = tri.t2 AND z.v = tri.t3)),
+       |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+       |vt AS (SELECT n, CAST(count(*) AS BIGINT) AS nt FROM (
+       |          SELECT t1 AS n FROM ctri UNION ALL SELECT t2 FROM ctri
+       |          UNION ALL SELECT t3 FROM ctri) GROUP BY n),
+       |j AS (SELECT deg.d, coalesce(vt.nt, 0) AS nt
+       |      FROM deg LEFT JOIN vt ON deg.n = vt.n),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS vertex_count,
+       |             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triplet_count,
+       |             CAST(sum(nt) AS BIGINT) AS triangle_count,
+       |             sum(CASE WHEN d >= 2
+       |               THEN round(2.0 * nt / (d * (d - 1)), 9) END) AS lcc_sum
+       |      FROM j)
+       |SELECT vertex_count, triplet_count, triangle_count,
+       |  CAST(triangle_count AS DOUBLE) / triplet_count AS gcc,
+       |  round(lcc_sum / vertex_count, 6) AS acc
+       |FROM s""".stripMargin
+
   /** (cust nation, supp nation, l_returnflag, cnt): the ≤ 25×25×3-row
     * rollup of the lineitem⋈orders⋈customer⋈supplier fact join,
     * memoized per (session, dir) so q132/q136/q137 and
@@ -1029,6 +1098,7 @@ object Graph {
     "q124_label_propagation" -> (q124LabelPropagation _),
     "q128_adamic_adar" -> (q128AdamicAdar _),
     "q129_local_clustering" -> (q129LocalClustering _),
+    "q148_clustering_metrics" -> (q148ClusteringMetrics _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -1048,6 +1118,7 @@ object Graph {
     "q124_label_propagation" -> q124Sql,
     "q128_adamic_adar" -> q128Sql,
     "q129_local_clustering" -> q129Sql,
+    "q148_clustering_metrics" -> q148Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,

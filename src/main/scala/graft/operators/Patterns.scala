@@ -786,6 +786,109 @@ object Patterns {
        |ORDER BY user_id, match_idx""".stripMargin
   }
 
+  /** Flink's `AfterMatchSkipStrategy.skipToFirst/skipToLast(tag)`
+    * (reference flink-cep aftermatch/SkipToFirstStrategy.java,
+    * SkipToLastStrategy.java, SkipToElementStrategy.java): after each
+    * emitted match, matching resumes AT the event the designated step
+    * matched — runs seeded before that position are discarded, runs
+    * seeded at or after it survive, so successive matches MAY overlap
+    * on the tail of the previous one (unlike skip-past-last). On this
+    * library's non-looping chains a step matches exactly one event,
+    * so skipToFirst ≡ skipToLast of the same step; the parameter is
+    * the step INDEX. `resumeStep >= 1` is required — resuming at the
+    * seed step itself cannot advance, the exact infinite-loop case
+    * Flink's strategy validation throws on (SkipToFirstStrategy of
+    * the initial pattern element). Deterministic committed-earliest
+    * semantics per round, same as the rest of the family; per-key
+    * cost O(maxMatches · n) after one sort (overlapping rounds cannot
+    * share one forward pointer the way skip-past-last does). */
+  def allMatchesSkipToStep(steps: IndexedSeq[String], resumeStep: Int,
+      maxMatches: Int, events: Iterator[(Long, String)]): IndexedSeq[IndexedSeq[Long]] = {
+    require(resumeStep >= 1 && resumeStep < steps.length,
+      "resumeStep must name a non-seed step (Flink throws on skip-to-first of the initial element)")
+    val sorted = events.toArray.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]]
+    var bound = Long.MinValue // INCLUSIVE lower bound for the seed step
+    var more = true
+    while (out.length < maxMatches && more) {
+      val ts = new Array[Long](steps.length)
+      var si = 0
+      var last = Long.MinValue
+      var j = 0
+      while (j < sorted.length && si < steps.length) {
+        val (t, tag) = sorted(j)
+        if (tag == steps(si) && t > last && (si > 0 || t >= bound)) {
+          ts(si) = t; last = t; si += 1
+        }
+        j += 1
+      }
+      if (si == steps.length) {
+        out += ts.toIndexedSeq
+        // ts(resumeStep) > ts(0) >= bound, so the bound strictly
+        // advances every round — termination is structural
+        bound = ts(resumeStep)
+      } else more = false
+    }
+    out.toIndexedSeq
+  }
+
+  /** Re-engagement funnels under SKIP_TO_LAST(click): after each
+    * `view → click → purchase` match the next view may be seeded from
+    * the matched CLICK onward, so a view placed between the click and
+    * the purchase starts the next (overlapping) funnel — the
+    * strategy's observable difference from q135's skip-past-last. */
+  def q147SkipToClick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = IndexedSeq("view", "click", "purchase")
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        allMatchesSkipToStep(steps, 1, SkipMax, it.map(e => (e.t_us, e.tag)))
+          .zipWithIndex
+          .map { case (ts, idx) => (key, (idx + 1).toLong, ts(0), ts(1), ts(2)) }
+          .iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("match_idx"),
+        col("_3").as("t1_us"), col("_4").as("t2_us"), col("_5").as("t3_us"))
+      .orderBy(col("user_id"), col("match_idx"))
+  }
+
+  val q147Sql: String = {
+    val rounds = (1 to SkipMax).map { r =>
+      val seedBound =
+        if (r == 1) "e.t >= seed.t2" else s"e.t >= m${r - 1}.t2"
+      val prev = if (r == 1) "seed" else s"m${r - 1}"
+      s"""v$r AS (
+         |  SELECT e.user_id, min(e.t) AS t1
+         |  FROM ev e JOIN $prev ON e.user_id = $prev.user_id
+         |  WHERE e.event_type = 'view' AND $seedBound GROUP BY e.user_id),
+         |c$r AS (
+         |  SELECT e.user_id, min(e.t) AS t2
+         |  FROM ev e JOIN v$r ON e.user_id = v$r.user_id
+         |  WHERE e.event_type = 'click' AND e.t > v$r.t1 GROUP BY e.user_id),
+         |p$r AS (
+         |  SELECT e.user_id, min(e.t) AS t3
+         |  FROM ev e JOIN c$r ON e.user_id = c$r.user_id
+         |  WHERE e.event_type = 'purchase' AND e.t > c$r.t2 GROUP BY e.user_id),
+         |m$r AS (
+         |  SELECT v$r.user_id, v$r.t1, c$r.t2, p$r.t3
+         |  FROM v$r JOIN c$r ON v$r.user_id = c$r.user_id
+         |          JOIN p$r ON v$r.user_id = p$r.user_id)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to SkipMax).map { r =>
+      s"SELECT user_id, CAST($r AS BIGINT) AS match_idx, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+       |seed AS (SELECT DISTINCT user_id,
+       |  CAST(-9223372036854775808 AS BIGINT) AS t2 FROM ev),
+       |$rounds
+       |$union
+       |ORDER BY user_id, match_idx""".stripMargin
+  }
+
   /** Flink's `Pattern.next()` — STRICT contiguity (reference
     * flink-cep pattern/Pattern.java `next`; nfa strict transitions):
     * the chain must occupy CONSECUTIVE events of the key's time-
@@ -1077,7 +1180,8 @@ object Patterns {
     "q140_strict_next" -> (q140StrictNext _),
     "q142_all_starts" -> (q142AllStarts _),
     "q144_any_pairs" -> (q144AnyPairs _),
-    "q145_until_burst" -> (q145UntilBurst _))
+    "q145_until_burst" -> (q145UntilBurst _),
+    "q147_skip_to_click" -> (q147SkipToClick _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -1088,5 +1192,6 @@ object Patterns {
     "q140_strict_next" -> q140Sql,
     "q142_all_starts" -> q142Sql,
     "q144_any_pairs" -> q144Sql,
-    "q145_until_burst" -> q145Sql)
+    "q145_until_burst" -> q145Sql,
+    "q147_skip_to_click" -> q147Sql)
 }

@@ -148,6 +148,28 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("clustering metrics agree with the q129 per-vertex output") {
+    import graft.analytics.Graph
+    val row = Graph.q148ClusteringMetrics(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    val (vc, triplets, tri3, gcc, acc) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val lcc = Graph.q129LocalClustering(spark, sf).collect()
+    // q129 emits only d >= 2; vertex_count also includes d == 1
+    assert(vc >= lcc.length)
+    assert(triplets == lcc.map(x => x.getLong(1) * (x.getLong(1) - 1) / 2).sum,
+      "d==1 vertices contribute zero triplets")
+    assert(tri3 == 3 * Graph.q56EnumTriangles(spark, sf).count())
+    assert(math.abs(gcc - tri3.toDouble / triplets) == 0.0)
+    val accRef = lcc.map(x => BigDecimal(2.0 * x.getLong(2) /
+      (x.getLong(1) * (x.getLong(1) - 1))).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble).sum / vc
+    assert(math.abs(acc - BigDecimal(accRef).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6, s"acc=$acc ref=$accRef")
+    assert(gcc > 0.0 && gcc <= 1.0 && acc > 0.0 && acc <= 1.0)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))

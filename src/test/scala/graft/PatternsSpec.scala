@@ -597,6 +597,64 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
       "fixture should produce at least one one-to-many pairing")
   }
 
+  test("skip-to-step: repeated suffix chaining, overlap vs skip-past-last, seed guard") {
+    val steps = IndexedSeq("view", "click", "purchase")
+    // independent reference: round r = earliestChain over the events
+    // at/after the previous round's resume time (the chain lives
+    // entirely in [bound, inf) because completions ascend)
+    def reference(evs: Seq[(Long, String)], resumeStep: Int,
+        max: Int): Seq[IndexedSeq[Long]] = {
+      var bound = Long.MinValue
+      var out = List.empty[IndexedSeq[Long]]
+      var go = true
+      while (go && out.length < max) {
+        Patterns.earliestChain(steps, evs.filter(_._1 >= bound).iterator) match {
+          case Some(ts) => out = out :+ ts; bound = ts(resumeStep)
+          case None => go = false
+        }
+      }
+      out
+    }
+    val rng = new scala.util.Random(53)
+    (1 to 300).foreach { i =>
+      val n = 1 + rng.nextInt(20)
+      val tags = IndexedSeq("view", "click", "purchase", "noise")
+      val evs = Seq.fill(n)((rng.nextInt(15).toLong, tags(rng.nextInt(4))))
+      (1 to 2).foreach { rs =>
+        val got = Patterns.allMatchesSkipToStep(steps, rs, 5, evs.iterator)
+        assert(got == reference(evs, rs, 5), s"case $i rs=$rs evs=$evs got=$got")
+      }
+    }
+    // resuming at the seed step is the infinite-loop case Flink rejects
+    assertThrows[IllegalArgumentException] {
+      Patterns.allMatchesSkipToStep(steps, 0, 5, Iterator.empty)
+    }
+    // overlap: a view between click and purchase seeds the next match
+    val evs = Seq((1L, "view"), (2L, "click"), (3L, "view"), (4L, "purchase"),
+      (5L, "click"), (6L, "purchase"))
+    val got = Patterns.allMatchesSkipToStep(steps, 1, 5, evs.iterator)
+    assert(got == Seq(IndexedSeq(1L, 2L, 4L), IndexedSeq(3L, 5L, 6L)),
+      s"overlapping rounds expected: $got")
+    // skip-past-last on the same events finds only ONE match (the
+    // second view precedes the first purchase)
+    assert(Patterns.allMatchesSkipPastLast(steps, 5, evs.iterator).length == 1)
+  }
+
+  test("q147 first round equals q116; some user gains a match over q135") {
+    val all = graft.operators.Patterns.q147SkipToClick(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val first = all.filter(_._2 == 1L).map(t => (t._1, t._3, t._4, t._5)).toSet
+    val q116 = graft.operators.Patterns.q116Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(first == q116 && first.nonEmpty)
+    // overlap-permitting resume can only find MORE matches per user
+    val q135 = graft.operators.Patterns.q135AllFunnels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perUser147 = all.groupBy(_._1).view.mapValues(_.length).toMap
+    val perUser135 = q135.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perUser135.forall { case (u, n) => perUser147.getOrElse(u, 0) >= n })
+  }
+
   test("q142 all-starts matches: earliest seed per user equals the q116 funnel") {
     val all = graft.operators.Patterns.q142AllStarts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -136,7 +136,16 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q145_until_burst" -> PlanCounts(1, 0, 2, 0),
     // scatter-gather supersteps end on a localCheckpoint: the final
     // plan is filter+sort over the checkpointed state relation
-    "q146_scatter_gather_sssp" -> PlanCounts(0, 0, 1, 0))
+    "q146_scatter_gather_sssp" -> PlanCounts(0, 0, 1, 0),
+    // skip-to CEP: same single-pass census as q116/q135
+    "q147_skip_to_click" -> PlanCounts(1, 0, 2, 0),
+    // ONE aggregate over deg ⋈ per-vertex-credits: nothing is read
+    // twice, so no checkpoint — the 4 scans are q56's internal
+    // column-pruned edge legs + the degree leg, pipelined in one job
+    // (checkpointed variants measured 2.4 s/4.5 s vs 1.7 s/2.6 s at
+    // sf0.1/sf1 — materialization barriers beat parallel slack only
+    // when a relation is genuinely derived twice)
+    "q148_clustering_metrics" -> PlanCounts(4, 0, 9, 3))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
