@@ -756,6 +756,75 @@ object Graph {
        |  round(lcc_sum / vertex_count, 6) AS acc
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Undirected triadic census (reference Gelly
+    * `library/clustering/undirected/TriadicCensus.java:98-120`): the
+    * four undirected triad types in closed form from vertex count n,
+    * edge count m, triplet count t, and triangle count T —
+    * t30 = T; t21 = t − 3T; t12 = m(n−2) − 2·t21 − 3T;
+    * t03 = C(n,3) − t12 − t21 − t30 (the reference's exact BigInteger
+    * arithmetic, well inside Long here). Every input is a sum over
+    * the SAME per-node (degree, triangle-credit) frame as q148
+    * (m = Σd/2, t = Σd(d−1)/2, T = Σnt/3), so the census is the same
+    * single fused aggregate — pure integers, bit-identical
+    * cross-engine. */
+  def q149TriadicCensus(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= TriQtyMax)
+      .select((col("l_partkey") % TriMod).as("a"),
+        ((col("l_suppkey") + TriShift) % TriMod).as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val vt = q56EnumTriangles(spark, dir)
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("nt"))
+    deg.join(vt, Seq("n"), "left_outer")
+      .agg(
+        count(lit(1)).as("nv"),
+        sum(expr("d")).as("sumd"),
+        sum(expr("(d * (d - 1)) div 2")).as("t"),
+        sum(coalesce(col("nt"), lit(0L))).as("nt3"))
+      .select(col("nv"), expr("sumd div 2").as("m"), col("t"),
+        expr("nt3 div 3").as("tri"))
+      .select(col("nv"), col("m"), col("tri").as("t30"),
+        (col("t") - col("tri") * 3).as("t21"))
+      .select(col("nv"), col("t30"), col("t21"),
+        (expr("m * (nv - 2)") - col("t21") * 2 - col("t30") * 3).as("t12"))
+      .select(
+        (expr("nv * (nv - 1) * (nv - 2) div 6")
+          - col("t12") - col("t21") - col("t30")).as("t03"),
+        col("t12"), col("t21"), col("t30"))
+  }
+
+  val q149Sql: String =
+    s"""WITH raw AS (SELECT l_partkey % $TriMod AS a, (l_suppkey + $TriShift) % $TriMod AS b
+       |            FROM lineitem WHERE l_quantity <= $TriQtyMax),
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+       |tri AS (SELECT x.u AS t1, x.v AS t2, y.v AS t3
+       |        FROM e x JOIN e y ON x.u = y.u AND x.v < y.v),
+       |ctri AS (SELECT t1, t2, t3 FROM tri
+       |         WHERE EXISTS (SELECT 1 FROM e z WHERE z.u = tri.t2 AND z.v = tri.t3)),
+       |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+       |vt AS (SELECT n, CAST(count(*) AS BIGINT) AS nt FROM (
+       |          SELECT t1 AS n FROM ctri UNION ALL SELECT t2 FROM ctri
+       |          UNION ALL SELECT t3 FROM ctri) GROUP BY n),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+       |             CAST(sum(deg.d) // 2 AS BIGINT) AS m,
+       |             CAST(sum((deg.d * (deg.d - 1)) // 2) AS BIGINT) AS t,
+       |             CAST(sum(coalesce(vt.nt, 0)) // 3 AS BIGINT) AS tri
+       |      FROM deg LEFT JOIN vt ON deg.n = vt.n),
+       |c AS (SELECT nv, tri AS t30, t - tri * 3 AS t21,
+       |             m * (nv - 2) - (t - tri * 3) * 2 - tri * 3 AS t12
+       |      FROM s)
+       |SELECT CAST(nv * (nv - 1) * (nv - 2) // 6 - t12 - t21 - t30 AS BIGINT) AS t03,
+       |  CAST(t12 AS BIGINT) AS t12, CAST(t21 AS BIGINT) AS t21,
+       |  CAST(t30 AS BIGINT) AS t30
+       |FROM c""".stripMargin
+
   /** (cust nation, supp nation, l_returnflag, cnt): the ≤ 25×25×3-row
     * rollup of the lineitem⋈orders⋈customer⋈supplier fact join,
     * memoized per (session, dir) so q132/q136/q137 and
@@ -1099,6 +1168,7 @@ object Graph {
     "q128_adamic_adar" -> (q128AdamicAdar _),
     "q129_local_clustering" -> (q129LocalClustering _),
     "q148_clustering_metrics" -> (q148ClusteringMetrics _),
+    "q149_triadic_census" -> (q149TriadicCensus _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -1119,6 +1189,7 @@ object Graph {
     "q128_adamic_adar" -> q128Sql,
     "q129_local_clustering" -> q129Sql,
     "q148_clustering_metrics" -> q148Sql,
+    "q149_triadic_census" -> q149Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,

@@ -170,6 +170,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(gcc > 0.0 && gcc <= 1.0 && acc > 0.0 && acc <= 1.0)
   }
 
+  test("triadic census sums to (n choose 3) and agrees with the clustering metrics") {
+    import graft.analytics.Graph
+    val c = Graph.q149TriadicCensus(spark, sf).collect()(0)
+    val (t03, t12, t21, t30) = (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    assert(Seq(t03, t12, t21, t30).forall(_ >= 0))
+    val m = Graph.q148ClusteringMetrics(spark, sf).collect()(0)
+    val (vc, triplets, tri3) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    assert(t30 == tri3 / 3, "t30 is the triangle count")
+    assert(t21 == triplets - tri3, "t21 is the open-triplet count")
+    assert(t03 + t12 + t21 + t30 == vc * (vc - 1) * (vc - 2) / 6,
+      "the four types partition (n choose 3)")
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))

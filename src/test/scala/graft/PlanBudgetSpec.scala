@@ -145,7 +145,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // (checkpointed variants measured 2.4 s/4.5 s vs 1.7 s/2.6 s at
     // sf0.1/sf1 — materialization barriers beat parallel slack only
     // when a relation is genuinely derived twice)
-    "q148_clustering_metrics" -> PlanCounts(4, 0, 9, 3))
+    "q148_clustering_metrics" -> PlanCounts(4, 0, 9, 3),
+    // identical frame + closed-form projections, same census
+    "q149_triadic_census" -> PlanCounts(4, 0, 9, 3))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
