@@ -1119,6 +1119,341 @@ object Graph {
        |  CAST(max((l * (l - 1)) // 2 + l * h) AS BIGINT) AS max_rectangle_triplets
        |FROM perv""".stripMargin
 
+  // ------------------------------------------------- q150 / q151 / q152
+  /** Direction-annotated unordered pairs of the trade digraph: one
+    * row per neighbor pair {u < v} with `f` = edge u→v exists, `r` =
+    * edge v→u exists, `nbc` = f + r (1 or 2 directed edges). The
+    * substrate of the directed clustering family (reference Gelly
+    * `library/clustering/directed/TriangleListing.java` tracks the
+    * same per-pair direction bits through its bitmask). */
+  /** Library form over ANY simple digraph edge frame (`src`, `dst`;
+    * distinct, no self-loops). */
+  def dirPairs(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        (col("src") < col("dst")).as("isf"))
+      .groupBy(col("u"), col("v"))
+      .agg(max(when(col("isf"), 1L).otherwise(0L)).as("f"),
+        max(when(!col("isf"), 1L).otherwise(0L)).as("r"))
+      .withColumn("nbc", col("f") + col("r"))
+
+  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    dirPairs(tradeEdges(spark, dir))
+
+  private val tradePairsSql: String =
+    """tpr AS (
+      |  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+      |    CAST(max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS BIGINT) AS f,
+      |    CAST(max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |  FROM trade GROUP BY 1, 2)""".stripMargin
+
+  /** Triangles of the trade digraph's neighbor graph (a < b < c) with
+    * all six direction bits. The nation digraph is catalog-bounded
+    * (≤ 25 nodes, ≤ 300 pairs), so the plain sorted-pair join is the
+    * right plan; an unbounded digraph would reuse q56's
+    * degree-oriented build first. */
+  def dirTriangles(p: DataFrame): DataFrame = {
+    val x = p.select(col("u").as("a"), col("v").as("b"),
+      col("f").as("fab"), col("r").as("rab"))
+    val y = p.select(col("u").as("a2"), col("v").as("c"),
+      col("f").as("fac"), col("r").as("rac"))
+    val z = p.select(col("u").as("b2"), col("v").as("c2"),
+      col("f").as("fbc"), col("r").as("rbc"))
+    x.join(y, col("a") === col("a2") && col("b") < col("c"))
+      .join(z, col("b2") === col("b") && col("c2") === col("c"))
+      .select(col("a"), col("b"), col("c"), col("fab"), col("rab"),
+        col("fac"), col("rac"), col("fbc"), col("rbc"))
+  }
+
+  private val tradeTrianglesSql: String =
+    """ttri AS (
+      |  SELECT x.u AS a, x.v AS b, y.v AS c,
+      |    x.f AS fab, x.r AS rab, y.f AS fac, y.r AS rac,
+      |    z.f AS fbc, z.r AS rbc
+      |  FROM tpr x JOIN tpr y ON x.u = y.u AND x.v < y.v
+      |  JOIN tpr z ON z.u = x.v AND z.v = y.v)""".stripMargin
+
+  /** Directed local clustering coefficient (reference Gelly
+    * `library/clustering/directed/LocalClusteringCoefficient.java`):
+    * per vertex, the number of DIRECTED edges between its neighbors
+    * (each triangle credits a corner with the 1 or 2 directed edges
+    * of the opposite pair — the reference's SplitTriangles bitmask
+    * test) divided by d(d−1) ordered neighbor pairs, d = distinct
+    * neighbors. Vertices with d ≥ 2 emitted (the reference scores
+    * d ≤ 1 as NaN, which has no cross-engine encoding). Exact-integer
+    * one-division score. */
+  /** Library form over any simple digraph edge frame. */
+  def directedLocalClusteringFromEdges(edges: DataFrame): DataFrame = {
+    val p = dirPairs(edges)
+    val tri = dirTriangles(p)
+    val credits = tri.select(col("a").as("n"), (col("fbc") + col("rbc")).as("cr"))
+      .union(tri.select(col("b").as("n"), (col("fac") + col("rac")).as("cr")))
+      .union(tri.select(col("c").as("n"), (col("fab") + col("rab")).as("cr")))
+      .groupBy(col("n")).agg(sum(col("cr")).as("tc"))
+    val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(credits, Seq("n"), "left_outer")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("tc"), lit(0L)).as("tri_edges"),
+        (coalesce(col("tc"), lit(0L)).cast("double") /
+          (col("d") * (col("d") - 1))).as("lcc"))
+      .orderBy(col("node"))
+  }
+
+  def q150DirectedLocalClustering(spark: SparkSession, dir: String): DataFrame =
+    directedLocalClusteringFromEdges(tradeEdges(spark, dir))
+
+  val q150Sql: String =
+    s"""WITH $tradeSql,
+       |$tradePairsSql,
+       |$tradeTrianglesSql,
+       |cr AS (SELECT n, CAST(sum(c) AS BIGINT) AS tc FROM (
+       |    SELECT a AS n, fbc + rbc AS c FROM ttri
+       |    UNION ALL SELECT b, fac + rac FROM ttri
+       |    UNION ALL SELECT c, fab + rab FROM ttri) GROUP BY n),
+       |pdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS n FROM tpr UNION ALL SELECT v FROM tpr) GROUP BY n)
+       |SELECT pdeg.n AS node, pdeg.d AS degree,
+       |  coalesce(cr.tc, 0) AS tri_edges,
+       |  CAST(coalesce(cr.tc, 0) AS DOUBLE) / (pdeg.d * (pdeg.d - 1)) AS lcc
+       |FROM pdeg LEFT JOIN cr ON pdeg.n = cr.n
+       |WHERE pdeg.d >= 2
+       |ORDER BY node""".stripMargin
+
+  /** Directed global + average clustering coefficient (reference
+    * Gelly `library/clustering/directed/GlobalClusteringCoefficient
+    * .java` — 3·listed-triangles / triplets on the DIRECTED vertex
+    * metrics — and `AverageClusteringCoefficient.java` — vertexCount
+    * over all degree-annotated vertices, directed local scores summed
+    * for d > 1 only). Same rounding devices as q148. */
+  /** Library form over any simple digraph edge frame. */
+  def directedClusteringMetricsFromEdges(edges: DataFrame): DataFrame = {
+    val p = dirPairs(edges)
+    val tri = dirTriangles(p)
+    val credits = tri.select(col("a").as("n"), (col("fbc") + col("rbc")).as("cr"))
+      .union(tri.select(col("b").as("n"), (col("fac") + col("rac")).as("cr")))
+      .union(tri.select(col("c").as("n"), (col("fab") + col("rab")).as("cr")))
+      .groupBy(col("n")).agg(sum(col("cr")).as("tc"))
+    val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val triCount = tri.agg((count(lit(1)) * 3).as("triangle_count"))
+    deg.join(credits, Seq("n"), "left_outer")
+      .agg(
+        count(lit(1)).as("vertex_count"),
+        sum(expr("(d * (d - 1)) div 2")).as("triplet_count"),
+        sum(when(col("d") >= 2, round(coalesce(col("tc"), lit(0L)).cast("double") /
+          (col("d") * (col("d") - 1)), 9))).as("lcc_sum"))
+      .crossJoin(triCount)
+      .select(col("vertex_count"), col("triplet_count"), col("triangle_count"),
+        (col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
+        round(col("lcc_sum") / col("vertex_count"), 6).as("acc"))
+  }
+
+  def q151DirectedClusteringMetrics(spark: SparkSession, dir: String): DataFrame =
+    directedClusteringMetricsFromEdges(tradeEdges(spark, dir))
+
+  val q151Sql: String =
+    s"""WITH $tradeSql,
+       |$tradePairsSql,
+       |$tradeTrianglesSql,
+       |cr AS (SELECT n, CAST(sum(c) AS BIGINT) AS tc FROM (
+       |    SELECT a AS n, fbc + rbc AS c FROM ttri
+       |    UNION ALL SELECT b, fac + rac FROM ttri
+       |    UNION ALL SELECT c, fab + rab FROM ttri) GROUP BY n),
+       |pdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS n FROM tpr UNION ALL SELECT v FROM tpr) GROUP BY n),
+       |tc3 AS (SELECT CAST(3 * count(*) AS BIGINT) AS triangle_count FROM ttri),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS vertex_count,
+       |             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triplet_count,
+       |             sum(CASE WHEN d >= 2 THEN
+       |               round(CAST(coalesce(cr.tc, 0) AS DOUBLE) / (d * (d - 1)), 9)
+       |             END) AS lcc_sum
+       |      FROM pdeg LEFT JOIN cr ON pdeg.n = cr.n)
+       |SELECT s.vertex_count, s.triplet_count, tc3.triangle_count,
+       |  CAST(tc3.triangle_count AS DOUBLE) / s.triplet_count AS gcc,
+       |  round(s.lcc_sum / s.vertex_count, 6) AS acc
+       |FROM s, tc3""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  /** Directed triadic census (reference Gelly
+    * `library/clustering/directed/TriadicCensus.java:82-184`): the 16
+    * directed triad types. Triangle types classify each q150-family
+    * triangle by its bidirectional-pair count and the orientation of
+    * the unidirectional edges against the off-pair vertex (the
+    * semantics the reference encodes as the Batagelj-Mrvar bitmask
+    * type table); open-triplet types come from each vertex's
+    * (uni-source, uni-target, bidirectional) neighbor splits (the
+    * reference's VertexDegreesHelper products); the 1- and 0-edge
+    * types close in the reference's exact subtraction cascade. All
+    * integer arithmetic — bit-identical cross-engine. Output columns
+    * follow the reference Result order (003 … 300). */
+  /** Library form over any simple digraph edge frame. */
+  def directedTriadicCensusFromEdges(edges: DataFrame): DataFrame = {
+    val p = dirPairs(edges)
+    val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val outd = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("od"))
+    val ind = edges.groupBy(col("dst").as("n")).agg(count(lit(1)).as("id"))
+    val vagg = deg
+      .join(outd, Seq("n"), "left_outer").join(ind, Seq("n"), "left_outer")
+      .select(col("d"), (col("d") - coalesce(col("id"), lit(0L))).as("us"),
+        (col("d") - coalesce(col("od"), lit(0L))).as("ut"),
+        (coalesce(col("od"), lit(0L)) + coalesce(col("id"), lit(0L)) - col("d")).as("bi"))
+      .agg(
+        count(lit(1)).as("vc"),
+        sum(expr("us + ut")).as("uec2"),
+        sum(col("bi")).as("bec2"),
+        sum(expr("(us * (us - 1)) div 2")).as("p021d"),
+        sum(expr("(ut * (ut - 1)) div 2")).as("p021u"),
+        sum(expr("us * ut")).as("p021c"),
+        sum(expr("ut * bi")).as("p111d"),
+        sum(expr("us * bi")).as("p111u"),
+        sum(expr("(bi * (bi - 1)) div 2")).as("p201"))
+      .select(col("vc"), expr("uec2 div 2").as("uec"),
+        expr("bec2 div 2").as("bec"), col("p021d"), col("p021u"),
+        col("p021c"), col("p111d"), col("p111u"), col("p201"))
+    val biCnt = col("fab") * col("rab") + col("fac") * col("rac") +
+      col("fbc") * col("rbc")
+    val triType =
+      when(biCnt === 3, "300")
+        .when(biCnt === 2, "210")
+        .when(biCnt === 1,
+          when(col("fab") * col("rab") === 1, // bi pair {a,b}, z = c
+            when(col("rac") === 1 && col("rbc") === 1, "120d")
+              .when(col("fac") === 1 && col("fbc") === 1, "120u")
+              .otherwise("120c"))
+            .when(col("fac") * col("rac") === 1, // bi pair {a,c}, z = b
+              when(col("rab") === 1 && col("fbc") === 1, "120d")
+                .when(col("fab") === 1 && col("rbc") === 1, "120u")
+                .otherwise("120c"))
+            .otherwise( // bi pair {b,c}, z = a
+              when(col("fab") === 1 && col("fac") === 1, "120d")
+                .when(col("rab") === 1 && col("rac") === 1, "120u")
+                .otherwise("120c")))
+        .otherwise( // three unidirectional edges: cycle or transitive
+          when((col("fab") === 1 && col("fbc") === 1 && col("rac") === 1) ||
+            (col("rab") === 1 && col("rbc") === 1 && col("fac") === 1), "030c")
+            .otherwise("030t"))
+    val tagg = dirTriangles(p)
+      .select(triType.as("tt"))
+      .agg(
+        sum(when(col("tt") === "030t", 1L).otherwise(0L)).as("n030t"),
+        sum(when(col("tt") === "030c", 1L).otherwise(0L)).as("n030c"),
+        sum(when(col("tt") === "120d", 1L).otherwise(0L)).as("n120d"),
+        sum(when(col("tt") === "120u", 1L).otherwise(0L)).as("n120u"),
+        sum(when(col("tt") === "120c", 1L).otherwise(0L)).as("n120c"),
+        sum(when(col("tt") === "210", 1L).otherwise(0L)).as("n210"),
+        sum(when(col("tt") === "300", 1L).otherwise(0L)).as("n300"))
+    vagg.crossJoin(tagg)
+      .select(col("*"),
+        (col("p201") - col("n300") * 3 - col("n210")).as("t201"),
+        (col("p111d") - col("n210") - col("n120c") - col("n120d") * 2).as("t111d"),
+        (col("p111u") - col("n210") - col("n120c") - col("n120u") * 2).as("t111u"),
+        (col("p021c") - col("n120c") - col("n030c") * 3 - col("n030t")).as("t021c"),
+        (col("p021u") - col("n120u") - col("n030t")).as("t021u"),
+        (col("p021d") - col("n120d") - col("n030t")).as("t021d"))
+      .select(col("*"),
+        (col("bec") * (col("vc") - 2) - col("t111d") - col("t111u")
+          - col("t201") * 2 - col("n120d") - col("n120u") - col("n120c")
+          - col("n210") * 2 - col("n300") * 3).as("t102"),
+        (col("uec") * (col("vc") - 2)
+          - (col("t021d") + col("t021u") + col("t021c")) * 2
+          - col("t111d") - col("t111u") - col("n030t") * 3 - col("n030c") * 3
+          - (col("n120d") + col("n120u") + col("n120c")) * 2
+          - col("n210")).as("t012"))
+      .select(
+        (expr("vc * (vc - 1) * (vc - 2) div 6") - col("t012") - col("t102")
+          - col("t021d") - col("t021u") - col("t021c") - col("t111d")
+          - col("t111u") - col("n030t") - col("n030c") - col("t201")
+          - col("n120d") - col("n120u") - col("n120c") - col("n210")
+          - col("n300")).as("t003"),
+        col("t012"), col("t102"), col("t021d"), col("t021u"), col("t021c"),
+        col("t111d"), col("t111u"), col("n030t").as("t030t"),
+        col("n030c").as("t030c"), col("t201"), col("n120d").as("t120d"),
+        col("n120u").as("t120u"), col("n120c").as("t120c"),
+        col("n210").as("t210"), col("n300").as("t300"))
+  }
+
+  def q152DirectedTriadicCensus(spark: SparkSession, dir: String): DataFrame =
+    directedTriadicCensusFromEdges(tradeEdges(spark, dir).localCheckpoint(true))
+
+  val q152Sql: String =
+    s"""WITH $tradeSql,
+       |$tradePairsSql,
+       |$tradeTrianglesSql,
+       |pdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS n FROM tpr UNION ALL SELECT v FROM tpr) GROUP BY n),
+       |outd AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS od FROM trade GROUP BY src),
+       |ind AS (SELECT dst AS n, CAST(count(*) AS BIGINT) AS id FROM trade GROUP BY dst),
+       |pv AS (SELECT pdeg.d AS d,
+       |         pdeg.d - coalesce(ind.id, 0) AS us,
+       |         pdeg.d - coalesce(outd.od, 0) AS ut,
+       |         coalesce(outd.od, 0) + coalesce(ind.id, 0) - pdeg.d AS bi
+       |       FROM pdeg LEFT JOIN outd ON pdeg.n = outd.n
+       |                 LEFT JOIN ind ON pdeg.n = ind.n),
+       |vagg AS (SELECT CAST(count(*) AS BIGINT) AS vc,
+       |           CAST(sum(us + ut) // 2 AS BIGINT) AS uec,
+       |           CAST(sum(bi) // 2 AS BIGINT) AS bec,
+       |           CAST(sum((us * (us - 1)) // 2) AS BIGINT) AS p021d,
+       |           CAST(sum((ut * (ut - 1)) // 2) AS BIGINT) AS p021u,
+       |           CAST(sum(us * ut) AS BIGINT) AS p021c,
+       |           CAST(sum(ut * bi) AS BIGINT) AS p111d,
+       |           CAST(sum(us * bi) AS BIGINT) AS p111u,
+       |           CAST(sum((bi * (bi - 1)) // 2) AS BIGINT) AS p201
+       |         FROM pv),
+       |tt AS (SELECT CASE
+       |    WHEN fab * rab + fac * rac + fbc * rbc = 3 THEN '300'
+       |    WHEN fab * rab + fac * rac + fbc * rbc = 2 THEN '210'
+       |    WHEN fab * rab + fac * rac + fbc * rbc = 1 THEN
+       |      CASE WHEN fab * rab = 1 THEN
+       |             CASE WHEN rac = 1 AND rbc = 1 THEN '120d'
+       |                  WHEN fac = 1 AND fbc = 1 THEN '120u'
+       |                  ELSE '120c' END
+       |           WHEN fac * rac = 1 THEN
+       |             CASE WHEN rab = 1 AND fbc = 1 THEN '120d'
+       |                  WHEN fab = 1 AND rbc = 1 THEN '120u'
+       |                  ELSE '120c' END
+       |           ELSE
+       |             CASE WHEN fab = 1 AND fac = 1 THEN '120d'
+       |                  WHEN rab = 1 AND rac = 1 THEN '120u'
+       |                  ELSE '120c' END END
+       |    WHEN (fab = 1 AND fbc = 1 AND rac = 1)
+       |      OR (rab = 1 AND rbc = 1 AND fac = 1) THEN '030c'
+       |    ELSE '030t' END AS t FROM ttri),
+       |tagg AS (SELECT
+       |    CAST(sum(CASE WHEN t = '030t' THEN 1 ELSE 0 END) AS BIGINT) AS n030t,
+       |    CAST(sum(CASE WHEN t = '030c' THEN 1 ELSE 0 END) AS BIGINT) AS n030c,
+       |    CAST(sum(CASE WHEN t = '120d' THEN 1 ELSE 0 END) AS BIGINT) AS n120d,
+       |    CAST(sum(CASE WHEN t = '120u' THEN 1 ELSE 0 END) AS BIGINT) AS n120u,
+       |    CAST(sum(CASE WHEN t = '120c' THEN 1 ELSE 0 END) AS BIGINT) AS n120c,
+       |    CAST(sum(CASE WHEN t = '210' THEN 1 ELSE 0 END) AS BIGINT) AS n210,
+       |    CAST(sum(CASE WHEN t = '300' THEN 1 ELSE 0 END) AS BIGINT) AS n300
+       |  FROM tt),
+       |c1 AS (SELECT vagg.*, tagg.*,
+       |    p201 - n300 * 3 - n210 AS t201,
+       |    p111d - n210 - n120c - n120d * 2 AS t111d,
+       |    p111u - n210 - n120c - n120u * 2 AS t111u,
+       |    p021c - n120c - n030c * 3 - n030t AS t021c,
+       |    p021u - n120u - n030t AS t021u,
+       |    p021d - n120d - n030t AS t021d
+       |  FROM vagg, tagg),
+       |c2 AS (SELECT c1.*,
+       |    bec * (vc - 2) - t111d - t111u - t201 * 2 - n120d - n120u
+       |      - n120c - n210 * 2 - n300 * 3 AS t102,
+       |    uec * (vc - 2) - (t021d + t021u + t021c) * 2 - t111d - t111u
+       |      - n030t * 3 - n030c * 3 - (n120d + n120u + n120c) * 2
+       |      - n210 AS t012
+       |  FROM c1)
+       |SELECT CAST(vc * (vc - 1) * (vc - 2) // 6 - t012 - t102 - t021d
+       |    - t021u - t021c - t111d - t111u - n030t - n030c - t201
+       |    - n120d - n120u - n120c - n210 - n300 AS BIGINT) AS t003,
+       |  t012, t102, t021d, t021u, t021c, t111d, t111u,
+       |  n030t AS t030t, n030c AS t030c, t201, n120d AS t120d,
+       |  n120u AS t120u, n120c AS t120c, n210 AS t210, n300 AS t300
+       |FROM c2""".stripMargin
+
   // ---------------------------------------------------------------- q139
   /** Simple top projection of a bipartite graph (reference Gelly
     * `bipartite/BipartiteGraph.java:127 projectionTopSimple` +
@@ -1169,6 +1504,9 @@ object Graph {
     "q129_local_clustering" -> (q129LocalClustering _),
     "q148_clustering_metrics" -> (q148ClusteringMetrics _),
     "q149_triadic_census" -> (q149TriadicCensus _),
+    "q150_directed_local_clustering" -> (q150DirectedLocalClustering _),
+    "q151_directed_clustering_metrics" -> (q151DirectedClusteringMetrics _),
+    "q152_directed_triadic_census" -> (q152DirectedTriadicCensus _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -1190,6 +1528,9 @@ object Graph {
     "q129_local_clustering" -> q129Sql,
     "q148_clustering_metrics" -> q148Sql,
     "q149_triadic_census" -> q149Sql,
+    "q150_directed_local_clustering" -> q150Sql,
+    "q151_directed_clustering_metrics" -> q151Sql,
+    "q152_directed_triadic_census" -> q152Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,

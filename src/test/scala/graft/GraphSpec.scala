@@ -183,6 +183,90 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       "the four types partition (n choose 3)")
   }
 
+  test("directed census and local clustering equal a brute-force triad walk on random digraphs") {
+    import graft.analytics.Graph
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    // independent reference: classify every vertex triple by its
+    // (mutual, asymmetric, null) pair counts — the Holland-Leinhardt
+    // M-A-N naming the triad types come from — with sub-splits read
+    // off the raw adjacency set, not the pair-bit algebra the
+    // implementation uses
+    def classify(adj: Set[(Long, Long)], t: Seq[Long]): String = {
+      val prs = Seq((t(0), t(1)), (t(0), t(2)), (t(1), t(2)))
+      def has(x: Long, y: Long) = adj.contains((x, y))
+      def biP(p: (Long, Long)) = has(p._1, p._2) && has(p._2, p._1)
+      def uniP(p: (Long, Long)) = has(p._1, p._2) ^ has(p._2, p._1)
+      val nb = prs.count(biP)
+      val nu = prs.count(uniP)
+      def others(p: (Long, Long)) = t.filterNot(v => v == p._1 || v == p._2).head
+      (nb, nu) match {
+        case (0, 0) => "003"
+        case (0, 1) => "012"
+        case (1, 0) => "102"
+        case (2, 0) => "201"
+        case (3, 0) => "300"
+        case (2, 1) => "210"
+        case (0, 2) =>
+          val ups = prs.filter(uniP)
+          val m = t.find(v => ups.forall(p => p._1 == v || p._2 == v)).get
+          val outs = ups.count(p => has(m, if (p._1 == m) p._2 else p._1))
+          if (outs == 2) "021d" else if (outs == 0) "021u" else "021c"
+        case (1, 1) =>
+          val bp = prs.find(biP).get
+          val up = prs.find(uniP).get
+          val z = others(bp)
+          // the uni edge connects z with one bi endpoint
+          val v = if (up._1 == z) up._2 else up._1
+          if (has(z, v)) "111d" else "111u"
+        case (1, 2) =>
+          val bp = prs.find(biP).get
+          val z = others(bp)
+          val outs = Seq(bp._1, bp._2).count(x => has(z, x))
+          if (outs == 2) "120d" else if (outs == 0) "120u" else "120c"
+        case (0, 3) =>
+          val cyc = t.forall(v => prs.filter(p => p._1 == v || p._2 == v)
+            .count(p => has(v, if (p._1 == v) p._2 else p._1)) == 1)
+          if (cyc) "030c" else "030t"
+      }
+    }
+    val order = Seq("003", "012", "102", "021d", "021u", "021c", "111d",
+      "111u", "030t", "030c", "201", "120d", "120u", "120c", "210", "300")
+    (1 to 6).foreach { trial =>
+      val n = 9
+      val adj = (for {
+        i <- 0L until n; j <- 0L until n
+        if i != j && rng.nextDouble() < 0.3
+      } yield (i, j)).toSet
+      val edges = adj.toSeq.toDF("src", "dst")
+      // census vs brute triple walk (isolated vertices excluded by
+      // the implementation's edge-derived vertex set — mirror that)
+      val vs = adj.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = (for {
+        ai <- vs.indices; bi <- (ai + 1) until vs.length
+        ci <- (bi + 1) until vs.length
+      } yield classify(adj, Seq(vs(ai), vs(bi), vs(ci))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Graph.directedTriadicCensusFromEdges(edges).collect()(0)
+      order.zipWithIndex.foreach { case (ty, i) =>
+        assert(got.getLong(i) == brute.getOrElse(ty, 0L),
+          s"trial $trial type $ty: got ${got.getLong(i)} want ${brute.getOrElse(ty, 0L)}")
+      }
+      // directed local clustering vs brute neighbor-edge count
+      val lcc = Graph.directedLocalClusteringFromEdges(edges).collect()
+      lcc.foreach { r =>
+        val (v, d, tc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val nbrs = vs.filter(u => u != v &&
+          (adj.contains((u, v)) || adj.contains((v, u))))
+        assert(d == nbrs.length)
+        val want = (for { x <- nbrs; y <- nbrs if x != y }
+          yield if (adj.contains((x, y))) 1L else 0L).sum
+        assert(tc == want, s"trial $trial node $v: tc=$tc want=$want")
+        assert(r.getDouble(3) == tc.toDouble / (d * (d - 1)))
+      }
+    }
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val small = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_name"))

@@ -147,7 +147,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // when a relation is genuinely derived twice)
     "q148_clustering_metrics" -> PlanCounts(4, 0, 9, 3),
     // identical frame + closed-form projections, same census
-    "q149_triadic_census" -> PlanCounts(4, 0, 9, 3))
+    "q149_triadic_census" -> PlanCounts(4, 0, 9, 3),
+    // reads the MEMOIZED trade rollup (3 cached scans: pair legs +
+    // triangle count), zero file scans; algebra is node-cardinality
+    "q151_directed_clustering_metrics" -> PlanCounts(0, 3, 7, 4))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
