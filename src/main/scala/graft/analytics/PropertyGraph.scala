@@ -120,6 +120,45 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     graft.engine.Iterate.loopDF(states0.localCheckpoint(true), iters,
       checkpointEvery = 1) { (st, _) => gather(st, scatter(edges, st)) }
 
+  /** Gelly `runGatherSumApplyIteration` (reference flink-gelly
+    * gsa/GatherSumApplyIteration.java; Graph.java:1778): per
+    * superstep, `gatherSum(triplet-frame, states)` maps each
+    * state-annotated edge to a partial and SUMS per destination
+    * (gather + sum fused into one partial-aggregated frame — Spark's
+    * map-side combine IS the sum function), then `apply(states,
+    * sums)` folds the per-vertex sums into the next state. The
+    * difference from [[scatterGatherIteration]] is the contract, not
+    * the substrate: GSA's message derivation sees the SOURCE state
+    * joined onto the edge (Gelly's Neighbor<VV, EV>), and the
+    * aggregation is constrained to an associative sum the engine may
+    * partial-aggregate — which is exactly what a `groupBy(dst).agg`
+    * plan does. */
+  def gatherSumApplyIteration(states0: DataFrame, iters: Int)(
+      gatherSum: (DataFrame, DataFrame) => DataFrame,
+      apply: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    graft.engine.Iterate.loopDF(states0.localCheckpoint(true), iters,
+      checkpointEvery = 1) { (st, _) => apply(st, gatherSum(edges, st)) }
+
+  /** Gelly `runVertexCentricIteration` (reference flink-gelly
+    * pregel/VertexCentricIteration.java; Graph.java:1825 — the Pregel
+    * model: one ComputeFunction sees the vertex state + its inbox and
+    * emits messages). Realized as message-frame → full-state fold:
+    * `compute(states, messages)` returns BOTH the next states and the
+    * next message frame as one DataFrame pair per superstep. The
+    * inbox is a (dst, msg) frame; sendMessageTo(target) is a row in
+    * it; combiners are partial aggregation on the inbox groupBy. */
+  def vertexCentricIteration(states0: DataFrame, messages0: DataFrame, iters: Int)(
+      compute: (DataFrame, DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame = {
+    var st = states0.localCheckpoint(true)
+    var msg = messages0.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val (st2, msg2) = compute(st, msg, edges)
+      st = st2.localCheckpoint(true)
+      msg = msg2.localCheckpoint(true)
+    }
+    st
+  }
+
   /** Gelly reverse: flip every edge. */
   def reverse: PropertyGraph =
     copy(edges = edges.select(col("dst").as("src"), col("src").as("dst"), col("value")))

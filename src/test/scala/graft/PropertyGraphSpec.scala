@@ -115,4 +115,74 @@ class PropertyGraphSpec extends AnyFunSuite with SparkSpec {
     // 4 components: the cycle (label 100) + three pairs (0, 2, 4)
     assert(viaSg.map(_._2) == Set(100L, 0L, 2L, 4L))
   }
+
+  test("gatherSumApplyIteration re-derives the q146 scatter-gather SSSP exactly") {
+    import graft.analytics.GraphGen
+    // weighted path 0→1→2→3→4 plus a costly shortcut 0→4
+    val edges = GraphGen.path(spark, 5L)
+      .filter(col("src") < col("dst"))
+      .withColumn("value", col("src") + 1L)
+      .union(spark.range(1).select(lit(0L).as("src"), lit(4L).as("dst"),
+        lit(100L).as("value")))
+    val vs = edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
+      .distinct().withColumn("value", lit(0L))
+    val pg = PropertyGraph(vs, edges)
+    val init = pg.vertices.select(col("id").as("node"),
+      when(col("id") === 0L, 0L).otherwise(lit(null).cast("long")).as("dist"))
+    def viaSurface(run: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      run(init, 4).filter(col("dist").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGsa = viaSurface((st0, n) => pg.gatherSumApplyIteration(st0, n)(
+      gatherSum = (es, st) =>
+        es.join(broadcast(st.filter(col("dist").isNotNull)),
+            es("src") === col("node"))
+          .groupBy(col("dst").as("mnode"))
+          .agg(min(col("dist") + col("value")).as("msg")),
+      apply = (st, sums) =>
+        st.join(sums, st("node") === sums("mnode"), "left_outer")
+          .select(col("node"), least(col("dist"), col("msg")).as("dist"))))
+    val viaSg = viaSurface((st0, n) => pg.scatterGatherIteration(st0, n)(
+      scatter = (es, st) =>
+        es.join(broadcast(st.filter(col("dist").isNotNull)),
+            es("src") === col("node"))
+          .groupBy(col("dst").as("mnode"))
+          .agg(min(col("dist") + col("value")).as("msg")),
+      gather = (st, msgs) =>
+        st.join(msgs, st("node") === msgs("mnode"), "left_outer")
+          .select(col("node"), least(col("dist"), col("msg")).as("dist"))))
+    assert(viaGsa == viaSg && viaGsa.nonEmpty)
+    // the shortcut loses: dist(4) = 1+2+3+4 = 10, not 100
+    assert(viaGsa.contains((4L, 10L)))
+  }
+
+  test("vertexCentricIteration (pregel) re-derives connected components exactly") {
+    import graft.analytics.{Graph, GraphGen}
+    val edges = GraphGen.cycle(spark, 6L)
+      .select((col("src") + 100L).as("src"), (col("dst") + 100L).as("dst"))
+      .union(GraphGen.singletonEdges(spark, 3L))
+      .withColumn("value", lit(1L))
+    val pg = PropertyGraph(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("value", col("id")), edges)
+    val st0 = pg.vertices.select(col("id").as("node"), col("value").as("label"))
+    // round-0 inbox: every vertex messages itself its own label
+    val msg0 = st0.select(col("node").as("dst"), col("label").as("msg"))
+    // 7 supersteps: pregel's first fold is the self-inbox no-op, so
+    // k iterations = k-1 propagation hops; the 6-cycle needs 5
+    val viaPregel = pg.vertexCentricIteration(st0, msg0, 7) { (st, inbox, es) =>
+      // compute: fold inbox minima into the state, then send the new
+      // label along every out-edge (the Pregel ComputeFunction body)
+      val folded = st.join(
+          inbox.groupBy(col("dst").as("mnode")).agg(min(col("msg")).as("m")),
+          st("node") === col("mnode"), "left_outer")
+        .select(col("node"), least(col("label"), col("m")).as("label"))
+      val outbox = es.join(broadcast(folded), es("src") === col("node"))
+        .select(es("dst").as("dst"), col("label").as("msg"))
+      (folded, outbox)
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLib = Graph.connectedComponentsFromEdges(edges.select("src", "dst"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPregel == viaLib && viaPregel.nonEmpty)
+  }
 }
