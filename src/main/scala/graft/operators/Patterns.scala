@@ -527,7 +527,7 @@ object Patterns {
     */
   final case class QStep(tag: String, times: Int = 1,
       looping: Boolean = false, optional: Boolean = false,
-      until: Option[String] = None)
+      until: Option[String] = None, maxTimes: Option[Int] = None)
   object QStep {
     def once(tag: String): QStep = QStep(tag)
     def oneOrMore(tag: String): QStep = QStep(tag, 1, looping = true)
@@ -535,6 +535,17 @@ object Patterns {
       require(n >= 1, "timesOrMore needs n >= 1"); QStep(tag, n, looping = true)
     }
     def optional(tag: String): QStep = QStep(tag, 0, optional = true)
+    /** Flink `Pattern.times(from, to)` (reference flink-cep
+      * pattern/Pattern.java:400, Quantifier.Times.of(from, to)): the
+      * loop must consume at least `from` events and greedily absorbs
+      * at most `to` — the reported greedy count is capped at `to`,
+      * events past the cap are skipped under relaxed contiguity.
+      * Flink's `from == 0` optional special case is not folded in;
+      * use [[optional]] for that. */
+    def timesRange(tag: String, from: Int, to: Int): QStep = {
+      require(from >= 1 && to >= from, "times(from, to) needs 1 <= from <= to")
+      QStep(tag, from, looping = true, maxTimes = Some(to))
+    }
     /** Flink `Pattern.oneOrMore().until(cond)` (reference flink-cep
       * pattern/Pattern.java `until`; nfa/NFA.java stop states): the
       * loop stops ACCEPTING at the first `untilTag` event strictly
@@ -625,7 +636,7 @@ object Patterns {
           sorted.foreach { case (t, tag) =>
             if (tag == st.tag && t > lo && t < hi && t > last) { cnt += 1; last = t }
           }
-          res(si) = (res(si)._1, cnt)
+          res(si) = (res(si)._1, st.maxTimes.fold(cnt)(math.min(cnt, _)))
         }
       }
       Some(res.toIndexedSeq)
@@ -785,6 +796,41 @@ object Patterns {
        |$union
        |ORDER BY user_id, match_idx""".stripMargin
   }
+
+  /** `view  followedBy  click.times(2, 4)  followedBy  purchase` —
+    * the bounded-range quantifier ([[QStep.timesRange]]): completion
+    * at the 2nd click, greedy count capped at 4. */
+  def q153TimesRange(spark: SparkSession, dir: String): DataFrame =
+    matchQuant3(spark, dir, IndexedSeq(QStep.once("view"),
+      QStep.timesRange("click", 2, 4), QStep.once("purchase")))
+
+  val q153Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |ct AS (
+      |  SELECT DISTINCT e.user_id, epoch_us(e.ts) AS t
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1),
+      |k AS (
+      |  SELECT user_id, t AS t2 FROM (
+      |    SELECT user_id, t,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+      |    FROM ct) WHERE rn = 2),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN k ON e.user_id = k.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > k.t2
+      |  GROUP BY e.user_id),
+      |n AS (
+      |  SELECT ct.user_id, least(count(*), 4) AS n_clicks
+      |  FROM ct JOIN p ON ct.user_id = p.user_id
+      |  WHERE ct.t < p.t3 GROUP BY ct.user_id)
+      |SELECT v.user_id, v.t1 AS t1_us, k.t2 AS t2_us, p.t3 AS t3_us, n.n_clicks
+      |FROM v JOIN k ON v.user_id = k.user_id
+      |       JOIN p ON v.user_id = p.user_id
+      |       JOIN n ON v.user_id = n.user_id
+      |ORDER BY v.user_id""".stripMargin
 
   /** Flink's `AfterMatchSkipStrategy.skipToFirst/skipToLast(tag)`
     * (reference flink-cep aftermatch/SkipToFirstStrategy.java,
@@ -1147,9 +1193,11 @@ object Patterns {
                     val prevCount =
                       if (s.stepIdx == 0) Nil
                       else List(
-                        if (steps(s.stepIdx - 1).looping)
-                          steps(s.stepIdx - 1).times + s.extCnt
-                        else 1)
+                        if (steps(s.stepIdx - 1).looping) {
+                          val raw = steps(s.stepIdx - 1).times + s.extCnt
+                          steps(s.stepIdx - 1).maxTimes
+                            .fold(raw)(math.min(raw, _))
+                        } else 1)
                     s = QuantState(s.stepIdx + 1, 0, s.last,
                       s.comps :+ s.last, s.counts ++ prevCount,
                       extCnt = 0, extLast = s.last, done = false)
@@ -1181,7 +1229,8 @@ object Patterns {
     "q142_all_starts" -> (q142AllStarts _),
     "q144_any_pairs" -> (q144AnyPairs _),
     "q145_until_burst" -> (q145UntilBurst _),
-    "q147_skip_to_click" -> (q147SkipToClick _))
+    "q147_skip_to_click" -> (q147SkipToClick _),
+    "q153_times_range" -> (q153TimesRange _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -1193,5 +1242,6 @@ object Patterns {
     "q142_all_starts" -> q142Sql,
     "q144_any_pairs" -> q144Sql,
     "q145_until_burst" -> q145Sql,
-    "q147_skip_to_click" -> q147Sql)
+    "q147_skip_to_click" -> q147Sql,
+    "q153_times_range" -> q153Sql)
 }

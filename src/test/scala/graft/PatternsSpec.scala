@@ -578,6 +578,25 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("times(from, to) caps the greedy count and keeps the chain identical") {
+    import graft.operators.Patterns.QStep
+    val free = IndexedSeq(QStep.once("a"), QStep.timesOrMore("b", 2), QStep.once("c"))
+    val bounded = IndexedSeq(QStep.once("a"), QStep.timesRange("b", 2, 3), QStep.once("c"))
+    val evs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "b"), (5L, "b"),
+      (6L, "b"), (9L, "c"))
+    val mf = Patterns.earliestQuantChain(free, evs.iterator)
+    val mb = Patterns.earliestQuantChain(bounded, evs.iterator)
+    assert(mf.map(_.map(_._1)) == mb.map(_.map(_._1)),
+      "completion times are unaffected by the cap")
+    assert(mf.get(1)._2 == 5 && mb.get(1)._2 == 3,
+      s"greedy count capped at to: free=$mf bounded=$mb")
+    // below-cap extent reports the true count
+    val short = Seq((1L, "a"), (2L, "b"), (3L, "b"), (9L, "c"))
+    assert(Patterns.earliestQuantChain(bounded, short.iterator).get(1)._2 == 2)
+    assertThrows[IllegalArgumentException] { QStep.timesRange("b", 0, 2) }
+    assertThrows[IllegalArgumentException] { QStep.timesRange("b", 3, 2) }
+  }
+
   test("q144 any-pairs equals the per-user nested-loop enumeration") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
