@@ -699,7 +699,14 @@ object Graph {
     * division of exact integers (bit-identical, the q126 device);
     * acc follows the q128 device — per-vertex scores rounded to 9
     * decimals before the sum, the aggregate rounded to 6. */
-  def q148ClusteringMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** The q148/q149 substrate: the per-node (degree, triangle credit)
+    * frame of the q56/q129 workload graph — every clustering metric
+    * and every triad-census input is a sum over it (Σnt = 3T: each
+    * triangle credits exactly 3 vertices), so both graded queries are
+    * ONE aggregate over this join: the triangle list, the degree
+    * relation, and the joined frame are each derived and read exactly
+    * once (no twice-read hazard, no checkpoint needed). */
+  private def triDegCreditFrame(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") <= TriQtyMax)
       .select((col("l_partkey") % TriMod).as("a"),
@@ -707,18 +714,16 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val und = raw.select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v")).distinct()
-    // every metric is a sum over the SAME per-node (degree, triangle
-    // credit) frame — triangle_count falls out of the credits (each
-    // triangle credits exactly 3 vertices, so Σnt = 3T) — so the
-    // whole query is deg ⋈ vt → ONE aggregate: the triangle list,
-    // the degree relation, and the joined frame are each derived and
-    // read exactly once (no twice-read hazard, no checkpoint needed)
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val vt = q56EnumTriangles(spark, dir)
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("nt"))
     deg.join(vt, Seq("n"), "left_outer")
+  }
+
+  def q148ClusteringMetrics(spark: SparkSession, dir: String): DataFrame = {
+    triDegCreditFrame(spark, dir)
       .agg(
         count(lit(1)).as("vertex_count"),
         sum(expr("(d * (d - 1)) div 2")).as("triplet_count"),
@@ -769,19 +774,7 @@ object Graph {
     * single fused aggregate — pure integers, bit-identical
     * cross-engine. */
   def q149TriadicCensus(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.lineitem(spark, dir)
-      .filter(col("l_quantity") <= TriQtyMax)
-      .select((col("l_partkey") % TriMod).as("a"),
-        ((col("l_suppkey") + TriShift) % TriMod).as("b"))
-      .filter(col("a") =!= col("b"))
-    val und = raw.select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v")).distinct()
-    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val vt = q56EnumTriangles(spark, dir)
-      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("nt"))
-    deg.join(vt, Seq("n"), "left_outer")
+    triDegCreditFrame(spark, dir)
       .agg(
         count(lit(1)).as("nv"),
         sum(expr("d")).as("sumd"),
@@ -1183,8 +1176,11 @@ object Graph {
     * neighbors. Vertices with d ≥ 2 emitted (the reference scores
     * d ≤ 1 as NaN, which has no cross-engine encoding). Exact-integer
     * one-division score. */
-  /** Library form over any simple digraph edge frame. */
-  def directedLocalClusteringFromEdges(edges: DataFrame): DataFrame = {
+  /** Shared substrate of the directed clustering family: the pair
+    * frame, its triangle frame, the per-vertex directed-edge credits,
+    * and the distinct-neighbor degree frame. */
+  private def dirCreditFrames(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val p = dirPairs(edges)
     val tri = dirTriangles(p)
     val credits = tri.select(col("a").as("n"), (col("fbc") + col("rbc")).as("cr"))
@@ -1193,6 +1189,12 @@ object Graph {
       .groupBy(col("n")).agg(sum(col("cr")).as("tc"))
     val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    (p, tri, credits, deg)
+  }
+
+  /** Library form over any simple digraph edge frame. */
+  def directedLocalClusteringFromEdges(edges: DataFrame): DataFrame = {
+    val (_, _, credits, deg) = dirCreditFrames(edges)
     deg.filter(col("d") >= 2)
       .join(credits, Seq("n"), "left_outer")
       .select(col("n").as("node"), col("d").as("degree"),
@@ -1228,23 +1230,19 @@ object Graph {
     * metrics — and `AverageClusteringCoefficient.java` — vertexCount
     * over all degree-annotated vertices, directed local scores summed
     * for d > 1 only). Same rounding devices as q148. */
-  /** Library form over any simple digraph edge frame. */
+  /** Library form over any simple digraph edge frame. The lcc sum
+    * coalesces to 0 so a graph with no d ≥ 2 vertex averages 0.0
+    * (Gelly's empty-sum helper), not NULL. */
   def directedClusteringMetricsFromEdges(edges: DataFrame): DataFrame = {
-    val p = dirPairs(edges)
-    val tri = dirTriangles(p)
-    val credits = tri.select(col("a").as("n"), (col("fbc") + col("rbc")).as("cr"))
-      .union(tri.select(col("b").as("n"), (col("fac") + col("rac")).as("cr")))
-      .union(tri.select(col("c").as("n"), (col("fab") + col("rab")).as("cr")))
-      .groupBy(col("n")).agg(sum(col("cr")).as("tc"))
-    val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val (_, tri, credits, deg) = dirCreditFrames(edges)
     val triCount = tri.agg((count(lit(1)) * 3).as("triangle_count"))
     deg.join(credits, Seq("n"), "left_outer")
       .agg(
         count(lit(1)).as("vertex_count"),
         sum(expr("(d * (d - 1)) div 2")).as("triplet_count"),
-        sum(when(col("d") >= 2, round(coalesce(col("tc"), lit(0L)).cast("double") /
-          (col("d") * (col("d") - 1)), 9))).as("lcc_sum"))
+        coalesce(sum(when(col("d") >= 2,
+          round(coalesce(col("tc"), lit(0L)).cast("double") /
+            (col("d") * (col("d") - 1)), 9))), lit(0.0)).as("lcc_sum"))
       .crossJoin(triCount)
       .select(col("vertex_count"), col("triplet_count"), col("triangle_count"),
         (col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
@@ -1267,9 +1265,9 @@ object Graph {
        |tc3 AS (SELECT CAST(3 * count(*) AS BIGINT) AS triangle_count FROM ttri),
        |s AS (SELECT CAST(count(*) AS BIGINT) AS vertex_count,
        |             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triplet_count,
-       |             sum(CASE WHEN d >= 2 THEN
+       |             coalesce(sum(CASE WHEN d >= 2 THEN
        |               round(CAST(coalesce(cr.tc, 0) AS DOUBLE) / (d * (d - 1)), 9)
-       |             END) AS lcc_sum
+       |             END), 0.0) AS lcc_sum
        |      FROM pdeg LEFT JOIN cr ON pdeg.n = cr.n)
        |SELECT s.vertex_count, s.triplet_count, tc3.triangle_count,
        |  CAST(tc3.triangle_count AS DOUBLE) / s.triplet_count AS gcc,
@@ -1336,16 +1334,17 @@ object Graph {
           when((col("fab") === 1 && col("fbc") === 1 && col("rac") === 1) ||
             (col("rab") === 1 && col("rbc") === 1 && col("fac") === 1), "030c")
             .otherwise("030t"))
+    // coalesce: sum over an EMPTY relation is NULL in Spark, and a
+    // triangle-free digraph is a legal input to this library form —
+    // NULL here would poison every downstream cascade subtraction
+    def cnt(ty: String) =
+      coalesce(sum(when(col("tt") === ty, 1L).otherwise(0L)), lit(0L))
     val tagg = dirTriangles(p)
       .select(triType.as("tt"))
-      .agg(
-        sum(when(col("tt") === "030t", 1L).otherwise(0L)).as("n030t"),
-        sum(when(col("tt") === "030c", 1L).otherwise(0L)).as("n030c"),
-        sum(when(col("tt") === "120d", 1L).otherwise(0L)).as("n120d"),
-        sum(when(col("tt") === "120u", 1L).otherwise(0L)).as("n120u"),
-        sum(when(col("tt") === "120c", 1L).otherwise(0L)).as("n120c"),
-        sum(when(col("tt") === "210", 1L).otherwise(0L)).as("n210"),
-        sum(when(col("tt") === "300", 1L).otherwise(0L)).as("n300"))
+      .agg(cnt("030t").as("n030t"), cnt("030c").as("n030c"),
+        cnt("120d").as("n120d"), cnt("120u").as("n120u"),
+        cnt("120c").as("n120c"), cnt("210").as("n210"),
+        cnt("300").as("n300"))
     vagg.crossJoin(tagg)
       .select(col("*"),
         (col("p201") - col("n300") * 3 - col("n210")).as("t201"),
@@ -1423,13 +1422,13 @@ object Graph {
        |      OR (rab = 1 AND rbc = 1 AND fac = 1) THEN '030c'
        |    ELSE '030t' END AS t FROM ttri),
        |tagg AS (SELECT
-       |    CAST(sum(CASE WHEN t = '030t' THEN 1 ELSE 0 END) AS BIGINT) AS n030t,
-       |    CAST(sum(CASE WHEN t = '030c' THEN 1 ELSE 0 END) AS BIGINT) AS n030c,
-       |    CAST(sum(CASE WHEN t = '120d' THEN 1 ELSE 0 END) AS BIGINT) AS n120d,
-       |    CAST(sum(CASE WHEN t = '120u' THEN 1 ELSE 0 END) AS BIGINT) AS n120u,
-       |    CAST(sum(CASE WHEN t = '120c' THEN 1 ELSE 0 END) AS BIGINT) AS n120c,
-       |    CAST(sum(CASE WHEN t = '210' THEN 1 ELSE 0 END) AS BIGINT) AS n210,
-       |    CAST(sum(CASE WHEN t = '300' THEN 1 ELSE 0 END) AS BIGINT) AS n300
+       |    CAST(coalesce(sum(CASE WHEN t = '030t' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n030t,
+       |    CAST(coalesce(sum(CASE WHEN t = '030c' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n030c,
+       |    CAST(coalesce(sum(CASE WHEN t = '120d' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n120d,
+       |    CAST(coalesce(sum(CASE WHEN t = '120u' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n120u,
+       |    CAST(coalesce(sum(CASE WHEN t = '120c' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n120c,
+       |    CAST(coalesce(sum(CASE WHEN t = '210' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n210,
+       |    CAST(coalesce(sum(CASE WHEN t = '300' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n300
        |  FROM tt),
        |c1 AS (SELECT vagg.*, tagg.*,
        |    p201 - n300 * 3 - n210 AS t201,

@@ -136,8 +136,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def gatherSumApplyIteration(states0: DataFrame, iters: Int)(
       gatherSum: (DataFrame, DataFrame) => DataFrame,
       apply: (DataFrame, DataFrame) => DataFrame): DataFrame =
-    graft.engine.Iterate.loopDF(states0.localCheckpoint(true), iters,
-      checkpointEvery = 1) { (st, _) => apply(st, gatherSum(edges, st)) }
+    // same substrate as the spargel surface — only the contract
+    // (gather+sum fusion, source-state visibility) differs
+    scatterGatherIteration(states0, iters)(gatherSum, apply)
 
   /** Gelly `runVertexCentricIteration` (reference flink-gelly
     * pregel/VertexCentricIteration.java; Graph.java:1825 — the Pregel

@@ -232,9 +232,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
     val order = Seq("003", "012", "102", "021d", "021u", "021c", "111d",
       "111u", "030t", "030c", "201", "120d", "120u", "120c", "210", "300")
-    (1 to 6).foreach { trial =>
+    // trial 0 is a TRIANGLE-FREE digraph (a directed path): the
+    // census must return integer zeros, not NULL-poisoned rows
+    // (sum over an empty relation is NULL — the review finding)
+    val fixedCases: Seq[Set[(Long, Long)]] =
+      Seq(Set((0L, 1L), (1L, 2L), (2L, 3L)))
+    (0 to 6).foreach { trial =>
       val n = 9
-      val adj = (for {
+      val adj = if (trial < fixedCases.length) fixedCases(trial)
+      else (for {
         i <- 0L until n; j <- 0L until n
         if i != j && rng.nextDouble() < 0.3
       } yield (i, j)).toSet
