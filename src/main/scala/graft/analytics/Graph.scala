@@ -1167,6 +1167,24 @@ object Graph {
       |  FROM tpr x JOIN tpr y ON x.u = y.u AND x.v < y.v
       |  JOIN tpr z ON z.u = x.v AND z.v = y.v)""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Directed triangle listing (reference Gelly
+    * `library/clustering/directed/TriangleListing.java`): each
+    * triangle of the neighbor graph once (a < b < c) with all six
+    * direction flags — the reference's 6-bit bitmask as explicit
+    * columns (fab = a→b exists, rab = b→a, …), which is the same
+    * information without the internal bit-packing. */
+  def q154DirectedTriangleListing(spark: SparkSession, dir: String): DataFrame =
+    dirTriangles(tradePairs(spark, dir))
+      .orderBy(col("a"), col("b"), col("c"))
+
+  val q154Sql: String =
+    s"""WITH $tradeSql,
+       |$tradePairsSql,
+       |$tradeTrianglesSql
+       |SELECT a, b, c, fab, rab, fac, rac, fbc, rbc FROM ttri
+       |ORDER BY a, b, c""".stripMargin
+
   /** Directed local clustering coefficient (reference Gelly
     * `library/clustering/directed/LocalClusteringCoefficient.java`):
     * per vertex, the number of DIRECTED edges between its neighbors
@@ -1506,6 +1524,7 @@ object Graph {
     "q150_directed_local_clustering" -> (q150DirectedLocalClustering _),
     "q151_directed_clustering_metrics" -> (q151DirectedClusteringMetrics _),
     "q152_directed_triadic_census" -> (q152DirectedTriadicCensus _),
+    "q154_directed_triangle_listing" -> (q154DirectedTriangleListing _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -1530,6 +1549,7 @@ object Graph {
     "q150_directed_local_clustering" -> q150Sql,
     "q151_directed_clustering_metrics" -> q151Sql,
     "q152_directed_triadic_census" -> q152Sql,
+    "q154_directed_triangle_listing" -> q154Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,

@@ -160,6 +160,63 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     st
   }
 
+  // ------------------------------------------------ mutation methods
+  /** Gelly addVertices (Graph.java:1379, VerticesUnionCoGroup): new
+    * vertices merge in, but on an id conflict the EXISTING vertex
+    * wins. */
+  def addVertices(newVertices: DataFrame): PropertyGraph =
+    copy(vertices = vertices.unionByName(
+      newVertices.join(vertices.select(col("id")), Seq("id"), "left_anti")))
+
+  /** Gelly addEdges (Graph.java:1430): bag union — duplicate edges
+    * are kept, matching the reference (only UNION dedups vertices,
+    * never edges). Endpoints are assumed present (the reference's
+    * invalid-edge handling is its joinWithVertices validation). */
+  def addEdges(newEdges: DataFrame): PropertyGraph =
+    copy(edges = edges.unionByName(newEdges))
+
+  /** Gelly removeVertices (Graph.java:1485): drop the given ids and
+    * every edge touching one of them. */
+  def removeVertices(ids: DataFrame): PropertyGraph = {
+    val gone = ids.select(col("id"))
+    PropertyGraph(
+      vertices.join(gone, Seq("id"), "left_anti"),
+      edges.join(broadcast(gone.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+        .join(broadcast(gone.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"), col("value")))
+  }
+
+  /** Gelly removeEdges (Graph.java:1571, EdgeRemovalCoGroup): drop
+    * every edge matching a given (src, dst) pair — the edge VALUE is
+    * not consulted, and vertices remain intact. */
+  def removeEdges(pairs: DataFrame): PropertyGraph =
+    copy(edges = edges.join(pairs.select(col("src"), col("dst")),
+      Seq("src", "dst"), "left_anti"))
+
+  /** Gelly union (Graph.java:1599): vertices distinct-union (full
+    * row), edges BAG union (duplicates maintained — the documented
+    * asymmetry). */
+  def union(other: PropertyGraph): PropertyGraph =
+    PropertyGraph(vertices.unionByName(other.vertices).distinct(),
+      edges.unionByName(other.edges))
+
+  /** Gelly difference (Graph.java:1623): remove the other graph's
+    * vertex set (and so any edge touching it). */
+  def difference(other: PropertyGraph): PropertyGraph =
+    removeVertices(other.vertices.select(col("id")))
+
+  /** Gelly intersect with distinctEdges = true (Graph.java:1650):
+    * edges equal on (src, dst, value) present in BOTH graphs, each
+    * matching edge once; vertices induced from the surviving
+    * endpoints (the reference rebuilds the graph fromDataSet). */
+  def intersect(other: PropertyGraph): PropertyGraph = {
+    val common = edges.select(col("src"), col("dst"), col("value"))
+      .intersect(other.edges.select(col("src"), col("dst"), col("value")))
+    val ids = common.select(col("src").as("id"))
+      .union(common.select(col("dst").as("id"))).distinct()
+    PropertyGraph(vertices.join(ids, Seq("id"), "left_semi"), common)
+  }
+
   /** Gelly reverse: flip every edge. */
   def reverse: PropertyGraph =
     copy(edges = edges.select(col("dst").as("src"), col("src").as("dst"), col("value")))

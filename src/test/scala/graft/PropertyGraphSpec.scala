@@ -19,6 +19,46 @@ class PropertyGraphSpec extends AnyFunSuite with SparkSpec {
         .toDF("src", "dst", "value"))
   }
 
+  test("mutation methods follow Gelly's merge/remove/union/difference/intersect rules") {
+    import spark.implicits._
+    def vset(pg: PropertyGraph) = pg.vertices.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def eseq(pg: PropertyGraph) = pg.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // addVertices: existing vertex wins on id conflict
+    val av = g.addVertices(Seq((4L, 999L), (5L, 500L)).toDF("id", "value"))
+    assert(vset(av) == Set((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L), (5L, 500L)))
+    // addEdges: bag union keeps duplicates
+    val ae = g.addEdges(Seq((1L, 2L, 10L)).toDF("src", "dst", "value"))
+    assert(eseq(ae).count(_ == (1L, 2L, 10L)) == 2)
+    // removeVertices drops the id and every touching edge
+    val rv = g.removeVertices(Seq(Tuple1(3L)).toDF("id"))
+    assert(vset(rv).map(_._1) == Set(1L, 2L, 4L))
+    assert(eseq(rv) == Seq((1L, 2L, 10L)))
+    // removeEdges matches on (src, dst) only; vertices intact
+    val re = g.removeEdges(Seq((1L, 2L)).toDF("src", "dst"))
+    assert(eseq(re).map(e => (e._1, e._2)).toSet == Set((2L, 3L), (3L, 1L), (1L, 3L)))
+    assert(vset(re).size == 4)
+    // union: distinct vertices, bag edges
+    val u = g.union(PropertyGraph(
+      Seq((3L, 300L), (5L, 500L)).toDF("id", "value"),
+      Seq((3L, 1L, 30L)).toDF("src", "dst", "value")))
+    assert(vset(u).size == 5)
+    assert(eseq(u).count(_ == (3L, 1L, 30L)) == 2)
+    // difference removes the other graph's vertex SET
+    val d = g.difference(PropertyGraph(
+      Seq((1L, 0L)).toDF("id", "value"),
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "value")))
+    assert(vset(d).map(_._1) == Set(2L, 3L, 4L))
+    assert(eseq(d) == Seq((2L, 3L, 20L)))
+    // intersect: (src, dst, value)-equal edges, induced vertices
+    val i = g.intersect(PropertyGraph(
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("id", "value"),
+      Seq((1L, 2L, 10L), (2L, 3L, 99L)).toDF("src", "dst", "value")))
+    assert(eseq(i) == Seq((1L, 2L, 10L)), "value mismatch excludes the 2->3 edge")
+    assert(vset(i).map(_._1) == Set(1L, 2L))
+  }
+
   test("mapVertices / mapEdges rewrite values only") {
     val mv = g.mapVertices(_ + 1).vertices.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
