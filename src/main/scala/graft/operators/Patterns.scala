@@ -1119,6 +1119,42 @@ object Patterns {
       |       JOIN n ON v.user_id = n.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Flink's `Pattern.notNext()` — STRICT-contiguity NEGATION
+    * (reference flink-cep pattern/Pattern.java `notNext`; nfa strict
+    * ignore-less transitions): match an A whose IMMEDIATELY following
+    * event in the key's total order is NOT a B (end-of-stream counts
+    * as not-B, Flink's semantics once the watermark passes). Like
+    * q140's `next`, this is declaratively expressible — one
+    * window-lead pass, no fold; event_id breaks timestamp ties so
+    * both engines see one total order. Domain: views NOT immediately
+    * followed by a click (the "lost impression" query). */
+  def q155NotNext(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("event_type") === "view" &&
+        (col("next_type").isNull || col("next_type") =!= "click"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_unfollowed"), min(col("t_us")).as("first_t_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q155Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      |ann AS (
+      |  SELECT user_id, t, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+      |  FROM ev)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_unfollowed,
+      |  min(t) AS first_t_us
+      |FROM ann
+      |WHERE event_type = 'view' AND (next_type IS NULL OR next_type <> 'click')
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Streaming twin of the quantified chain (required steps only; the
     * FINAL step must be non-looping — a greedy tail loop never closes
     * on an unbounded stream, the same reason Flink requires a
@@ -1230,7 +1266,8 @@ object Patterns {
     "q144_any_pairs" -> (q144AnyPairs _),
     "q145_until_burst" -> (q145UntilBurst _),
     "q147_skip_to_click" -> (q147SkipToClick _),
-    "q153_times_range" -> (q153TimesRange _))
+    "q153_times_range" -> (q153TimesRange _),
+    "q155_not_next" -> (q155NotNext _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -1243,5 +1280,6 @@ object Patterns {
     "q144_any_pairs" -> q144Sql,
     "q145_until_burst" -> q145Sql,
     "q147_skip_to_click" -> q147Sql,
-    "q153_times_range" -> q153Sql)
+    "q153_times_range" -> q153Sql,
+    "q155_not_next" -> q155Sql)
 }
