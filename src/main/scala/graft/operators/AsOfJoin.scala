@@ -25,25 +25,57 @@ import graft.sources.Tables
 object AsOfJoin {
 
   /** Generic operator: left keeps all columns; each `rightVals`
-    * column v arrives as `asof_v` (null when no right row precedes).
+    * column v arrives as `asof_v` (null when no right row matches).
     * `right` must be unique per (key, ts) — pre-aggregate if not, or
-    * the latest of the duplicates wins nondeterministically.
+    * the nearest of the duplicates wins nondeterministically.
+    *
+    * `direction` — "backward" (default: greatest right ts at-or-
+    * before, pandas merge_asof's default) or "forward" (smallest
+    * right ts at-or-after). `toleranceUs` — maximum |gap|; a match
+    * farther away nulls out (merge_asof `tolerance`). Both variants
+    * stay the one-shuffle union-sort form: only the window frame
+    * direction and the equal-ts tie rule flip (backward: right rows
+    * sort BEFORE left at equal ts; forward: after), so "at-or-X"
+    * ties resolve to matched either way.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightVals: Seq[String]): DataFrame = {
-    val l = left.withColumn("__asof_side", lit(1))
+      rightVals: Seq[String], direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
+    val vals = rightVals :+ "__rts"
+    val l = left.withColumn("__asof_side", lit(lSide))
     val r = right.select((key +: ts +: rightVals).map(col): _*)
-      .toDF(key +: ts +: rightVals.map("__asof_" + _): _*)
-      .withColumn("__asof_side", lit(0))
+      .withColumn("__rts", col(ts))
+      .toDF(key +: ts +: vals.map("__asof_" + _): _*)
+      .withColumn("__asof_side", lit(rSide))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__asof_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals.foldLeft(u) { (df, v) =>
-        df.withColumn(s"asof_$v", last(col(s"__asof_$v"), ignoreNulls = true).over(w))
+    val w0 = Window.partitionBy(col(key)).orderBy(col(ts), col("__asof_side"))
+    val w =
+      if (backward) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def pick(c: org.apache.spark.sql.Column) =
+      if (backward) last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    val gap =
+      if (backward) col(ts) - col("asof___rts") else col("asof___rts") - col(ts)
+    vals.foldLeft(u) { (df, v) =>
+        df.withColumn(s"asof_$v", pick(col(s"__asof_$v")))
       }
-      .filter(col("__asof_side") === 1)
+      .filter(col("__asof_side") === lSide)
+      .transform { df =>
+        toleranceUs.fold(df) { tol =>
+          rightVals.foldLeft(df) { (d, v) =>
+            d.withColumn(s"asof_$v",
+              when(col("asof___rts").isNotNull && gap <= tol, col(s"asof_$v")))
+          }
+        }
+      }
       .drop("__asof_side")
-      .drop(rightVals.map("__asof_" + _): _*)
+      .drop("asof___rts")
+      .drop(vals.map("__asof_" + _): _*)
   }
 
   // ---------------------------------------------------------------- q66
@@ -87,9 +119,51 @@ object AsOfJoin {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** FORWARD as-of with a tolerance window: each click joined to the
+    * same user's NEXT signup, nulled out when it is more than
+    * [[FwdTolUs]] away — pandas `merge_asof(direction='forward',
+    * tolerance=...)`, the "time-to-conversion within the attribution
+    * window" query. Same one-shuffle union-sort plan as q66, frame
+    * direction flipped. */
+  val FwdTolUs: Long = 48L * 3600L * 1000000L
+
+  def q156AsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("sval"))
+      .withColumn("sts", col("ts"))
+    asOf(clicks, signups, "user_id", "ts", Seq("sval", "sts"),
+        direction = "forward", toleranceUs = Some(FwdTolUs))
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        coalesce(col("asof_sval"), lit(-1.0)).as("next_signup_val"),
+        coalesce(col("asof_sts"), lit(-1L)).as("signup_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q156Sql: String =
+    s"""WITH r AS (SELECT user_id, ts, max(value) AS sval
+       |           FROM events WHERE event_type = 'signup'
+       |           GROUP BY user_id, ts),
+       |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+       |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       |  CASE WHEN r.ts IS NOT NULL
+       |         AND epoch_us(r.ts) - epoch_us(l.ts) <= $FwdTolUs
+       |       THEN r.sval ELSE -1.0 END AS next_signup_val,
+       |  CASE WHEN r.ts IS NOT NULL
+       |         AND epoch_us(r.ts) - epoch_us(l.ts) <= $FwdTolUs
+       |       THEN epoch_us(r.ts) ELSE -1 END AS signup_ts_us
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.ts <= r.ts
+       |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_asof_join" -> (q66AsOfJoin _))
+    "q66_asof_join" -> (q66AsOfJoin _),
+    "q156_asof_forward" -> (q156AsOfForward _))
 
   def oracles: Map[String, String] = Map(
-    "q66_asof_join" -> q66Sql)
+    "q66_asof_join" -> q66Sql,
+    "q156_asof_forward" -> q156Sql)
 }

@@ -50,6 +50,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("forward/tolerance as-of variants match a per-row scan on random keyed series") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val left = List.fill(50)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = List.fill(40)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong,
+        rng.nextInt(100).toDouble))
+        .groupBy(r => (r._1, r._2)).map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toList
+      val tol = 150L
+      def run(dir: String, t: Option[Long]) = graft.operators.AsOfJoin.asOf(
+          left.toDF("id", "k", "ts"), right.toDF("k", "ts", "v"), "k", "ts",
+          Seq("v"), direction = dir, toleranceUs = t)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+        .toMap
+      val fwd = run("forward", None)
+      val fwdTol = run("forward", Some(tol))
+      val bwdTol = run("backward", Some(tol))
+      left.foreach { case (id, k, t) =>
+        val after = right.filter(r => r._1 == k && r._2 >= t).sortBy(_._2)
+        assert(fwd(id) == after.headOption.map(_._3), s"fwd row $id")
+        assert(fwdTol(id) ==
+          after.headOption.filter(_._2 - t <= tol).map(_._3), s"fwdTol row $id")
+        val before = right.filter(r => r._1 == k && r._2 <= t).sortBy(_._2)
+        assert(bwdTol(id) ==
+          before.lastOption.filter(r => t - r._2 <= tol).map(_._3), s"bwdTol row $id")
+      }
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asOf(
+        Seq((1L, 1L)).toDF("k", "ts"), Seq((1L, 1L, 1.0)).toDF("k", "ts", "v"),
+        "k", "ts", Seq("v"), direction = "nearest")
+    }
+  }
+
   test("trailing range join matches a per-row scan on random keyed series") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
