@@ -41,8 +41,10 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightVals: Seq[String], direction: String = "backward",
       toleranceUs: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      return asOfNearest(left, right, key, ts, rightVals, toleranceUs)
     val backward = direction == "backward"
     val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
     val vals = rightVals :+ "__rts"
@@ -76,6 +78,44 @@ object AsOfJoin {
       .drop("__asof_side")
       .drop("asof___rts")
       .drop(vals.map("__asof_" + _): _*)
+  }
+
+  /** `direction = "nearest"` (pandas merge_asof parity): whichever of
+    * the backward and forward candidates is closer in |gap| wins;
+    * ties resolve BACKWARD (deterministic — and free: at equal ts the
+    * right row sorts before the left, so the backward frame sees the
+    * gap-0 match and wins the tie by rule). STILL one shuffle — both
+    * frames read the same sorted partition. */
+  private def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String], toleranceUs: Option[Long]): DataFrame = {
+    val vals = rightVals :+ "__rts"
+    val l = left.withColumn("__asof_side", lit(1))
+    val r = right.select((key +: ts +: rightVals).map(col): _*)
+      .withColumn("__rts", col(ts))
+      .toDF(key +: ts +: vals.map("__asof_" + _): _*)
+      .withColumn("__asof_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w0 = Window.partitionBy(col(key)).orderBy(col(ts), col("__asof_side"))
+    val wb = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withPicks = vals.foldLeft(u) { (df, v) =>
+      df.withColumn(s"__b_$v", last(col(s"__asof_$v"), ignoreNulls = true).over(wb))
+        .withColumn(s"__f_$v", first(col(s"__asof_$v"), ignoreNulls = true).over(wf))
+    }
+    val bGap = col(ts) - col("__b___rts")
+    val fGap = col("__f___rts") - col(ts)
+    val bOk = col("__b___rts").isNotNull &&
+      toleranceUs.fold(lit(true))(t => bGap <= t)
+    val fOk = col("__f___rts").isNotNull &&
+      toleranceUs.fold(lit(true))(t => fGap <= t)
+    val useB = bOk && (!fOk || bGap <= fGap)
+    rightVals.foldLeft(withPicks) { (df, v) =>
+        df.withColumn(s"asof_$v",
+          when(useB, col(s"__b_$v")).when(fOk, col(s"__f_$v")))
+      }
+      .filter(col("__asof_side") === 1)
+      .drop("__asof_side")
+      .drop(vals.flatMap(v => Seq(s"__asof_$v", s"__b_$v", s"__f_$v")): _*)
   }
 
   // ---------------------------------------------------------------- q66

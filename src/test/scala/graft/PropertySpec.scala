@@ -68,6 +68,8 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       val fwd = run("forward", None)
       val fwdTol = run("forward", Some(tol))
       val bwdTol = run("backward", Some(tol))
+      val near = run("nearest", None)
+      val nearTol = run("nearest", Some(tol))
       left.foreach { case (id, k, t) =>
         val after = right.filter(r => r._1 == k && r._2 >= t).sortBy(_._2)
         assert(fwd(id) == after.headOption.map(_._3), s"fwd row $id")
@@ -76,12 +78,24 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         val before = right.filter(r => r._1 == k && r._2 <= t).sortBy(_._2)
         assert(bwdTol(id) ==
           before.lastOption.filter(r => t - r._2 <= tol).map(_._3), s"bwdTol row $id")
+        // nearest: closer of the two candidates, ties backward
+        def nearestWant(tolOpt: Option[Long]): Option[Double] = {
+          val b = before.lastOption.filter(r => tolOpt.forall(t - r._2 <= _))
+          val f = after.headOption.filter(r => tolOpt.forall(r._2 - t <= _))
+          (b, f) match {
+            case (Some(bb), Some(ff)) =>
+              if (t - bb._2 <= ff._2 - t) Some(bb._3) else Some(ff._3)
+            case (bb, ff) => bb.orElse(ff).map(_._3)
+          }
+        }
+        assert(near(id) == nearestWant(None), s"near row $id")
+        assert(nearTol(id) == nearestWant(Some(tol)), s"nearTol row $id")
       }
     }
     assertThrows[IllegalArgumentException] {
       graft.operators.AsOfJoin.asOf(
         Seq((1L, 1L)).toDF("k", "ts"), Seq((1L, 1L, 1.0)).toDF("k", "ts", "v"),
-        "k", "ts", Seq("v"), direction = "nearest")
+        "k", "ts", Seq("v"), direction = "sideways")
     }
   }
 
