@@ -87,9 +87,82 @@ object RangeJoin {
        |GROUP BY c.event_id, c.user_id, c.t
        |ORDER BY c.event_id""".stripMargin
 
+  /** Interval-OVERLAP join: pairs where [ls, le] ∩ [rs, re] ≠ ∅
+    * (inclusive bounds). Scalable shape, same binning family as
+    * [[trailingRange]]: each side explodes over the buckets its
+    * interval spans (cost ∝ interval length / width, pick `width` ≈
+    * typical interval length), candidates equi-join on the bucket,
+    * the exact overlap predicate filters slack, and each matching
+    * pair is kept exactly ONCE — in the bucket containing the
+    * overlap's start (`greatest(ls, rs)`), the standard dedup rule
+    * that avoids a distinct over the pair output. No per-row rescans
+    * at any size; either side may be fact-scale. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      ls: String, le: String, rs: String, re: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    def bkt(c: String) = s"((`$c` - pmod(`$c`, ${width}L)) div ${width}L)"
+    val probes = left
+      .withColumn("__io_b", explode(expr(s"sequence(${bkt(ls)}, ${bkt(le)})")))
+    val binned = right
+      .withColumn("__io_b2", explode(expr(s"sequence(${bkt(rs)}, ${bkt(re)})")))
+    probes.join(binned, col("__io_b") === col("__io_b2"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("__io_b") ===
+        expr(s"((greatest(`$ls`, `$rs`) - pmod(greatest(`$ls`, `$rs`), ${width}L)) div ${width}L)"))
+      .drop("__io_b", "__io_b2")
+  }
+
+  // --------------------------------------------------------------- q157
+  /** Shipments overlapping promo windows: each lineitem's transit
+    * interval — [shipdate, shipdate + 1 + qty % 14] epoch days, the
+    * derived deterministic receipt lag (the fixture omits
+    * l_receiptdate) — overlap-joined against a generated 24-window
+    * promo calendar (30-day windows every 90 days from 1993-01-01 =
+    * day 8401), then count + exact integer quantity per window — the
+    * campaign-attribution shape. Bucket width 32 days ≈ both sides'
+    * interval lengths, so each side explodes over ≤ 2-3 buckets. */
+  val PromoStart = 8401L // DATE '1993-01-01' in epoch days
+  val PromoLen = 29L
+  val PromoEvery = 90L
+  val PromoN = 24L
+  val IoWidth = 32L
+
+  def q157IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("s1"))
+      .withColumn("e1", col("s1") + 1L + col("qty") % 14L)
+    val promo = spark.range(PromoN).select(col("id").as("p"),
+      (lit(PromoStart) + col("id") * PromoEvery).as("s2"),
+      (lit(PromoStart) + col("id") * PromoEvery + PromoLen).as("e2"))
+    intervalOverlap(li, promo, "s1", "e1", "s2", "e2", IoWidth)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+      .orderBy(col("p"))
+  }
+
+  val q157Sql: String =
+    s"""WITH li AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS s1,
+       |    CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+       |      + 1 + CAST(l_quantity AS BIGINT) % 14 AS e1
+       |  FROM lineitem),
+       |promo AS (
+       |  SELECT p, $PromoStart + p * $PromoEvery AS s2,
+       |         $PromoStart + p * $PromoEvery + $PromoLen AS e2
+       |  FROM range($PromoN) t(p))
+       |SELECT CAST(p AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(qty) AS BIGINT) AS sum_qty
+       |FROM li JOIN promo ON s1 <= e2 AND s2 <= e1
+       |GROUP BY p ORDER BY p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q67_range_join" -> (q67RangeJoin _))
+    "q67_range_join" -> (q67RangeJoin _),
+    "q157_interval_overlap" -> (q157IntervalOverlap _))
 
   def oracles: Map[String, String] = Map(
-    "q67_range_join" -> q67Sql)
+    "q67_range_join" -> q67Sql,
+    "q157_interval_overlap" -> q157Sql)
 }

@@ -99,6 +99,32 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("interval overlap join matches nested-loop enumeration, each pair once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    (1 to 3).foreach { _ =>
+      // negative starts included: the floor-div bucketing must not
+      // drop matches straddling zero
+      val left = List.fill(40) {
+        val s = rng.nextInt(400).toLong - 100
+        (rng.nextInt(1000).toLong, s, s + rng.nextInt(60))
+      }
+      val right = List.fill(30) {
+        val s = rng.nextInt(400).toLong - 100
+        (rng.nextInt(1000).toLong + 10000, s, s + rng.nextInt(60))
+      }
+      val got = graft.operators.RangeJoin.intervalOverlap(
+          left.toDF("lid", "s1", "e1"), right.toDF("rid", "s2", "e2"),
+          "s1", "e1", "s2", "e2", width = 37)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = for {
+        (lid, s1, e1) <- left; (rid, s2, e2) <- right
+        if s1 <= e2 && s2 <= e1
+      } yield (lid, rid)
+      assert(got.sorted == want.sorted, "every overlapping pair exactly once")
+    }
+  }
+
   test("trailing range join matches a per-row scan on random keyed series") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
