@@ -150,7 +150,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q149_triadic_census" -> PlanCounts(4, 0, 9, 3),
     // reads the MEMOIZED trade rollup (3 cached scans: pair legs +
     // triangle count), zero file scans; algebra is node-cardinality
-    "q151_directed_clustering_metrics" -> PlanCounts(0, 3, 7, 4))
+    "q151_directed_clustering_metrics" -> PlanCounts(0, 3, 7, 4),
+    // listing reads the memoized rollup once; 2 broadcasts = the
+    // tiny pair sides of the triangle joins
+    "q154_directed_triangle_listing" -> PlanCounts(0, 1, 2, 2),
+    // one lineitem scan + bucket equi-join (promo side broadcast) +
+    // agg/sort exchanges — the overlap predicate adds no plan nodes
+    "q157_interval_overlap" -> PlanCounts(1, 0, 2, 1))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
