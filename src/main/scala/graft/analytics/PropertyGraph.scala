@@ -165,8 +165,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * vertices merge in, but on an id conflict the EXISTING vertex
     * wins. */
   def addVertices(newVertices: DataFrame): PropertyGraph =
+    // dropDuplicates: the reference's coGroup emits exactly ONE
+    // vertex per input id (one arbitrary winner on in-batch dups)
     copy(vertices = vertices.unionByName(
-      newVertices.join(vertices.select(col("id")), Seq("id"), "left_anti")))
+      newVertices.dropDuplicates("id")
+        .join(vertices.select(col("id")), Seq("id"), "left_anti")))
 
   /** Gelly addEdges (Graph.java:1430): bag union — duplicate edges
     * are kept, matching the reference (only UNION dedups vertices,
@@ -178,11 +181,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   /** Gelly removeVertices (Graph.java:1485): drop the given ids and
     * every edge touching one of them. */
   def removeVertices(ids: DataFrame): PropertyGraph = {
+    // no broadcast hint: difference() routes a whole graph's vertex
+    // set through here, so the join picks its own strategy (Catalyst
+    // still broadcasts small removal lists under the auto threshold)
     val gone = ids.select(col("id"))
     PropertyGraph(
       vertices.join(gone, Seq("id"), "left_anti"),
-      edges.join(broadcast(gone.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
-        .join(broadcast(gone.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
+      edges.join(gone.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(gone.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
         .select(col("src"), col("dst"), col("value")))
   }
 

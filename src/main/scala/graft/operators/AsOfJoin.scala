@@ -38,6 +38,25 @@ object AsOfJoin {
     * sort BEFORE left at equal ts; forward: after), so "at-or-X"
     * ties resolve to matched either way.
     */
+  /** Shared preamble: tag the sides and union with ONE record struct
+    * per right row — `(matched ts, value columns...)` picked
+    * ATOMICALLY, so a null right value column can never desync from
+    * its own row's timestamp in the tolerance/nearest decisions
+    * (review finding: per-column ignoreNulls picks could pair an
+    * older value with a newer row's gap). Matched-row semantics,
+    * pandas merge_asof's: you get the matched row's value, null
+    * included. */
+  private def taggedUnion(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightVals: Seq[String], lSide: Int): DataFrame = {
+    val l = left.withColumn("__asof_side", lit(lSide))
+    val r = right.select((key +: ts +: rightVals).map(col): _*)
+      .withColumn("__asof_rec",
+        struct(col(ts).as("__rts") +: rightVals.map(col): _*))
+      .select(col(key), col(ts), col("__asof_rec"))
+      .withColumn("__asof_side", lit(1 - lSide))
+    l.unionByName(r, allowMissingColumns = true)
+  }
+
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightVals: Seq[String], direction: String = "backward",
       toleranceUs: Option[Long] = None): DataFrame = {
@@ -46,76 +65,54 @@ object AsOfJoin {
     if (direction == "nearest")
       return asOfNearest(left, right, key, ts, rightVals, toleranceUs)
     val backward = direction == "backward"
-    val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
-    val vals = rightVals :+ "__rts"
-    val l = left.withColumn("__asof_side", lit(lSide))
-    val r = right.select((key +: ts +: rightVals).map(col): _*)
-      .withColumn("__rts", col(ts))
-      .toDF(key +: ts +: vals.map("__asof_" + _): _*)
-      .withColumn("__asof_side", lit(rSide))
-    val u = l.unionByName(r, allowMissingColumns = true)
+    val lSide = if (backward) 1 else 0
+    val u = taggedUnion(left, right, key, ts, rightVals, lSide)
     val w0 = Window.partitionBy(col(key)).orderBy(col(ts), col("__asof_side"))
     val w =
       if (backward) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def pick(c: org.apache.spark.sql.Column) =
-      if (backward) last(c, ignoreNulls = true).over(w)
-      else first(c, ignoreNulls = true).over(w)
-    val gap =
-      if (backward) col(ts) - col("asof___rts") else col("asof___rts") - col(ts)
-    vals.foldLeft(u) { (df, v) =>
-        df.withColumn(s"asof_$v", pick(col(s"__asof_$v")))
-      }
+    val rec =
+      if (backward) last(col("__asof_rec"), ignoreNulls = true).over(w)
+      else first(col("__asof_rec"), ignoreNulls = true).over(w)
+    val rts = col("__m").getField("__rts")
+    val gap = if (backward) col(ts) - rts else rts - col(ts)
+    u.withColumn("__m", rec)
       .filter(col("__asof_side") === lSide)
       .transform { df =>
-        toleranceUs.fold(df) { tol =>
-          rightVals.foldLeft(df) { (d, v) =>
-            d.withColumn(s"asof_$v",
-              when(col("asof___rts").isNotNull && gap <= tol, col(s"asof_$v")))
-          }
-        }
+        toleranceUs.fold(df)(tol =>
+          df.withColumn("__m", when(rts.isNotNull && gap <= tol, col("__m"))))
       }
-      .drop("__asof_side")
-      .drop("asof___rts")
-      .drop(vals.map("__asof_" + _): _*)
+      .select(col("*") +:
+        rightVals.map(v => col("__m").getField(v).as(s"asof_$v")): _*)
+      .drop("__asof_side", "__asof_rec", "__m")
   }
 
   /** `direction = "nearest"` (pandas merge_asof parity): whichever of
-    * the backward and forward candidates is closer in |gap| wins;
+    * the backward and forward candidate ROWS is closer in |gap| wins;
     * ties resolve BACKWARD (deterministic — and free: at equal ts the
     * right row sorts before the left, so the backward frame sees the
     * gap-0 match and wins the tie by rule). STILL one shuffle — both
     * frames read the same sorted partition. */
   private def asOfNearest(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightVals: Seq[String], toleranceUs: Option[Long]): DataFrame = {
-    val vals = rightVals :+ "__rts"
-    val l = left.withColumn("__asof_side", lit(1))
-    val r = right.select((key +: ts +: rightVals).map(col): _*)
-      .withColumn("__rts", col(ts))
-      .toDF(key +: ts +: vals.map("__asof_" + _): _*)
-      .withColumn("__asof_side", lit(0))
-    val u = l.unionByName(r, allowMissingColumns = true)
+    val u = taggedUnion(left, right, key, ts, rightVals, lSide = 1)
     val w0 = Window.partitionBy(col(key)).orderBy(col(ts), col("__asof_side"))
     val wb = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val withPicks = vals.foldLeft(u) { (df, v) =>
-      df.withColumn(s"__b_$v", last(col(s"__asof_$v"), ignoreNulls = true).over(wb))
-        .withColumn(s"__f_$v", first(col(s"__asof_$v"), ignoreNulls = true).over(wf))
-    }
-    val bGap = col(ts) - col("__b___rts")
-    val fGap = col("__f___rts") - col(ts)
-    val bOk = col("__b___rts").isNotNull &&
-      toleranceUs.fold(lit(true))(t => bGap <= t)
-    val fOk = col("__f___rts").isNotNull &&
-      toleranceUs.fold(lit(true))(t => fGap <= t)
+    val bRts = col("__b").getField("__rts")
+    val fRts = col("__f").getField("__rts")
+    val bGap = col(ts) - bRts
+    val fGap = fRts - col(ts)
+    val bOk = bRts.isNotNull && toleranceUs.fold(lit(true))(t => bGap <= t)
+    val fOk = fRts.isNotNull && toleranceUs.fold(lit(true))(t => fGap <= t)
     val useB = bOk && (!fOk || bGap <= fGap)
-    rightVals.foldLeft(withPicks) { (df, v) =>
-        df.withColumn(s"asof_$v",
-          when(useB, col(s"__b_$v")).when(fOk, col(s"__f_$v")))
-      }
+    u.withColumn("__b", last(col("__asof_rec"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__asof_rec"), ignoreNulls = true).over(wf))
       .filter(col("__asof_side") === 1)
-      .drop("__asof_side")
-      .drop(vals.flatMap(v => Seq(s"__asof_$v", s"__b_$v", s"__f_$v")): _*)
+      .withColumn("__m", when(useB, col("__b")).when(fOk, col("__f")))
+      .select(col("*") +:
+        rightVals.map(v => col("__m").getField(v).as(s"asof_$v")): _*)
+      .drop("__asof_side", "__asof_rec", "__b", "__f", "__m")
   }
 
   // ---------------------------------------------------------------- q66

@@ -100,10 +100,16 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, right: DataFrame,
       ls: String, le: String, rs: String, re: String, width: Long): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
+    require(Set(ls, le, rs, re).size == 4,
+      s"bound columns must be distinct names ($ls, $le, $rs, $re) — " +
+        "rename a side first, or the post-join predicates are ambiguous")
     def bkt(c: String) = s"((`$c` - pmod(`$c`, ${width}L)) div ${width}L)"
-    val probes = left
+    // inverted intervals (end < start) denote the empty set — drop
+    // them BEFORE the explode: sequence() would happily descend and
+    // the overlap predicate could still pass on garbage input
+    val probes = left.filter(col(ls) <= col(le))
       .withColumn("__io_b", explode(expr(s"sequence(${bkt(ls)}, ${bkt(le)})")))
-    val binned = right
+    val binned = right.filter(col(rs) <= col(re))
       .withColumn("__io_b2", explode(expr(s"sequence(${bkt(rs)}, ${bkt(re)})")))
     probes.join(binned, col("__io_b") === col("__io_b2"))
       .filter(col(ls) <= col(re) && col(rs) <= col(le))

@@ -25,9 +25,12 @@ class PropertyGraphSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def eseq(pg: PropertyGraph) = pg.edges.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
-    // addVertices: existing vertex wins on id conflict
+    // addVertices: existing vertex wins on id conflict; in-batch
+    // duplicate ids collapse to one (the reference coGroup's rule)
     val av = g.addVertices(Seq((4L, 999L), (5L, 500L)).toDF("id", "value"))
     assert(vset(av) == Set((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L), (5L, 500L)))
+    val avDup = g.addVertices(Seq((6L, 1L), (6L, 2L)).toDF("id", "value"))
+    assert(avDup.vertices.filter(col("id") === 6L).count() == 1)
     // addEdges: bag union keeps duplicates
     val ae = g.addEdges(Seq((1L, 2L, 10L)).toDF("src", "dst", "value"))
     assert(eseq(ae).count(_ == (1L, 2L, 10L)) == 2)

@@ -97,6 +97,17 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         Seq((1L, 1L)).toDF("k", "ts"), Seq((1L, 1L, 1.0)).toDF("k", "ts", "v"),
         "k", "ts", Seq("v"), direction = "sideways")
     }
+    // matched-ROW semantics (review finding): a null value column in
+    // the nearest row must NOT fall through to an older row's value,
+    // and the tolerance gap is the matched row's gap
+    val l = Seq((0L, 1L, 10L)).toDF("id", "k", "ts")
+    val r = Seq((1L, 5L, Some(7.0)), (1L, 8L, None))
+      .toDF("k", "ts", "v")
+    val rows = graft.operators.AsOfJoin.asOf(
+        l, r, "k", "ts", Seq("v"), toleranceUs = Some(3L)).collect()
+    assert(rows.length == 1 && rows(0).isNullAt(3),
+      "ts=8 row matches (gap 2 <= 3) and its value IS null; the ts=5 " +
+        "value must not leak through")
   }
 
   test("interval overlap join matches nested-loop enumeration, each pair once") {
@@ -122,6 +133,18 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         if s1 <= e2 && s2 <= e1
       } yield (lid, rid)
       assert(got.sorted == want.sorted, "every overlapping pair exactly once")
+    }
+    // inverted intervals are the empty set, never matches (review
+    // finding: sequence() descends on end < start)
+    val inv = graft.operators.RangeJoin.intervalOverlap(
+      Seq((1L, 5L, 3L)).toDF("lid", "s1", "e1"),
+      Seq((2L, 2L, 6L)).toDF("rid", "s2", "e2"),
+      "s1", "e1", "s2", "e2", width = 37)
+    assert(inv.count() == 0)
+    assertThrows[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalOverlap(
+        Seq((1L, 1L, 2L)).toDF("lid", "s", "e"),
+        Seq((2L, 1L, 2L)).toDF("rid", "s", "e"), "s", "e", "s", "e", 10)
     }
   }
 
