@@ -1484,6 +1484,58 @@ object Graph {
     * scale). Graded over the deterministic `o % 97 = 0` order subset
     * so the full projection edge list is output-bounded while the
     * operator itself is exercised verbatim. */
+  /** Full bottom projection of the bipartite graph (reference Gelly
+    * `bipartite/BipartiteGraph.java:281 projectionBottomFull` +
+    * `Projection.java`): one edge per (bottom₁, bottom₂, shared top)
+    * carrying the full 6-tuple payload — connecting TOP vertex id and
+    * value, both BOTTOM vertex values, both bipartite edge values.
+    * Domain: bottom = orders (value o_totalprice), top = parts
+    * (value p_retailprice), edge value = min line quantity; graded
+    * over the deterministic `p % 499 = 0` part subset so the pair
+    * expansion stays output-bounded (a full projection is quadratic
+    * in the top-vertex degree BY DEFINITION — the reference has the
+    * same property; production use prefixes a degree cap). Values
+    * pass through unchanged (no arithmetic), so doubles are
+    * bit-identical cross-engine. */
+  def q158BipartiteBottomFull(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 499 === 0)
+      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("o"))
+      .agg(min(col("l_quantity")).as("ev"))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("ov"))
+    val ann = e
+      .join(broadcast(parts), Seq("t"))
+      .join(orders, col("o") === col("okey"))
+      .select(col("t"), col("o"), col("ev"), col("tv"), col("ov"))
+    val a = ann.select(col("t"), col("o").as("b1"), col("ev").as("ev1"),
+      col("tv"), col("ov").as("bv1"))
+    val b = ann.select(col("t").as("t2"), col("o").as("b2"),
+      col("ev").as("ev2"), col("ov").as("bv2"))
+    a.join(b, col("t") === col("t2") && col("b1") =!= col("b2"))
+      .select(col("b1"), col("b2"), col("t").as("shared_part"),
+        col("tv").as("part_value"), col("bv1"), col("bv2"),
+        col("ev1"), col("ev2"))
+      .orderBy(col("b1"), col("b2"), col("shared_part"))
+  }
+
+  val q158Sql: String =
+    """WITH e AS (
+      |  SELECT l_partkey AS t, l_orderkey AS o, min(l_quantity) AS ev
+      |  FROM lineitem WHERE l_partkey % 499 = 0
+      |  GROUP BY l_partkey, l_orderkey),
+      |ann AS (
+      |  SELECT e.t, e.o, e.ev, p.p_retailprice AS tv, ord.o_totalprice AS ov
+      |  FROM e JOIN part p ON e.t = p.p_partkey
+      |         JOIN orders ord ON e.o = ord.o_orderkey)
+      |SELECT a.o AS b1, b.o AS b2, a.t AS shared_part,
+      |  a.tv AS part_value, a.ov AS bv1, b.ov AS bv2,
+      |  a.ev AS ev1, b.ev AS ev2
+      |FROM ann a JOIN ann b ON a.t = b.t AND a.o <> b.o
+      |ORDER BY b1, b2, shared_part""".stripMargin
+
   def q139BipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 97 === 0)
@@ -1525,6 +1577,7 @@ object Graph {
     "q151_directed_clustering_metrics" -> (q151DirectedClusteringMetrics _),
     "q152_directed_triadic_census" -> (q152DirectedTriadicCensus _),
     "q154_directed_triangle_listing" -> (q154DirectedTriangleListing _),
+    "q158_bipartite_bottom_full" -> (q158BipartiteBottomFull _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -1550,6 +1603,7 @@ object Graph {
     "q151_directed_clustering_metrics" -> q151Sql,
     "q152_directed_triadic_census" -> q152Sql,
     "q154_directed_triangle_listing" -> q154Sql,
+    "q158_bipartite_bottom_full" -> q158Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,
