@@ -7,6 +7,7 @@ object Bench {
     // IS part of the engine — bench with it, not Spark defaults
     val spark = graft.engine.GraftSession.local("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val load0 = loadAvg()
     // warm the session (codegen, parquet reader, shuffle machinery)
     // so the first measured query isn't charged ~4s of JVM startup
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
@@ -51,9 +52,27 @@ object Bench {
     // grows: short keys (the qNN id prefix) + centisecond precision.
     // Full names + full precision go to stderr for local inspection.
     results.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
-    println(jsonLine(results, sfDir))
+    println(jsonLine(results, sfDir, loadTag(load0, loadAvg())))
     spark.stop()
   }
+
+  /** 1-minute load average at bench start/end, embedded in the metric
+    * line so a loaded-box round is distinguishable from a regression
+    * IN the artifact the driver keeps (this container's numbers drift
+    * ~2x when residual JVMs are still decaying — round-7 verdict
+    * finding #2). Non-Linux / unreadable → omitted. */
+  def loadAvg(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+").headOption.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  def loadTag(start: Option[Double], end: Option[Double]): String =
+    (start, end) match {
+      case (Some(s), Some(e)) => f""""loadavg":[$s%.2f,$e%.2f]"""
+      case _ => ""
+    }
 
   /** The qNN id prefix used as the compact metric key — BenchSpec
     * asserts these stay unique across the registry and that the whole
@@ -79,7 +98,9 @@ object Bench {
     * the line itself gets truncated and nothing parses. */
   val LineBudget = 1880
 
-  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
+  def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      loadavg: String = ""): String = {
+    val loadField = if (loadavg.isEmpty) "" else "," + loadavg
     def entry(k: String, v: Double) = "\"" + shortKey(k) + "\":" + fmt(v)
     def render(qs: Seq[(String, Double)], others: Seq[(String, Double)]): String = {
       val qmap = qs.map((entry _).tupled).mkString("{", ",", "}")
@@ -95,7 +116,7 @@ object Bench {
         val t = others.map(_._2).filter(_ >= 0).sum
         s""","others":{"n":${others.size},"total":${f"$t%.2f"}}"""
       }
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"queries":$qmap$oth,"ref":$ref,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed$loadField,"queries":$qmap$oth,"ref":$ref,"sf":"$sfDir"}"""
     }
     val full = render(results, Nil)
     if (full.length <= LineBudget) full

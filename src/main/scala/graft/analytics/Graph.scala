@@ -728,8 +728,9 @@ object Graph {
         count(lit(1)).as("vertex_count"),
         sum(expr("(d * (d - 1)) div 2")).as("triplet_count"),
         sum(coalesce(col("nt"), lit(0L))).as("triangle_count"),
-        sum(when(col("d") >= 2, round((lit(2.0) * coalesce(col("nt"), lit(0L))) /
-          (col("d") * (col("d") - 1)), 9))).as("lcc_sum"))
+        coalesce(sum(when(col("d") >= 2,
+          round((lit(2.0) * coalesce(col("nt"), lit(0L))) /
+            (col("d") * (col("d") - 1)), 9))), lit(0.0)).as("lcc_sum"))
       .select(col("vertex_count"), col("triplet_count"), col("triangle_count"),
         (col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
         round(col("lcc_sum") / col("vertex_count"), 6).as("acc"))
@@ -753,8 +754,8 @@ object Graph {
        |s AS (SELECT CAST(count(*) AS BIGINT) AS vertex_count,
        |             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triplet_count,
        |             CAST(sum(nt) AS BIGINT) AS triangle_count,
-       |             sum(CASE WHEN d >= 2
-       |               THEN round(2.0 * nt / (d * (d - 1)), 9) END) AS lcc_sum
+       |             coalesce(sum(CASE WHEN d >= 2
+       |               THEN round(2.0 * nt / (d * (d - 1)), 9) END), 0.0) AS lcc_sum
        |      FROM j)
        |SELECT vertex_count, triplet_count, triangle_count,
        |  CAST(triangle_count AS DOUBLE) / triplet_count AS gcc,
@@ -1175,7 +1176,9 @@ object Graph {
     * columns (fab = a→b exists, rab = b→a, …), which is the same
     * information without the internal bit-packing. */
   def q154DirectedTriangleListing(spark: SparkSession, dir: String): DataFrame =
-    dirTriangles(tradePairs(spark, dir))
+    // the pair frame feeds all three legs of the triangle self-join —
+    // materialize it once instead of re-deriving the trade rollup 3x
+    dirTriangles(tradePairs(spark, dir).localCheckpoint(true))
       .orderBy(col("a"), col("b"), col("c"))
 
   val q154Sql: String =
@@ -1199,8 +1202,13 @@ object Graph {
     * and the distinct-neighbor degree frame. */
   private def dirCreditFrames(edges: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val p = dirPairs(edges)
-    val tri = dirTriangles(p)
+    // p feeds the 3-way triangle self-join plus deg's two projections
+    // (~5 reads) and tri feeds the three credit projections plus
+    // q151's triangle count (4 reads) — both are genuinely multi-read
+    // lineage, so materialize each ONCE (the twice-read rule; the
+    // un-materialized variant re-derived p ~9x across the family)
+    val p = dirPairs(edges).localCheckpoint(true)
+    val tri = dirTriangles(p).localCheckpoint(true)
     val credits = tri.select(col("a").as("n"), (col("fbc") + col("rbc")).as("cr"))
       .union(tri.select(col("b").as("n"), (col("fac") + col("rac")).as("cr")))
       .union(tri.select(col("c").as("n"), (col("fab") + col("rab")).as("cr")))
@@ -1307,7 +1315,10 @@ object Graph {
     * follow the reference Result order (003 … 300). */
   /** Library form over any simple digraph edge frame. */
   def directedTriadicCensusFromEdges(edges: DataFrame): DataFrame = {
-    val p = dirPairs(edges)
+    // p feeds the triangle self-join (3 reads) plus deg's two
+    // projections — materialize once (callers checkpoint `edges`
+    // separately: it still feeds outd/ind/dirPairs directly)
+    val p = dirPairs(edges).localCheckpoint(true)
     val deg = p.select(col("u").as("n")).union(p.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val outd = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("od"))

@@ -148,12 +148,14 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q148_clustering_metrics" -> PlanCounts(4, 0, 9, 3),
     // identical frame + closed-form projections, same census
     "q149_triadic_census" -> PlanCounts(4, 0, 9, 3),
-    // reads the MEMOIZED trade rollup (3 cached scans: pair legs +
-    // triangle count), zero file scans; algebra is node-cardinality
-    "q151_directed_clustering_metrics" -> PlanCounts(0, 3, 7, 4),
-    // listing reads the memoized rollup once; 2 broadcasts = the
-    // tiny pair sides of the triangle joins
-    "q154_directed_triangle_listing" -> PlanCounts(0, 1, 2, 2),
+    // pair + triangle frames localCheckpoint'd in dirCreditFrames
+    // (each fed 4-5 downstream reads — round-7 verdict finding #1):
+    // the final plan is credit/degree aggs + join + fused metric agg
+    // over checkpoint scans, with the 1-row triangle count broadcast
+    "q151_directed_clustering_metrics" -> PlanCounts(0, 0, 4, 1),
+    // listing over the checkpointed pair frame: the self-join's two
+    // tiny sides broadcast, one output-sort exchange
+    "q154_directed_triangle_listing" -> PlanCounts(0, 0, 1, 2),
     // one lineitem scan + bucket equi-join (promo side broadcast) +
     // agg/sort exchanges — the overlap predicate adds no plan nodes
     "q157_interval_overlap" -> PlanCounts(1, 0, 2, 1))
