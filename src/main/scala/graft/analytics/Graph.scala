@@ -1508,26 +1508,28 @@ object Graph {
     * same property; production use prefixes a degree cap). Values
     * pass through unchanged (no arithmetic), so doubles are
     * bit-identical cross-engine. */
-  def q158BipartiteBottomFull(spark: SparkSession, dir: String): DataFrame = {
+  /** The graded bipartite domain of the `% 499` part subset: edges
+    * `(t = part, b = order, ev = min line quantity)`, part values =
+    * retail price (catalog-sized → broadcast-tagged), order values =
+    * total price. */
+  private def partOrderBipartite(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.lineitem(spark, dir)
       .filter(col("l_partkey") % 499 === 0)
-      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("o"))
+      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("b"))
       .agg(min(col("l_quantity")).as("ev"))
-    val parts = Tables.part(spark, dir)
-      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv"))
+    val parts = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv")))
     val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("ov"))
-    val ann = e
-      .join(broadcast(parts), Seq("t"))
-      .join(orders, col("o") === col("okey"))
-      .select(col("t"), col("o"), col("ev"), col("tv"), col("ov"))
-    val a = ann.select(col("t"), col("o").as("b1"), col("ev").as("ev1"),
-      col("tv"), col("ov").as("bv1"))
-    val b = ann.select(col("t").as("t2"), col("o").as("b2"),
-      col("ev").as("ev2"), col("ov").as("bv2"))
-    a.join(b, col("t") === col("t2") && col("b1") =!= col("b2"))
-      .select(col("b1"), col("b2"), col("t").as("shared_part"),
-        col("tv").as("part_value"), col("bv1"), col("bv2"),
+      .select(col("o_orderkey").as("b"), col("o_totalprice").as("bv"))
+    (e, parts, orders)
+  }
+
+  def q158BipartiteBottomFull(spark: SparkSession, dir: String): DataFrame = {
+    val (e, parts, orders) = partOrderBipartite(spark, dir)
+    Bipartite.projectionBottomFull(e, parts, orders)
+      .select(col("b1"), col("b2"), col("shared").as("shared_part"),
+        col("shared_value").as("part_value"), col("bv1"), col("bv2"),
         col("ev1"), col("ev2"))
       .orderBy(col("b1"), col("b2"), col("shared_part"))
   }
@@ -1547,18 +1549,81 @@ object Graph {
       |FROM ann a JOIN ann b ON a.t = b.t AND a.o <> b.o
       |ORDER BY b1, b2, shared_part""".stripMargin
 
-  def q139BipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
+  /** The graded bipartite domain of the `% 97` order subset — the
+    * q139/q160 mirror of [[partOrderBipartite]]. */
+  private def orderSubsetBipartite(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 97 === 0)
-      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("o"))
+      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("b"))
       .agg(min(col("l_quantity")).as("ev"))
-    val a = e.select(col("t").as("u"), col("o"), col("ev").as("ev1"))
-    val b = e.select(col("t").as("v"), col("o").as("o2"), col("ev").as("ev2"))
-    a.join(b, col("o") === col("o2") && col("u") =!= col("v"))
-      .select(col("u"), col("v"), col("o").as("shared_order"),
+    val parts = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv")))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("b"), col("o_totalprice").as("bv"))
+    (e, parts, orders)
+  }
+
+  def q139BipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = orderSubsetBipartite(spark, dir)
+    Bipartite.projectionTopSimple(e)
+      .withColumnRenamed("shared", "shared_order")
+      .orderBy(col("u"), col("v"), col("shared_order"))
+  }
+
+  // ------------------------------------------------- q159 / q160
+  /** Simple bottom projection (reference Gelly
+    * `bipartite/BipartiteGraph.java:255 projectionBottomSimple`):
+    * orders connected by a shared part, both edge values carried —
+    * the q158 domain through the mirror library form (same `% 499`
+    * part subset keeps the pair expansion output-bounded). */
+  def q159BipartiteBottomSimple(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = partOrderBipartite(spark, dir)
+    Bipartite.projectionBottomSimple(e)
+      .select(col("u").as("b1"), col("v").as("b2"),
+        col("shared").as("shared_part"), col("ev1"), col("ev2"))
+      .orderBy(col("b1"), col("b2"), col("shared_part"))
+  }
+
+  val q159Sql: String =
+    """WITH e AS (
+      |  SELECT l_partkey AS t, l_orderkey AS o, min(l_quantity) AS ev
+      |  FROM lineitem WHERE l_partkey % 499 = 0
+      |  GROUP BY l_partkey, l_orderkey)
+      |SELECT a.o AS b1, b.o AS b2, a.t AS shared_part,
+      |  a.ev AS ev1, b.ev AS ev2
+      |FROM e a JOIN e b ON a.t = b.t AND a.o <> b.o
+      |ORDER BY b1, b2, shared_part""".stripMargin
+
+  /** Full top projection (reference Gelly
+    * `bipartite/BipartiteGraph.java:268 projectionTopFull`): parts
+    * connected by a shared order, carrying the full Projection
+    * payload — connecting order id and total price, both part retail
+    * prices, both min-quantity edge values. The q139 domain (`% 97`
+    * order subset) through the mirror library form; values pass
+    * through unchanged, so doubles stay bit-identical cross-engine. */
+  def q160BipartiteTopFull(spark: SparkSession, dir: String): DataFrame = {
+    val (e, parts, orders) = orderSubsetBipartite(spark, dir)
+    Bipartite.projectionTopFull(e, parts, orders)
+      .select(col("u"), col("v"), col("shared").as("shared_order"),
+        col("shared_value").as("order_value"), col("tv1"), col("tv2"),
         col("ev1"), col("ev2"))
       .orderBy(col("u"), col("v"), col("shared_order"))
   }
+
+  val q160Sql: String =
+    """WITH e AS (
+      |  SELECT l_partkey AS t, l_orderkey AS o, min(l_quantity) AS ev
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |  GROUP BY l_partkey, l_orderkey),
+      |ann AS (
+      |  SELECT e.t, e.o, e.ev, p.p_retailprice AS tv, ord.o_totalprice AS ov
+      |  FROM e JOIN part p ON e.t = p.p_partkey
+      |         JOIN orders ord ON e.o = ord.o_orderkey)
+      |SELECT a.t AS u, b.t AS v, a.o AS shared_order, a.ov AS order_value,
+      |  a.tv AS tv1, b.tv AS tv2, a.ev AS ev1, b.ev AS ev2
+      |FROM ann a JOIN ann b ON a.o = b.o AND a.t <> b.t
+      |ORDER BY u, v, shared_order""".stripMargin
 
   val q139Sql: String =
     """WITH e AS (
@@ -1589,6 +1654,8 @@ object Graph {
     "q152_directed_triadic_census" -> (q152DirectedTriadicCensus _),
     "q154_directed_triangle_listing" -> (q154DirectedTriangleListing _),
     "q158_bipartite_bottom_full" -> (q158BipartiteBottomFull _),
+    "q159_bipartite_bottom_simple" -> (q159BipartiteBottomSimple _),
+    "q160_bipartite_top_full" -> (q160BipartiteTopFull _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
@@ -1615,6 +1682,8 @@ object Graph {
     "q152_directed_triadic_census" -> q152Sql,
     "q154_directed_triangle_listing" -> q154Sql,
     "q158_bipartite_bottom_full" -> q158Sql,
+    "q159_bipartite_bottom_simple" -> q159Sql,
+    "q160_bipartite_top_full" -> q160Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
     "q42_connected_components" -> q42Sql,

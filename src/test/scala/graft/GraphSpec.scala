@@ -461,4 +461,51 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     (1 until 6).foreach(i => assert(lp(i.toLong) == 0L, s"spoke $i"))
     assert(lp(0L) == 1L)
   }
+
+  test("all four bipartite projections equal a brute-force pair walk") {
+    import spark.implicits._
+    import graft.analytics.Bipartite
+    val rng = new scala.util.Random(421)
+    (1 to 3).foreach { trial =>
+      val edges = (for {
+        t <- 0L until 7L; b <- 0L until 9L if rng.nextDouble() < 0.35
+      } yield (t, b, rng.nextInt(50).toLong)).toSeq
+      val e = edges.toDF("t", "b", "ev")
+      val tvm = (0L until 7L).map(t => t -> (t * 10 + 1)).toMap
+      val bvm = (0L until 9L).map(b => b -> (b * 100 + 7)).toMap
+      val tv = tvm.toSeq.toDF("t", "tv")
+      val bv = bvm.toSeq.toDF("b", "bv")
+      def pairsVia[K](key: ((Long, Long, Long)) => K,
+          other: ((Long, Long, Long)) => Long) =
+        (for {
+          (_, es) <- edges.groupBy(key).toSeq
+          x <- es; y <- es if other(x) != other(y)
+        } yield (x, y)).toSet
+      // simple tops: pairs sharing a bottom
+      val wantTS = pairsVia(_._2, _._1)
+        .map { case (x, y) => (x._1, y._1, x._2, x._3, y._3) }
+      val gotTS = Bipartite.projectionTopSimple(e).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(gotTS == wantTS, s"trial $trial top-simple")
+      val wantBS = pairsVia(_._1, _._2)
+        .map { case (x, y) => (x._2, y._2, x._1, x._3, y._3) }
+      val gotBS = Bipartite.projectionBottomSimple(e).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(gotBS == wantBS, s"trial $trial bottom-simple")
+      // full projections carry the connecting vertex value + both
+      // projected-side vertex values
+      val wantBF = pairsVia(_._1, _._2).map { case (x, y) =>
+        (x._2, y._2, x._1, tvm(x._1), bvm(x._2), bvm(y._2), x._3, y._3) }
+      val gotBF = Bipartite.projectionBottomFull(e, tv, bv).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      assert(gotBF == wantBF, s"trial $trial bottom-full")
+      val wantTF = pairsVia(_._2, _._1).map { case (x, y) =>
+        (x._1, y._1, x._2, bvm(x._2), tvm(x._1), tvm(y._1), x._3, y._3) }
+      val gotTF = Bipartite.projectionTopFull(e, tv, bv).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      assert(gotTF == wantTF, s"trial $trial top-full")
+    }
+  }
 }
