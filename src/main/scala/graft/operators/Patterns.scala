@@ -1255,6 +1255,235 @@ object Patterns {
       }
   }
 
+  // ------------------------------------------- group patterns
+  /** Flink CEP GroupPattern (reference flink-cep
+    * `pattern/GroupPattern.java` + `Pattern.java begin(Pattern)`): a
+    * nested pattern SEQUENCE under a quantifier — here
+    * `(g1 … gk).oneOrMore()` followed by a tail step, i.e.
+    * "(view click)+ purchase". Iterations are SEQUENTIAL earliest
+    * chains: iteration r consumes its steps strictly after iteration
+    * r−1's completion (the same committed earliest-seed rule as every
+    * matcher in this file), and the loop absorbs at most [[GroupMax]]
+    * iterations — a real guard against pathological keys, mirrored
+    * verbatim in the oracle's unrolled rounds (the q135 SkipMax
+    * device). Returns (start, completion) per absorbed iteration.
+    * One sorted forward scan: an event passed over inside iteration r
+    * precedes r's completion, so it can never serve iteration r+1 —
+    * the pointer never rewinds and the whole key costs O(n log n). */
+  val GroupMax = 6
+
+  def groupIterations(group: IndexedSeq[String], maxIters: Int,
+      events: Iterator[(Long, String)]): IndexedSeq[(Long, Long)] = {
+    val sorted = events.toArray.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    var prev = Long.MinValue
+    var go = true
+    while (go && out.length < maxIters) {
+      var gi = 0
+      var last = prev
+      var first = -1L
+      while (i < sorted.length && gi < group.length) {
+        val (t, tag) = sorted(i)
+        if (tag == group(gi) && t > last) {
+          if (gi == 0) first = t
+          last = t; gi += 1
+        }
+        i += 1
+      }
+      if (gi == group.length) { out += ((first, last)); prev = last }
+      else go = false
+    }
+    out.toIndexedSeq
+  }
+
+  /** `(view click)+  followedBy  purchase` under the DEFAULT
+    * (reluctant) quantifier expansion: the match commits after the
+    * FIRST group iteration — tail = earliest purchase strictly after
+    * iteration 1's completion — and `n_groups` reports the loop's
+    * greedy extent, the count of sequential iterations completing
+    * strictly before the tail (the q127 convention lifted from a
+    * single step to a nested sequence). */
+  def q161GroupLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val group = IndexedSeq("view", "click")
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        val evs = it.map(e => (e.t_us, e.tag)).toArray
+        val iters = groupIterations(group, GroupMax, evs.iterator)
+        iters.headOption.flatMap { case (v1, c1) =>
+          evs.iterator.filter { case (t, tag) => tag == "purchase" && t > c1 }
+            .map(_._1).minOption
+            .map(t3 => (key, v1, c1, t3, iters.count(_._2 < t3).toLong))
+        }.iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("t1_us"),
+        col("_3").as("t2_us"), col("_4").as("t3_us"), col("_5").as("n_groups"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The oracle unrolls [[GroupMax]] sequential (view, click) rounds,
+    * each lower-bounded by the previous round's click. */
+  private def groupRoundsSql: String = {
+    val rounds = (1 to GroupMax).map { r =>
+      val prev = if (r == 1) "seed" else s"g${r - 1}"
+      s"""g${r}v AS (
+         |  SELECT e.user_id, min(e.t) AS tv
+         |  FROM ev e JOIN $prev ON e.user_id = $prev.user_id
+         |  WHERE e.event_type = 'view' AND e.t > $prev.tc GROUP BY e.user_id),
+         |g${r}c AS (
+         |  SELECT e.user_id, min(e.t) AS tc
+         |  FROM ev e JOIN g${r}v ON e.user_id = g${r}v.user_id
+         |  WHERE e.event_type = 'click' AND e.t > g${r}v.tv GROUP BY e.user_id),
+         |g$r AS (
+         |  SELECT g${r}v.user_id, g${r}v.tv, g${r}c.tc
+         |  FROM g${r}v JOIN g${r}c ON g${r}v.user_id = g${r}c.user_id)""".stripMargin
+    }.mkString(",\n")
+    val comps = (1 to GroupMax)
+      .map(r => s"SELECT user_id, tv, tc FROM g$r").mkString("\nUNION ALL ")
+    s"""ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+       |seed AS (SELECT DISTINCT user_id,
+       |  CAST(-9223372036854775808 AS BIGINT) AS tc FROM ev),
+       |$rounds,
+       |comps AS ($comps)""".stripMargin
+  }
+
+  val q161Sql: String =
+    s"""WITH ${groupRoundsSql},
+       |p AS (
+       |  SELECT e.user_id, min(e.t) AS t3
+       |  FROM ev e JOIN g1 ON e.user_id = g1.user_id
+       |  WHERE e.event_type = 'purchase' AND e.t > g1.tc GROUP BY e.user_id),
+       |n AS (
+       |  SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_groups
+       |  FROM comps c JOIN p ON c.user_id = p.user_id
+       |  WHERE c.tc < p.t3 GROUP BY c.user_id)
+       |SELECT g1.user_id AS user_id, g1.tv AS t1_us, g1.tc AS t2_us,
+       |  p.t3 AS t3_us, n.n_groups
+       |FROM g1 JOIN p ON g1.user_id = p.user_id
+       |        JOIN n ON g1.user_id = n.user_id
+       |ORDER BY g1.user_id""".stripMargin
+
+  /** `(view click)+.greedy()  followedBy  purchase` — Flink's
+    * `greedy()` modifier (reference flink-cep
+    * `pattern/Quantifier.java greedy`; nfa/NFACompiler greedy edge
+    * priority): at every decision point the loop PREFERS absorbing
+    * another iteration over proceeding, so the committed match
+    * carries the LAST absorbed iteration's completion and the tail
+    * must fire strictly after it — no backtracking, so a key whose
+    * purchases all precede the loop's final iteration has NO match
+    * (the observable difference from q161's reluctant default, which
+    * commits after iteration 1). `n_groups` = every absorbed
+    * iteration (capped at [[GroupMax]] in both engines). */
+  def q162GreedyGroupLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val group = IndexedSeq("view", "click")
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        val evs = it.map(e => (e.t_us, e.tag)).toArray
+        val iters = groupIterations(group, GroupMax, evs.iterator)
+        iters.lastOption.flatMap { case (_, tl) =>
+          evs.iterator.filter { case (t, tag) => tag == "purchase" && t > tl }
+            .map(_._1).minOption
+            .map(t3 => (key, tl, t3, iters.length.toLong))
+        }.iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("t_loop_us"),
+        col("_3").as("t3_us"), col("_4").as("n_groups"))
+      .orderBy(col("user_id"))
+  }
+
+  val q162Sql: String =
+    s"""WITH ${groupRoundsSql},
+       |last AS (
+       |  SELECT user_id, max(tc) AS tl, CAST(count(*) AS BIGINT) AS n_groups
+       |  FROM comps GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.t) AS t3
+       |  FROM ev e JOIN last ON e.user_id = last.user_id
+       |  WHERE e.event_type = 'purchase' AND e.t > last.tl GROUP BY e.user_id)
+       |SELECT last.user_id AS user_id, last.tl AS t_loop_us, p.t3 AS t3_us,
+       |  last.n_groups
+       |FROM last JOIN p ON last.user_id = p.user_id
+       |ORDER BY last.user_id""".stripMargin
+
+  /** Streaming twin of the RELUCTANT group loop (q161). Per-key
+    * state: position inside the current iteration + completed
+    * iteration count + iteration 1's (start, completion) — O(1)
+    * longs regardless of [[GroupMax]]. Same in-order contract and
+    * idle-expiry lifecycle as [[matchChainStream]]; same-time ties
+    * process the tail first (a completion at exactly the tail's
+    * timestamp must not count toward `n_groups` — the batch rule is
+    * strict `<`). The GREEDY variant has no streaming twin for the
+    * same reason a trailing `oneOrMore` doesn't: the loop only
+    * closes when the stream ends, so the tail can never commit. */
+  final case class GroupLoopState(gi: Int, last: Long, curStart: Long,
+      nDone: Int, v1: Long, c1: Long, done: Boolean)
+  final case class GroupMatch(key: Long, v1: Long, c1: Long, t3: Long,
+      nGroups: Long)
+
+  def matchGroupLoopStream(events: Dataset[PEvent],
+      group: IndexedSeq[String], tailTag: String,
+      watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[GroupMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState => GS, GroupStateTimeout, OutputMode}
+    events
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GroupLoopState, GroupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[PEventT], state: GS[GroupLoopState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              GroupLoopState(0, Long.MinValue, -1L, 0, -1L, -1L, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[GroupMatch]
+            var lastSeenUs = Long.MinValue
+            it.toSeq.sortBy(e => (e.t_us, if (e.tag == tailTag) 0 else 1))
+              .foreach { e =>
+              lastSeenUs = math.max(lastSeenUs, e.t_us)
+              if (!s.done) {
+                if (e.tag == tailTag && s.nDone >= 1 && e.t_us > s.c1) {
+                  // ties processed tail-first, so every counted
+                  // completion is strictly earlier — exactly the
+                  // batch `_ < t3` rule
+                  out += GroupMatch(key, s.v1, s.c1, e.t_us, s.nDone.toLong)
+                  s = s.copy(done = true)
+                } else if (s.nDone < GroupMax && e.tag == group(s.gi) &&
+                    e.t_us > s.last) {
+                  val start = if (s.gi == 0) e.t_us else s.curStart
+                  if (s.gi == group.length - 1) {
+                    val firstIter = s.nDone == 0
+                    s = s.copy(gi = 0, last = e.t_us, curStart = -1L,
+                      nDone = s.nDone + 1,
+                      v1 = if (firstIter) start else s.v1,
+                      c1 = if (firstIter) e.t_us else s.c1)
+                  } else s = s.copy(gi = s.gi + 1, last = e.t_us,
+                    curStart = start)
+                }
+              }
+            }
+            state.update(s)
+            if (s.done)
+              state.setTimeoutTimestamp(math.max(
+                lastSeenUs / 1000L + idleExpiryUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_funnel" -> (q116Funnel _),
     "q117_funnel_guard" -> (q117FunnelGuard _),
@@ -1267,7 +1496,9 @@ object Patterns {
     "q145_until_burst" -> (q145UntilBurst _),
     "q147_skip_to_click" -> (q147SkipToClick _),
     "q153_times_range" -> (q153TimesRange _),
-    "q155_not_next" -> (q155NotNext _))
+    "q155_not_next" -> (q155NotNext _),
+    "q161_group_loop" -> (q161GroupLoop _),
+    "q162_greedy_group_loop" -> (q162GreedyGroupLoop _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -1281,5 +1512,7 @@ object Patterns {
     "q145_until_burst" -> q145Sql,
     "q147_skip_to_click" -> q147Sql,
     "q153_times_range" -> q153Sql,
-    "q155_not_next" -> q155Sql)
+    "q155_not_next" -> q155Sql,
+    "q161_group_loop" -> q161Sql,
+    "q162_greedy_group_loop" -> q162Sql)
 }

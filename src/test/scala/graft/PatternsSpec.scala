@@ -685,4 +685,71 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(firstSeed == q116)
   }
+
+  test("groupIterations equals brute-force sequential min-chaining on random event sets") {
+    import graft.operators.Patterns
+    val rng = new scala.util.Random(1893)
+    val tags = Vector("view", "click", "purchase", "error")
+    def bruteIters(group: Seq[String], cap: Int,
+        evs: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      def minAfter(tag: String, after: Long): Option[Long] =
+        evs.collect { case (t, tg) if tg == tag && t > after => t }.minOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var prev = Long.MinValue
+      var go = true
+      while (go && out.length < cap) {
+        val chain = group.foldLeft(Option(List.empty[Long])) { (acc, tag) =>
+          acc.flatMap(ts => minAfter(tag, ts.lastOption.getOrElse(prev)).map(ts :+ _))
+        }
+        chain match {
+          case Some(ts) => out += ((ts.head, ts.last)); prev = ts.last
+          case None => go = false
+        }
+      }
+      out.toSeq
+    }
+    (1 to 60).foreach { trial =>
+      val n = 1 + rng.nextInt(25)
+      val evs = (1 to n).map(_ =>
+        (rng.nextInt(14).toLong, tags(rng.nextInt(tags.length))))
+      val group =
+        if (trial % 2 == 0) IndexedSeq("view", "click")
+        else IndexedSeq("view", "click", "click")
+      val cap = 1 + rng.nextInt(4)
+      val got = Patterns.groupIterations(group, cap, evs.iterator)
+      val want = bruteIters(group, cap, evs)
+      assert(got == want, s"trial $trial group=$group cap=$cap evs=$evs")
+      // iterations are sequential: completions strictly increase
+      assert(got.map(_._2) == got.map(_._2).sorted)
+    }
+  }
+
+  test("streaming group-loop matcher over ordered batches equals the graded q161") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Patterns
+    implicit val ctx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, tag) => Patterns.PEvent(u, t, tag) }
+      .sortBy(_.t_us)
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchGroupLoopStream(ms.toDS(),
+        IndexedSeq("view", "click"), "purchase")
+      .writeStream.format("memory").queryName("cepg")
+      .outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cepg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = Patterns.q161GroupLoop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
