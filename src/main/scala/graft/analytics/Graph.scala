@@ -94,6 +94,86 @@ object Graph {
        |SELECT node, r AS rank FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+  /** Gelly LIBRARY PageRank (reference
+    * `library/linkanalysis/PageRank.java` — distinct from the
+    * example-program analogue q41): models DANGLING-VERTEX mass. Per
+    * superstep, the rank mass sitting on vertices with no out-edges
+    * is redistributed uniformly:
+    * r'(v) = (1−β)/n + β·(Σ_{u→v} r(u)/outdeg(u) + dangling/n),
+    * r₀ = 1/n over ALL vertices (sources, sinks, and isolated-in-edge
+    * vertices alike — the reference scores every vertex). State
+    * rounded to 9 decimals per superstep (the q128 device; r₀ is a
+    * single division, bit-identical unrounded). Per superstep: one
+    * node-state broadcast onto the checkpointed out-degree-annotated
+    * edges, one dst-keyed hash-agg, one node-keyed left join, and two
+    * 1-row broadcasts (dangling mass, vertex count) — the q125
+    * 1-row-agg device; everything node- or edge-keyed, nothing
+    * driver-side. */
+  /** Library form over any directed edge frame (`src`, `dst`). */
+  def pageRankDanglingFromEdges(edges: DataFrame, iters: Int): DataFrame = {
+    // the edge relation and the static node/dangling sets feed every
+    // superstep — materialize each once
+    val ed = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")),
+      "src").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val dang = nodes.join(ed.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint(true)
+    val nAgg = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val init = nodes.crossJoin(broadcast(nAgg))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    graft.engine.Iterate.loopDF(init, iters, checkpointEvery = 1) { (rs, _) =>
+      val dm = rs.join(dang, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      val contrib = ed.join(broadcast(rs), ed("src") === rs("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") / col("d")).as("c"))
+      nodes.join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dm)).crossJoin(broadcast(nAgg))
+        .select(col("node"),
+          round(lit(0.15) / col("n") + lit(0.85) *
+            (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")), 9).as("r"))
+    }
+  }
+
+  /** Graded on the DIRECTED part→supplier half of the shared edge
+    * cache (the q125 domain): every supplier is a sink, so the
+    * dangling term carries half the graph's mass — the machinery the
+    * example-program q41 (both-arcs, no sinks) cannot exercise. */
+  def q163LibraryPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = edgesWithDeg(spark, dir)
+      .filter(col("src") < SuppOffset)
+      .select(col("src"), col("dst"))
+    pageRankDanglingFromEdges(e0, Iters)
+      .orderBy(desc("r"), col("node")).limit(20)
+      .select(col("node"), col("r").as("rank"))
+  }
+
+  val q163Sql: String = {
+    val steps = (1 to Iters).map { i =>
+      s"""dm$i AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dm FROM r${i - 1} r
+         |  WHERE r.node NOT IN (SELECT p FROM od)),
+         |c$i AS (
+         |  SELECT e.s AS node, sum(r.r / od.d) AS c
+         |  FROM e0 e JOIN od ON e.p = od.p JOIN r${i - 1} r ON e.p = r.node
+         |  GROUP BY e.s),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    round(0.15 / nn.n + 0.85 * (coalesce(c.c, 0) + dm$i.dm / nn.n), 9) AS r
+         |  FROM nodes LEFT JOIN c$i c ON nodes.node = c.node, nn, dm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey + $SuppOffset AS s FROM lineitem),
+       |od AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY p),
+       |nodes AS (SELECT p AS node FROM e0 UNION SELECT s FROM e0),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+       |$steps
+       |SELECT node, r AS rank FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q42
   /** Connected components by min-label propagation (the reference's
     * delta-iteration workload), 3 supersteps: label' = min(label,
@@ -1658,6 +1738,7 @@ object Graph {
     "q160_bipartite_top_full" -> (q160BipartiteTopFull _),
     "q131_community_detection" -> (q131CommunityDetection _),
     "q41_pagerank" -> (q41PageRank _),
+    "q163_library_pagerank" -> (q163LibraryPagerank _),
     "q42_connected_components" -> (q42ConnectedComponents _),
     "q56_enum_triangles" -> (q56EnumTriangles _),
     "q57_transitive_closure" -> (q57TransitiveClosure _),
@@ -1686,6 +1767,7 @@ object Graph {
     "q160_bipartite_top_full" -> q160Sql,
     "q131_community_detection" -> q131Sql,
     "q41_pagerank" -> q41Sql,
+    "q163_library_pagerank" -> q163Sql,
     "q42_connected_components" -> q42Sql,
     "q56_enum_triangles" -> q56Sql,
     "q57_transitive_closure" -> q57Sql,

@@ -161,6 +161,17 @@ object GraphGen {
     * the thing under test, cross-engine. */
   val ChkP = 1000003L
 
+  /** Gelly `metric/ChecksumHashCode.java` as a library fold: one
+    * (count, checksum) row over any edge frame, checksum =
+    * Σ(src·P + dst) — the positional form the q138 census pins per
+    * generator (the reference sums Java hashCodes; a positional
+    * polynomial is the same any-single-difference detector with a
+    * cross-engine-exact value). Empty frame → (0, 0), the
+    * reference's empty-checksum. */
+  def checksumHashCode(edges: DataFrame): DataFrame =
+    edges.agg(count(lit(1)).as("cnt"),
+      coalesce(sum(col("src") * ChkP + col("dst")), lit(0L)).as("checksum"))
+
   private def tag(name: String, edges: DataFrame): DataFrame =
     edges.select(lit(name).as("gen"), col("src"), col("dst"))
 

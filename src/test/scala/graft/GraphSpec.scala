@@ -363,6 +363,20 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(em.getLong(2) <= em.getLong(3))
   }
 
+  test("checksumHashCode library fold matches the census checksum and brute force") {
+    import graft.analytics.GraphGen
+    val cyc = GraphGen.cycle(spark, 1000L)
+    val got = GraphGen.checksumHashCode(cyc).head
+    val censusChk = GraphGen.q138GeneratorCensus(spark, sf).collect()
+      .find(_.getString(0) == "cycle").get.getLong(5)
+    assert(got.getLong(1) == censusChk)
+    val brute = cyc.collect()
+      .map(r => r.getLong(0) * GraphGen.ChkP + r.getLong(1)).sum
+    assert(got.getLong(0) == 2000L && got.getLong(1) == brute)
+    val empty = GraphGen.checksumHashCode(cyc.filter(col("src") < 0)).head
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+  }
+
   test("generator census matches the closed-form graph invariants") {
     val rows = graft.analytics.GraphGen.q138GeneratorCensus(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
