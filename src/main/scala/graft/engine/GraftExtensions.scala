@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(Conv(Substring(Md5(exprs.head), Literal(1), Literal(15)),
           Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
       }))
+    // graft_vecsum(v): element-wise array<float> sum (KMeans
+    // centroid-accumulate shape) — see graft.plans.VecSum
+    ext.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[graft.plans.VecSum].getName, "graft_vecsum"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"graft_vecsum takes 1 argument, got ${exprs.length}")
+        graft.plans.VecSum(exprs.head)
+          .toAggregateExpression(isDistinct = false)
+      }))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)
     // phase-6 accelerator seam (SURVEY §7): swap graft_dot-bearing
     // projections for the batch kernel operator. Opt-in via
@@ -49,6 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       override def postColumnarTransitions
           : org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.execution.SparkPlan] =
         graft.plans.DotKernelProjectRule
+    })
+    // second kernel class through the same seam: partial VecSum
+    // aggregation as a batch kernel (spark.graft.kernelAgg.enabled)
+    ext.injectColumnar(_ => new org.apache.spark.sql.execution.ColumnarRule {
+      override def postColumnarTransitions
+          : org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.execution.SparkPlan] =
+        graft.plans.VecSumKernelRule
     })
   }
 }

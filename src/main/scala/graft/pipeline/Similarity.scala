@@ -572,6 +572,44 @@ object Similarity {
        |ORDER BY cosine DESC, vec_a, vec_b
        |LIMIT $Q104Pairs""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  /** Per-cluster centroid accumulation through the NATIVE AGGREGATE
+    * path ([[graft.plans.VecSum]], SQL `graft_vecsum`): the KMeans
+    * centroid-accumulate (reference TornadoVM
+    * `ChainedAllReduceDriver.java:852`) as a first-class two-stage
+    * Spark aggregate — map-side partial vector sums combine before
+    * the shuffle, so at 100 TB only one ~dim-sized buffer per
+    * (partition, cluster) moves. Cluster = vec_id % 7 (a fixed
+    * assignment keeps the oracle closed-form; a KMeans superstep
+    * supplies cids the same way). Component sums rounded to 6dp —
+    * aggregated sums, engine-dependent order. Also the graded surface
+    * of the opt-in kernel-agg seam (DotKernelSpec proves the swapped
+    * plan matches this stock path). */
+  def q164CentroidAccumulate(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    Tables.embeddings(spark, dir)
+      .groupBy((col("vec_id") % 7).as("cid"))
+      .agg(count(lit(1)).as("n"),
+        expr("transform(graft_vecsum(embedding), x -> round(x, 6))")
+          .as("centroid_sum"))
+      .orderBy(col("cid"))
+  }
+
+  val q164Sql: String =
+    """WITH f AS (
+      |  SELECT vec_id % 7 AS cid, unnest(embedding) AS e,
+      |    generate_subscripts(embedding, 1) AS ord
+      |  FROM embeddings),
+      |s AS (SELECT cid, ord, round(sum(CAST(e AS DOUBLE)), 6) AS sc
+      |      FROM f GROUP BY cid, ord),
+      |cs AS (SELECT cid, list(sc ORDER BY ord) AS centroid_sum
+      |       FROM s GROUP BY cid),
+      |n AS (SELECT vec_id % 7 AS cid, CAST(count(*) AS BIGINT) AS n
+      |      FROM embeddings GROUP BY 1)
+      |SELECT n.cid AS cid, n.n, cs.centroid_sum
+      |FROM n JOIN cs ON n.cid = cs.cid
+      |ORDER BY n.cid""".stripMargin
+
   // ---------------------------------------------------------------- q141
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540), composed from the engine's own pieces: the q61
@@ -665,6 +703,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_cosine_expr" -> (q104CosineExpr _),
+    "q164_centroid_accumulate" -> (q164CentroidAccumulate _),
     "q141_semdedup" -> (q141SemDedup _),
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -675,6 +714,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q104_cosine_expr" -> q104Sql,
+    "q164_centroid_accumulate" -> q164Sql,
     "q141_semdedup" -> q141Sql,
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,

@@ -181,6 +181,16 @@ object Functions {
         },
         "built-in")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vecsum"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_vecsum",
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"graft_vecsum takes 1 argument, got ${exprs.length}")
+          VecSum(exprs.head).toAggregateExpression(isDistinct = false)
+        },
+        "built-in")
+    }
     // Sketch aggregates on the SQL surface: `graft_hh(col)` —
     // Misra-Gries heavy hitters (k=32) as map<item, est_count> — and
     // `graft_cm(col)` — the Count-Min table (d=4, w=256) as

@@ -103,6 +103,98 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
       d >= 0.0 && (d == 0.0 || math.abs(c - 1.0) < 1e-14) })
   }
 
+  test("graft_vecsum matches a brute-force per-group component sum") {
+    graft.plans.Functions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = emb.groupBy((col("vec_id") % 7).as("cid"))
+      .agg(expr("graft_vecsum(embedding)").as("s"), count(lit(1)).as("n"))
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0) % 7, r.getSeq[Float](1).toArray))
+    val want = rows.groupBy(_._1).view.mapValues { vs =>
+      val dim = vs.map(_._2.length).max
+      val acc = new Array[Double](dim)
+      vs.foreach { case (_, v) =>
+        var i = 0; while (i < v.length) { acc(i) += v(i).toDouble; i += 1 } }
+      (acc, vs.length.toLong)
+    }.toMap
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (cid, s, n) =>
+      val (ws, wn) = want(cid)
+      assert(n == wn && s.length == ws.length)
+      s.zip(ws).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cid $cid: $a vs $b") }
+    }
+  }
+
+  test("vecsum kernel-agg rule swaps the partial stage and matches the stock path") {
+    def centroidAcc(s: SparkSession): Array[(Long, Array[Double])] = {
+      graft.plans.Functions.register(s)
+      s.read.parquet(s"$sf/embeddings.parquet")
+        .groupBy((col("vec_id") % 7).as("cid"))
+        .agg(expr("graft_vecsum(embedding)").as("s"))
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    }
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    val plainDf = {
+      graft.plans.Functions.register(spark)
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .groupBy((col("vec_id") % 7).as("cid"))
+        .agg(expr("graft_vecsum(embedding)").as("s"))
+    }
+    assert(!planString(plainDf).contains("VecSumKernel"),
+      "kernel agg must stay off by default")
+    val kernelDf = {
+      graft.plans.Functions.register(kernel)
+      kernel.read.parquet(s"$sf/embeddings.parquet")
+        .groupBy((col("vec_id") % 7).as("cid"))
+        .agg(expr("graft_vecsum(embedding)").as("s"))
+    }
+    val kplan = planString(kernelDf)
+    assert(kplan.contains("VecSumKernel"),
+      "enabled session must plan the kernel partial stage:\n" + kplan)
+    assert(kplan.contains("ObjectHashAggregate"),
+      "the FINAL stage must stay stock:\n" + kplan)
+    val base = centroidAcc(spark)
+    val kern = centroidAcc(kernel)
+    assert(base.length == kern.length && base.nonEmpty)
+    base.zip(kern).foreach { case ((c1, s1), (c2, s2)) =>
+      assert(c1 == c2 && s1.length == s2.length)
+      // the reference's dual-run gate is |delta| <= 0.01; identical
+      // per-partition fold order makes the partials bit-equal, with
+      // only final-merge arrival order free to perturb the sum
+      s1.zip(s2).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cid $c1: stock $a vs kernel $b") }
+    }
+  }
+
+  test("vecsum kernel handles null vectors and all-null groups like the stock path") {
+    import spark.implicits._
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def q(s: SparkSession): Array[(Long, Option[Seq[Double]])] = {
+      graft.plans.Functions.register(s)
+      import s.implicits._
+      val df = Seq(
+        (0L, Some(Seq(1.0f, 2.0f))), (0L, None), (0L, Some(Seq(3.0f, 4.0f))),
+        (1L, None), (1L, None),
+        (2L, Some(Seq(5.0f)))).toDF("k", "v")
+        .select(col("k"), col("v").cast("array<float>").as("v"))
+      df.groupBy("k").agg(expr("graft_vecsum(v)").as("s")).orderBy("k")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getSeq[Double](1).toList.toSeq)))
+    }
+    val base = q(spark)
+    val kern = q(kernel)
+    assert(base.toSeq == kern.toSeq)
+    assert(kern(0)._2.contains(Seq(4.0, 6.0)))
+    assert(kern(1)._2.isEmpty) // all-null group -> NULL, not zeros
+    assert(kern(2)._2.contains(Seq(5.0)))
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
