@@ -112,30 +112,37 @@ object Graph {
     * driver-side. */
   /** Library form over any directed edge frame (`src`, `dst`). */
   def pageRankDanglingFromEdges(edges: DataFrame, iters: Int): DataFrame = {
-    // the edge relation and the static node/dangling sets feed every
-    // superstep — materialize each once
+    // the edge relation and the static flagged node set feed every
+    // superstep — materialize each once. The dangling flag rides the
+    // node STATE (computed once here), so each superstep's dangling
+    // mass is a filter + 1-row agg over the checkpointed state — no
+    // per-superstep semi-join shuffle
     val ed = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("d")),
       "src").localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .join(ed.select(col("src").as("node")).distinct()
+        .withColumn("has_out", lit(true)), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .localCheckpoint(true)
-    val dang = nodes.join(ed.select(col("src").as("node")).distinct(),
-      Seq("node"), "left_anti").localCheckpoint(true)
     val nAgg = nodes.agg(count(lit(1)).cast("double").as("n"))
     val init = nodes.crossJoin(broadcast(nAgg))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"), col("has_out"))
     graft.engine.Iterate.loopDF(init, iters, checkpointEvery = 1) { (rs, _) =>
-      val dm = rs.join(dang, Seq("node"), "left_semi")
+      val dm = rs.filter(!col("has_out"))
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      val contrib = ed.join(broadcast(rs), ed("src") === rs("node"))
-        .groupBy(col("dst").as("node"))
+      val contrib = ed.join(broadcast(rs.select(col("node"), col("r"))),
+          ed("src") === col("node"))
+        .groupBy(col("dst").as("node2"))
         .agg(sum(col("r") / col("d")).as("c"))
+        .withColumnRenamed("node2", "node")
       nodes.join(contrib, Seq("node"), "left_outer")
         .crossJoin(broadcast(dm)).crossJoin(broadcast(nAgg))
         .select(col("node"),
           round(lit(0.15) / col("n") + lit(0.85) *
-            (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")), 9).as("r"))
-    }
+            (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")), 9).as("r"),
+          col("has_out"))
+    }.select(col("node"), col("r"))
   }
 
   /** Graded on the DIRECTED part→supplier half of the shared edge
