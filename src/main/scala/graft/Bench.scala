@@ -70,7 +70,11 @@ object Bench {
 
   def loadTag(start: Option[Double], end: Option[Double]): String =
     (start, end) match {
-      case (Some(s), Some(e)) => f""""loadavg":[$s%.2f,$e%.2f]"""
+      case (Some(s), Some(e)) =>
+        // Locale.ROOT: a comma-decimal default locale would split the
+        // JSON array
+        String.format(java.util.Locale.ROOT,
+          "\"loadavg\":[%.2f,%.2f]", Double.box(s), Double.box(e))
       case _ => ""
     }
 

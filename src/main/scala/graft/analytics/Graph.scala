@@ -1595,25 +1595,30 @@ object Graph {
     * same property; production use prefixes a degree cap). Values
     * pass through unchanged (no arithmetic), so doubles are
     * bit-identical cross-engine. */
-  /** The graded bipartite domain of the `% 499` part subset: edges
-    * `(t = part, b = order, ev = min line quantity)`, part values =
-    * retail price (catalog-sized → broadcast-tagged), order values =
-    * total price. */
-  private def partOrderBipartite(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val e = Tables.lineitem(spark, dir)
-      .filter(col("l_partkey") % 499 === 0)
+  /** The graded bipartite edge domain: `(t = part, b = order, ev =
+    * min line quantity)` over a deterministic key subset (q158/q159
+    * use `l_partkey % 499`, q139/q160 `l_orderkey % 97` — both keep
+    * the pair expansion output-bounded). */
+  private def bipartiteEdges(spark: SparkSession, dir: String,
+      subsetKey: String, modulus: Int): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col(subsetKey) % modulus === 0)
       .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("b"))
       .agg(min(col("l_quantity")).as("ev"))
-    val parts = broadcast(Tables.part(spark, dir)
-      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv")))
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("b"), col("o_totalprice").as("bv"))
-    (e, parts, orders)
-  }
+
+  /** Vertex values for the full projections: part values = retail
+    * price (catalog-sized → broadcast-tagged), order values = total
+    * price. Built only by the full-projection callers. */
+  private def bipartiteVertexValues(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = (
+    broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv"))),
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("b"), col("o_totalprice").as("bv")))
 
   def q158BipartiteBottomFull(spark: SparkSession, dir: String): DataFrame = {
-    val (e, parts, orders) = partOrderBipartite(spark, dir)
+    val e = bipartiteEdges(spark, dir, "l_partkey", 499)
+    val (parts, orders) = bipartiteVertexValues(spark, dir)
     Bipartite.projectionBottomFull(e, parts, orders)
       .select(col("b1"), col("b2"), col("shared").as("shared_part"),
         col("shared_value").as("part_value"), col("bv1"), col("bv2"),
@@ -1636,23 +1641,8 @@ object Graph {
       |FROM ann a JOIN ann b ON a.t = b.t AND a.o <> b.o
       |ORDER BY b1, b2, shared_part""".stripMargin
 
-  /** The graded bipartite domain of the `% 97` order subset — the
-    * q139/q160 mirror of [[partOrderBipartite]]. */
-  private def orderSubsetBipartite(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val e = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey") % 97 === 0)
-      .groupBy(col("l_partkey").as("t"), col("l_orderkey").as("b"))
-      .agg(min(col("l_quantity")).as("ev"))
-    val parts = broadcast(Tables.part(spark, dir)
-      .select(col("p_partkey").as("t"), col("p_retailprice").as("tv")))
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("b"), col("o_totalprice").as("bv"))
-    (e, parts, orders)
-  }
-
   def q139BipartiteProjection(spark: SparkSession, dir: String): DataFrame = {
-    val (e, _, _) = orderSubsetBipartite(spark, dir)
+    val e = bipartiteEdges(spark, dir, "l_orderkey", 97)
     Bipartite.projectionTopSimple(e)
       .withColumnRenamed("shared", "shared_order")
       .orderBy(col("u"), col("v"), col("shared_order"))
@@ -1665,7 +1655,7 @@ object Graph {
     * the q158 domain through the mirror library form (same `% 499`
     * part subset keeps the pair expansion output-bounded). */
   def q159BipartiteBottomSimple(spark: SparkSession, dir: String): DataFrame = {
-    val (e, _, _) = partOrderBipartite(spark, dir)
+    val e = bipartiteEdges(spark, dir, "l_partkey", 499)
     Bipartite.projectionBottomSimple(e)
       .select(col("u").as("b1"), col("v").as("b2"),
         col("shared").as("shared_part"), col("ev1"), col("ev2"))
@@ -1690,7 +1680,8 @@ object Graph {
     * order subset) through the mirror library form; values pass
     * through unchanged, so doubles stay bit-identical cross-engine. */
   def q160BipartiteTopFull(spark: SparkSession, dir: String): DataFrame = {
-    val (e, parts, orders) = orderSubsetBipartite(spark, dir)
+    val e = bipartiteEdges(spark, dir, "l_orderkey", 97)
+    val (parts, orders) = bipartiteVertexValues(spark, dir)
     Bipartite.projectionTopFull(e, parts, orders)
       .select(col("u"), col("v"), col("shared").as("shared_order"),
         col("shared_value").as("order_value"), col("tv1"), col("tv2"),

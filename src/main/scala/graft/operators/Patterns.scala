@@ -1450,8 +1450,13 @@ object Patterns {
               GroupLoopState(0, Long.MinValue, -1L, 0, -1L, -1L, false))
             val out = scala.collection.mutable.ArrayBuffer.empty[GroupMatch]
             var lastSeenUs = Long.MinValue
-            it.toSeq.sortBy(e => (e.t_us, if (e.tag == tailTag) 0 else 1))
-              .foreach { e =>
+            // done-key tombstone: drain without the tie sort — only
+            // the idle-expiry clock needs the events
+            val ordered =
+              if (s.done) it
+              else it.toSeq.sortBy(e =>
+                (e.t_us, if (e.tag == tailTag) 0 else 1)).iterator
+            ordered.foreach { e =>
               lastSeenUs = math.max(lastSeenUs, e.t_us)
               if (!s.done) {
                 if (e.tag == tailTag && s.nDone >= 1 && e.t_us > s.c1) {

@@ -140,6 +140,8 @@ case class VecSumKernelExec(
     val fnExprs = aggregateExpressions
       .map(_.aggregateFunction.asInstanceOf[VecSum])
     val outAttrs = output
+    val maxGroups = conf.getConfString(VecSumKernelExec.MaxGroupsKey,
+      VecSumKernelExec.MaxGroups.toString).toInt
     child.execute().mapPartitionsWithIndex { (partIdx, it) =>
       val keyProj = UnsafeProjection.create(gEx, childOutput)
       keyProj.initialize(partIdx)
@@ -152,10 +154,31 @@ case class VecSumKernelExec(
       val groups = new java.util.LinkedHashMap[UnsafeRow, Array[Array[Double]]]()
       val vecs = new Array[Array[Float]](DotKernel.BatchSize)
       val slots = new Array[Array[Array[Double]]](DotKernel.BatchSize)
+      val outProj = UnsafeProjection.create(outAttrs.zipWithIndex.map {
+        case (a, i) => BoundReference(i, a.dataType, a.nullable)
+      })
+      outProj.initialize(partIdx)
+      val joined = new JoinedRow
+      // drain the map as PARTIAL rows and reset — multiple partials
+      // per key are legal input to the final stage, which merges
+      // them, so memory stays bounded at MaxGroups accumulators the
+      // way the stock partial stage bounds itself by spilling to
+      // sort-based aggregation
+      def flush(): Iterator[InternalRow] = {
+        val drained = groups.entrySet().toArray(
+          new Array[java.util.Map.Entry[UnsafeRow, Array[Array[Double]]]](0))
+        groups.clear()
+        drained.iterator.map { e =>
+          val bufs = new Array[Any](nF)
+          var f = 0
+          while (f < nF) { bufs(f) = fns(f).serialize(e.getValue()(f)); f += 1 }
+          outProj(joined(e.getKey, new GenericInternalRow(bufs)))
+        }
+      }
       // copy BEFORE grouped(): the child iterator reuses one UnsafeRow
       // buffer and grouped() holds n references to it (the DotKernel
       // aliasing hazard)
-      it.map(_.copy()).grouped(DotKernel.BatchSize).foreach { batch =>
+      it.map(_.copy()).grouped(DotKernel.BatchSize).flatMap { batch =>
         val rows = batch.toArray
         val n = rows.length
         // host side: resolve each row's accumulator slot
@@ -184,28 +207,24 @@ case class VecSumKernelExec(
           VecSum.accumulateBatch(slots, f, vecs, n)
           f += 1
         }
-      }
-      val outProj = UnsafeProjection.create(outAttrs.zipWithIndex.map {
-        case (a, i) => BoundReference(i, a.dataType, a.nullable)
-      })
-      outProj.initialize(partIdx)
-      val joined = new JoinedRow
-      val entries = groups.entrySet().iterator()
-      new Iterator[InternalRow] {
-        override def hasNext: Boolean = entries.hasNext
-        override def next(): InternalRow = {
-          val e = entries.next()
-          val bufs = new Array[Any](nF)
-          var f = 0
-          while (f < nF) { bufs(f) = fns(f).serialize(e.getValue()(f)); f += 1 }
-          outProj(joined(e.getKey, new GenericInternalRow(bufs)))
-        }
-      }
+        if (groups.size() >= maxGroups) flush()
+        else Iterator.empty
+      } ++ flush()
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): VecSumKernelExec =
     copy(child = newChild)
+}
+
+object VecSumKernelExec {
+  /** Per-partition accumulator-map bound: past this many live groups
+    * the map is flushed as partial rows (the final stage merges
+    * same-key partials), bounding memory the way the stock partial
+    * stage's sort-based fallback does. Overridable for tests via
+    * [[MaxGroupsKey]]. */
+  val MaxGroups = 4096
+  val MaxGroupsKey = "spark.graft.kernelAgg.maxGroups"
 }
 
 /** Post-columnar-transition rule (the same seam as

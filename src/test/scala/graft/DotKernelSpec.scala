@@ -171,6 +171,30 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vecsum kernel group-cap flush emits mergeable partials, results unchanged") {
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    // force a flush every 3 live groups on a 500-key (one group per
+    // vec_id) aggregation: many partials per partition, same answer
+    kernel.conf.set(graft.plans.VecSumKernelExec.MaxGroupsKey, "3")
+    def q(s: SparkSession): Array[(Long, Seq[Double])] = {
+      graft.plans.Functions.register(s)
+      s.read.parquet(s"$sf/embeddings.parquet")
+        .groupBy(col("vec_id"))
+        .agg(expr("graft_vecsum(embedding)").as("v"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList.toSeq))
+    }
+    val base = q(spark)
+    val kern = q(kernel)
+    assert(base.length == kern.length && base.length >= 400)
+    base.zip(kern).foreach { case ((k1, v1), (k2, v2)) =>
+      assert(k1 == k2 && v1.length == v2.length)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"key $k1: stock $a vs kernel $b") }
+    }
+  }
+
   test("vecsum kernel handles null vectors and all-null groups like the stock path") {
     import spark.implicits._
     val kernel = spark.newSession()
