@@ -1489,6 +1489,103 @@ object Patterns {
       }
   }
 
+  // ------------------------------------------- iterative conditions
+  /** Flink CEP `IterativeCondition` (reference flink-cep
+    * `pattern/conditions/IterativeCondition.java`:
+    * `filter(value, ctx)` where `ctx.getEventsForPattern(step)`
+    * exposes the previously-matched events): each step's acceptance
+    * predicate reads the COMMITTED MATCH PREFIX, re-expressed under
+    * the library's committed-chain semantics — a step consumes the
+    * earliest event (by (t, value), the tie-pinned total order)
+    * strictly after the previous completion whose tag matches AND
+    * whose predicate over (value, prefix values) holds. Documented
+    * deviation, same as every matcher here: Flink's NFA would also
+    * branch from later seeds when an accepted-but-doomed prefix kills
+    * the committed chain; the committed rule is what the oracle
+    * states. The forward scan never rewinds (an event passed while
+    * completing step i precedes i's completion, so it can't serve
+    * step j > i) — O(n log n) per key. Returns (t, value) per step. */
+  def earliestGuardedChain(
+      steps: IndexedSeq[(String, (Double, List[Double]) => Boolean)],
+      events: Iterator[(Long, String, Double)])
+      : Option[IndexedSeq[(Long, Double)]] = {
+    val sorted = events.toArray.sortBy(e => (e._1, e._3))
+    val out = new Array[(Long, Double)](steps.length)
+    var vals = List.empty[Double] // committed prefix, match order
+    var prev = Long.MinValue
+    var i = 0
+    var ok = true
+    steps.indices.foreach { si =>
+      if (ok) {
+        val (tag, pred) = steps(si)
+        var found = false
+        while (i < sorted.length && !found) {
+          val (t, tg, v) = sorted(i)
+          if (tg == tag && t > prev && pred(v, vals)) {
+            out(si) = (t, v); prev = t; vals = vals :+ v; found = true
+          }
+          i += 1
+        }
+        ok = found
+      }
+    }
+    if (ok) Some(out.toIndexedSeq) else None
+  }
+
+  /** Increasing-value funnel — `view  followedBy
+    * click.where(value > view.value)  followedBy
+    * purchase.where(value > click.value)`: each step's event must
+    * strictly exceed the previous matched event's value (the
+    * canonical IterativeCondition example). Values pass through
+    * unchanged (no arithmetic) — bit-identical cross-engine. */
+  def q165GuardedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps: IndexedSeq[(String, (Double, List[Double]) => Boolean)] =
+      IndexedSeq(
+        ("view", (_, _) => true),
+        ("click", (v, prefix) => v > prefix.last),
+        ("purchase", (v, prefix) => v > prefix.last))
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        earliestGuardedChain(steps, it.map(e => (e._2, e._3, e._4)))
+          .map(m => (key, m(0)._1, m(0)._2, m(1)._1, m(1)._2,
+            m(2)._1, m(2)._2)).iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("t1_us"),
+        col("_3").as("v1"), col("_4").as("t2_us"), col("_5").as("v2"),
+        col("_6").as("t3_us"), col("_7").as("v3"))
+      .orderBy(col("user_id"))
+  }
+
+  val q165Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type, value
+      |            FROM events),
+      |s1 AS (SELECT user_id, t, v FROM (
+      |  SELECT user_id, t, value AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY t, value) AS rn
+      |  FROM ev WHERE event_type = 'view') WHERE rn = 1),
+      |s2 AS (SELECT user_id, t, v FROM (
+      |  SELECT e.user_id, e.t, e.value AS v,
+      |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.t, e.value) AS rn
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.t > s1.t AND e.value > s1.v)
+      |  WHERE rn = 1),
+      |s3 AS (SELECT user_id, t, v FROM (
+      |  SELECT e.user_id, e.t, e.value AS v,
+      |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.t, e.value) AS rn
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.t > s2.t AND e.value > s2.v)
+      |  WHERE rn = 1)
+      |SELECT s1.user_id AS user_id, s1.t AS t1_us, s1.v AS v1,
+      |  s2.t AS t2_us, s2.v AS v2, s3.t AS t3_us, s3.v AS v3
+      |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+      |        JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_funnel" -> (q116Funnel _),
     "q117_funnel_guard" -> (q117FunnelGuard _),
@@ -1503,7 +1600,8 @@ object Patterns {
     "q153_times_range" -> (q153TimesRange _),
     "q155_not_next" -> (q155NotNext _),
     "q161_group_loop" -> (q161GroupLoop _),
-    "q162_greedy_group_loop" -> (q162GreedyGroupLoop _))
+    "q162_greedy_group_loop" -> (q162GreedyGroupLoop _),
+    "q165_guarded_funnel" -> (q165GuardedFunnel _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -1519,5 +1617,6 @@ object Patterns {
     "q153_times_range" -> q153Sql,
     "q155_not_next" -> q155Sql,
     "q161_group_loop" -> q161Sql,
-    "q162_greedy_group_loop" -> q162Sql)
+    "q162_greedy_group_loop" -> q162Sql,
+    "q165_guarded_funnel" -> q165Sql)
 }

@@ -724,6 +724,47 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("earliestGuardedChain equals independent min-pick recursion; trivial guards degrade to earliestChain") {
+    import graft.operators.Patterns
+    val rng = new scala.util.Random(733)
+    val tags = Vector("view", "click", "purchase")
+    def brute(steps: Seq[(String, (Double, List[Double]) => Boolean)],
+        evs: Seq[(Long, String, Double)]): Option[List[(Long, Double)]] = {
+      def go(rest: List[(String, (Double, List[Double]) => Boolean)],
+          prevT: Long, prefix: List[Double]): Option[List[(Long, Double)]] =
+        rest match {
+          case Nil => Some(Nil)
+          case (tag, pred) :: tl =>
+            evs.filter { case (t, tg, v) =>
+              tg == tag && t > prevT && pred(v, prefix) }
+              .sortBy(e => (e._1, e._3)).headOption.flatMap { case (t, _, v) =>
+                go(tl, t, prefix :+ v).map((t, v) :: _)
+              }
+        }
+      go(steps.toList, Long.MinValue, Nil)
+    }
+    (1 to 80).foreach { trial =>
+      val evs = (1 to 1 + rng.nextInt(24)).map(_ => (rng.nextInt(12).toLong,
+        tags(rng.nextInt(tags.length)), rng.nextInt(6).toDouble))
+      val steps: IndexedSeq[(String, (Double, List[Double]) => Boolean)] =
+        IndexedSeq(
+          ("view", (_, _) => true),
+          ("click", (v, p) => v > p.last),
+          ("purchase", (v, p) => v > p.head)) // reads the FULL prefix
+      val got = Patterns.earliestGuardedChain(steps, evs.iterator)
+      val want = brute(steps, evs)
+      assert(got.map(_.toList) == want, s"trial $trial evs=$evs")
+      // trivial guards: same completions as the unguarded chain
+      val trivial = steps.map { case (tag, _) =>
+        (tag, (_: Double, _: List[Double]) => true) }
+      val unguarded = Patterns.earliestChain(
+        steps.map(_._1), evs.iterator.map(e => (e._1, e._2)))
+      val guardedTrivial = Patterns.earliestGuardedChain(trivial, evs.iterator)
+      assert(guardedTrivial.map(_.map(_._1)) == unguarded,
+        s"trial $trial degenerate mismatch")
+    }
+  }
+
   test("streaming group-loop matcher over ordered batches equals the graded q161") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
