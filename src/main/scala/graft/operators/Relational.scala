@@ -1315,10 +1315,240 @@ object Relational {
       |WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------- q167-q171: the last
+  // five TPC-H shapes. The testdata ships no PARTSUPP table, so the
+  // supply relation is DERIVED from lineitem — one row per observed
+  // (part, supplier) pair with supply_cost = the minimum unit price
+  // ever charged (min of identical per-row divisions: bit-identical
+  // cross-engine, the identical-fold rule). With it, all 22 TPC-H
+  // query shapes are graded.
+
+  /** Shared adapted-PARTSUPP: (l_partkey, l_suppkey, supply_cost). */
+  private def supplyRelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+
+  private val supplySql: String =
+    """supply AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice / l_quantity) AS supply_cost
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  /** Minimum-cost supplier (TPC-H Q2 shape): for each mid-size
+    * LARGE/SMALL part, the EUROPE supplier(s) charging the minimal
+    * supply cost — the classic correlated-min subquery, planned as
+    * one window-min over the region-filtered candidate set (a single
+    * (part, supp)-keyed shuffle; part and supplier dims broadcast).
+    * The min-equality compare runs on the raw doubles: both engines
+    * pick min() over identical division results, so the winner set is
+    * bit-stable. */
+  def q167MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) &&
+        col("p_type").isin("LARGE", "SMALL"))
+      .select(col("p_partkey"), col("p_type"))
+    val euro = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    supplyRelation(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("mn", min(col("supply_cost")).over(w))
+      .filter(col("supply_cost") === col("mn"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("s_suppkey"), col("supply_cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  val q167Sql: String =
+    s"""WITH $supplySql
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey,
+       |  supply_cost
+       |FROM supply
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('LARGE', 'SMALL')
+       |  AND r_name = 'EUROPE'
+       |  AND supply_cost = (
+       |    SELECT min(s2.supply_cost) FROM supply s2
+       |    JOIN supplier sp ON s2.l_suppkey = sp.s_suppkey
+       |    JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE s2.l_partkey = supply.l_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+       |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** Product-type profit (TPC-H Q9 shape): per (supplier nation,
+    * order year), the profit over 'widget' parts — revenue minus
+    * supply_cost·quantity with the derived supply relation standing
+    * in for PARTSUPP. One (part, supp) join-back of the supply costs
+    * onto the filtered fact rows, one orderkey shuffle for the order
+    * year, nation broadcast, ~25×7-row agg. */
+  def q168ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    li.join(supplyRelation(spark, dir).withColumnRenamed("l_partkey", "sp_p")
+          .withColumnRenamed("l_suppkey", "sp_s"),
+        col("l_partkey") === col("sp_p") && col("l_suppkey") === col("sp_s"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("supply_cost") * col("l_quantity")), 2).as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  val q168Sql: String =
+    s"""WITH $supplySql
+       |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  round(sum(l_extendedprice * (1 - l_discount)
+       |    - supply_cost * l_quantity), 2) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supply ON lineitem.l_partkey = supply.l_partkey
+       |           AND lineitem.l_suppkey = supply.l_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON lineitem.l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** Important supply (TPC-H Q11 shape): parts whose total supplied
+    * value exceeds 1.2× the average part's — the group-sum +
+    * global-threshold scalar-subquery shape. All arithmetic EXACT:
+    * per-part value in integer cents (the q113/q130 device), the
+    * threshold as the integer cross-multiply value·n_parts·5 >
+    * total·6, so membership can never flip on summation order. One
+    * part-keyed agg + a 1-row broadcast. */
+  def q169ImportantSupply(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * 100), 0).cast("long").as("cents"))
+    val tot = pv.agg(sum(col("cents")).as("tot"), count(lit(1)).as("np"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("cents") * col("np") * 5 > col("tot") * 6)
+      .select(col("l_partkey"), (col("cents") / 100.0).as("part_value"))
+      .orderBy(desc("part_value"), col("l_partkey"))
+  }
+
+  val q169Sql: String =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    CAST(round(sum(l_extendedprice * 100), 0) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+      |             CAST(count(*) AS BIGINT) AS np FROM pv)
+      |SELECT l_partkey, cents / 100.0 AS part_value
+      |FROM pv, t
+      |WHERE cents * np * 5 > tot * 6
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+  /** Parts/supplier relationship (TPC-H Q16 shape): distinct
+    * suppliers per (brand, type, size) over the derived supply
+    * relation, excluding low-balance suppliers (the complaint filter
+    * adapted — no comment column ships) and one excluded brand-size
+    * band. count(DISTINCT) over an already-distinct (part, supp)
+    * relation = one exchange; dims broadcast; exact integers. */
+  def q170SupplierRelationship(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 2000).select(col("s_suppkey").as("x_supp"))
+    supplyRelation(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("x_supp"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q170Sql: String =
+    s"""WITH $supplySql
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM supply
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** Potential part promotion (TPC-H Q20 shape): NATION_3 suppliers
+    * of 'red' parts whose all-time supplied quantity exceeds 2.2×
+    * what they shipped in 1996 — the nested IN + correlated-agg
+    * shape as two conditional sums in ONE (part, supp) agg (no
+    * join-back) and a semi join to suppliers. Quantities are whole
+    * doubles → exact longs; the 2.2× threshold is the integer
+    * cross-multiply qty·10 > shipped·22. */
+  def q171PromotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val y96 = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+    val qualifying = Tables.lineitem(spark, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"),
+        coalesce(sum(when(y96, col("l_quantity"))), lit(0.0)).cast("long").as("q96"))
+      .filter(col("qty") * 10 > col("q96") * 22)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
+
+  val q171Sql: String =
+    """WITH q AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+      |    CAST(coalesce(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01'
+      |      THEN l_quantity END), 0) AS BIGINT) AS q96
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM q WHERE qty * 10 > q96 * 22)
+      |ORDER BY s_name, s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_market_share" -> (q121MarketShare _),
     "q122_volume_shipping" -> (q122VolumeShipping _),
     "q130_top_supplier" -> (q130TopSupplier _),
+    "q167_min_cost_supplier" -> (q167MinCostSupplier _),
+    "q168_product_profit" -> (q168ProductProfit _),
+    "q169_important_supply" -> (q169ImportantSupply _),
+    "q170_supplier_relationship" -> (q170SupplierRelationship _),
+    "q171_promotion_suppliers" -> (q171PromotionSuppliers _),
     "q112_cust_distribution" -> (q112CustDistribution _),
     "q113_dormant_rich" -> (q113DormantRich _),
     "q114_promo_revenue" -> (q114PromoRevenue _),
@@ -1365,6 +1595,11 @@ object Relational {
     "q121_market_share" -> q121Sql,
     "q122_volume_shipping" -> q122Sql,
     "q130_top_supplier" -> q130Sql,
+    "q167_min_cost_supplier" -> q167Sql,
+    "q168_product_profit" -> q168Sql,
+    "q169_important_supply" -> q169Sql,
+    "q170_supplier_relationship" -> q170Sql,
+    "q171_promotion_suppliers" -> q171Sql,
     "q112_cust_distribution" -> q112Sql,
     "q113_dormant_rich" -> q113Sql,
     "q114_promo_revenue" -> q114Sql,
