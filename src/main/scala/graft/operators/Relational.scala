@@ -1392,17 +1392,22 @@ object Relational {
   /** Product-type profit (TPC-H Q9 shape): per (supplier nation,
     * order year), the profit over 'widget' parts — revenue minus
     * supply_cost·quantity with the derived supply relation standing
-    * in for PARTSUPP. One (part, supp) join-back of the supply costs
-    * onto the filtered fact rows, one orderkey shuffle for the order
-    * year, nation broadcast, ~25×7-row agg. */
+    * in for PARTSUPP. The supply cost rides a window over the
+    * filtered facts' OWN lineage (filtering by part keeps every row
+    * of a kept part, so the per-(part, supp) min is unchanged) — a
+    * join-back to a fresh supply aggregate would re-scan lineitem,
+    * the exchange-reuse regression class q85 pinned. One (part,
+    * supp) window shuffle, one orderkey shuffle, nation broadcast,
+    * ~25×7-row agg. */
   def q168ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
       .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
-    val li = Tables.lineitem(spark, dir)
+    val wps = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(spark, dir)
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-    li.join(supplyRelation(spark, dir).withColumnRenamed("l_partkey", "sp_p")
-          .withColumnRenamed("l_suppkey", "sp_s"),
-        col("l_partkey") === col("sp_p") && col("l_suppkey") === col("sp_s"))
+      .withColumn("supply_cost",
+        min(col("l_extendedprice") / col("l_quantity")).over(wps))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(spark, dir)
