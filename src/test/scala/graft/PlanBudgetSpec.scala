@@ -158,7 +158,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q154_directed_triangle_listing" -> PlanCounts(0, 0, 1, 2),
     // one lineitem scan + bucket equi-join (promo side broadcast) +
     // agg/sort exchanges — the overlap predicate adds no plan nodes
-    "q157_interval_overlap" -> PlanCounts(1, 0, 2, 1))
+    "q157_interval_overlap" -> PlanCounts(1, 0, 2, 1),
+    // supersteps run over localCheckpoint'd edge/node frames built
+    // eagerly: the RETURNED frame is checkpoint scans + a top-20
+    // TakeOrdered — zero file scans, zero exchanges
+    "q163_library_pagerank" -> PlanCounts(0, 0, 0, 0),
+    // one embeddings scan into the encode+ADC kernel (training and
+    // query tables are driver-built model state); rank window + output
+    // sort are the two exchanges
+    "q166_pq_adc" -> PlanCounts(1, 0, 2, 0),
+    // each of the five tables scanned ONCE (supply cost is a window
+    // over the facts' own lineage — a join-back re-scan is the
+    // regression this entry exists to catch)
+    "q168_product_profit" -> PlanCounts(5, 0, 3, 4))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
