@@ -1341,9 +1341,13 @@ object Relational {
     * supply cost — the classic correlated-min subquery, planned as
     * one window-min over the region-filtered candidate set (a single
     * (part, supp)-keyed shuffle; part and supplier dims broadcast).
-    * The min-equality compare runs on the raw doubles: both engines
-    * pick min() over identical division results, so the winner set is
-    * bit-stable. */
+    * Both dimension filters apply BELOW the supply aggregation —
+    * per-(part, supp) costs only involve that pair's own rows, so
+    * pre-filtering prunes the shuffle without changing any kept
+    * cost; at 100 TB the agg sees the filtered sliver, not the
+    * corpus. The min-equality compare runs on the raw doubles: both
+    * engines pick min() over identical division results, so the
+    * winner set is bit-stable. */
   def q167MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
       .filter(col("p_size").between(10, 20) &&
@@ -1355,10 +1359,13 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
-    supplyRelation(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    Tables.lineitem(spark, dir)
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"),
+        col("p_type"), col("s_acctbal"), col("s_name"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
       .withColumn("mn", min(col("supply_cost")).over(w))
       .filter(col("supply_cost") === col("mn"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
