@@ -1323,12 +1323,12 @@ object Relational {
   // cross-engine, the identical-fold rule). With it, all 22 TPC-H
   // query shapes are graded.
 
-  /** Shared adapted-PARTSUPP: (l_partkey, l_suppkey, supply_cost). */
-  private def supplyRelation(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
-
+  /** Shared adapted-PARTSUPP for the oracles: (l_partkey, l_suppkey,
+    * supply_cost). The Spark plans derive the same relation INSIDE
+    * their pipelines (pre-filtered aggregation in q167, a window over
+    * the facts' own lineage in q168) so no plan pays an unpruned
+    * corpus-wide aggregate; the oracle states the unfiltered form and
+    * lets DuckDB's optimizer do as it likes. */
   private val supplySql: String =
     """supply AS (
       |  SELECT l_partkey, l_suppkey,
@@ -1480,16 +1480,19 @@ object Relational {
     * suppliers per (brand, type, size) over the derived supply
     * relation, excluding low-balance suppliers (the complaint filter
     * adapted — no comment column ships) and one excluded brand-size
-    * band. count(DISTINCT) over an already-distinct (part, supp)
-    * relation = one exchange; dims broadcast; exact integers. */
+    * band. The supply relation's costs aren't consulted, so the plan
+    * is just the size-filtered facts (broadcast-pruned BEFORE any
+    * exchange) deduplicated to (part, supp) and counted — exact
+    * integers throughout. */
   def q170SupplierRelationship(spark: SparkSession, dir: String): DataFrame = {
     val excluded = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 2000).select(col("s_suppkey").as("x_supp"))
-    supplyRelation(spark, dir)
+    Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
           .filter(col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(excluded), col("l_suppkey") === col("x_supp"), "left_anti")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
