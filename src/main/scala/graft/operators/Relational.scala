@@ -1529,7 +1529,7 @@ object Relational {
       .agg(sum(col("l_quantity")).cast("long").as("qty"),
         coalesce(sum(when(y96, col("l_quantity"))), lit(0.0)).cast("long").as("q96"))
       .filter(col("qty") * 10 > col("q96") * 22)
-      .select(col("l_suppkey")).distinct()
+      .select(col("l_suppkey")) // left_semi below dedups — no distinct
     Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
