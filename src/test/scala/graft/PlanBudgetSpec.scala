@@ -170,7 +170,17 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // each of the five tables scanned ONCE (supply cost is a window
     // over the facts' own lineage — a join-back re-scan is the
     // regression this entry exists to catch)
-    "q168_product_profit" -> PlanCounts(5, 0, 3, 4))
+    "q168_product_profit" -> PlanCounts(5, 0, 3, 4),
+    // lineitem + 4 broadcast dims, each once; (part,supp) agg
+    // exchange + window — the filters sit BELOW the supply agg
+    "q167_min_cost_supplier" -> PlanCounts(5, 0, 2, 4),
+    // one scan, part agg + final sort; 1-row total broadcast
+    "q169_important_supply" -> PlanCounts(1, 0, 3, 1),
+    // facts + part dim + excluded-supplier anti side, each once
+    "q170_supplier_relationship" -> PlanCounts(3, 0, 3, 2),
+    // facts + red parts + supplier + nation, each once; one
+    // (part,supp) agg exchange feeding the semi join
+    "q171_promotion_suppliers" -> PlanCounts(4, 0, 2, 3))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
