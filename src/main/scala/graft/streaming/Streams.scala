@@ -576,6 +576,75 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left_outer")
 
+  // ------------------------------------------ temporal table join
+  /** One tagged row of the temporal join's keyed union: side = "u"
+    * (a dimension VERSION becoming valid at t_us) or "p" (a probe
+    * event to enrich). */
+  final case class TemporalRow(key: Long, t_us: Long, side: String, v: Double)
+  // non-private: Catalyst's generated (de)serializers need access
+  final case class TemporalRowT(key: Long, t_us: Long, side: String,
+    v: Double, ets: Timestamp)
+  final case class TemporalState(ts: Long, v: Double, has: Boolean)
+  final case class TemporalMatch(key: Long, t_us: Long,
+    asofTs: Option[Long], asofV: Option[Double])
+
+  /** Event-time TEMPORAL table join (the Flink `FOR SYSTEM_TIME AS
+    * OF` / `TemporalTableFunction` surface, reference
+    * `flink-table/.../TemporalTableFunction.java` + versioned-table
+    * docs): each probe event is enriched with the dimension version
+    * valid AT its event time — the streaming twin of
+    * [[graft.operators.AsOfJoin.asOf]] `direction = "backward"`,
+    * including the equal-timestamp rule (a version becoming valid at
+    * t applies to a probe at t: updates sort before probes at ties,
+    * exactly the batch union-sort's side order). Versions must be
+    * unique per (key, ts), the batch operator's own contract.
+    *
+    * Same in-order per-key arrival contract as every streaming twin
+    * in this library; per-key state is ONE (ts, value) version —
+    * O(1), no buffering — expiring after `idleExpiryUs` without
+    * traffic (dimension keys whose stream went quiet release their
+    * state; a later probe would re-enrich as unmatched, the same
+    * answer the batch join gives a probe with no preceding version
+    * inside the retained window). */
+  def temporalEnrichStream(rows: Dataset[TemporalRow],
+      watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[TemporalMatch] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[TemporalRowT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TemporalState, TemporalMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[TemporalRowT], state: GroupState[TemporalState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              TemporalState(Long.MinValue, 0.0, has = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[TemporalMatch]
+            var lastSeenUs = Long.MinValue
+            it.toSeq.sortBy(r => (r.t_us, if (r.side == "u") 0 else 1))
+              .foreach { r =>
+                lastSeenUs = math.max(lastSeenUs, r.t_us)
+                if (r.side == "u") {
+                  if (!s.has || r.t_us >= s.ts)
+                    s = TemporalState(r.t_us, r.v, has = true)
+                } else {
+                  out += TemporalMatch(key, r.t_us,
+                    if (s.has) Some(s.ts) else None,
+                    if (s.has) Some(s.v) else None)
+                }
+              }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(
+              lastSeenUs / 1000L + idleExpiryUs / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   /** Windowed stream coGroup (CoGroupedStreams.java:80 — per (key,
     * window), BOTH sides' element lists handed to one function, even
     * when a side is empty for that bucket). Expressed as the tagged

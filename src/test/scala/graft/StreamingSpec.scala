@@ -430,4 +430,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val done = spark.table("sess").collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(done.toSet == Set((2L, 3.0), (1L, 3.0)))
   }
+
+  test("temporal table join over ordered batches equals the batch backward as-of join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.TemporalRow
+    // dimension versions: each user's 'view' values, deduped per
+    // (user, ts) — the operator contract; probes: their clicks
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_type"), col("value"))
+    val updates = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("t_us"))
+      .agg(max(col("value")).as("v"))
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t_us"))
+    val rows = (updates.collect().map(r =>
+        TemporalRow(r.getLong(0), r.getLong(1), "u", r.getDouble(2))) ++
+      probes.collect().map(r =>
+        TemporalRow(r.getLong(0), r.getLong(1), "p", 0.0)))
+      .sortBy(_.t_us)
+    val ms = MemoryStream[TemporalRow]
+    val q = Streams.temporalEnrichStream(ms.toDS()).writeStream
+      .format("memory").queryName("tenrich")
+      .outputMode(OutputMode.Append()).start()
+    rows.grouped(math.max(1, rows.length / 4)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    def key(t: (Long, Long, Option[Long], Option[Double])) =
+      (t._1, t._2, t._3.getOrElse(-1L), t._4.getOrElse(-1.0))
+    val got = spark.table("tenrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(key).toSeq
+    val batch = graft.operators.AsOfJoin.asOf(
+        probes, updates.withColumn("uts", col("t_us")),
+        "user_id", "t_us", Seq("uts", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(key).toSeq
+    assert(got.nonEmpty && got == batch)
+    // both matched and unmatched probes must occur for the test to bite
+    assert(got.exists(_._3.isEmpty) && got.exists(_._3.nonEmpty))
+  }
 }
