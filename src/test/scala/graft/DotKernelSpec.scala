@@ -195,6 +195,22 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vecsum kernel handles the GLOBAL (ungrouped) aggregate") {
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def q(s: SparkSession): Seq[Double] = {
+      graft.plans.Functions.register(s)
+      s.read.parquet(s"$sf/embeddings.parquet")
+        .agg(expr("graft_vecsum(embedding)").as("s"))
+        .head.getSeq[Double](0).toList
+    }
+    val base = q(spark)
+    val kern = q(kernel)
+    assert(base.length == kern.length && base.nonEmpty)
+    base.zip(kern).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"global: stock $a vs kernel $b") }
+  }
+
   test("vecsum kernel handles null vectors and all-null groups like the stock path") {
     import spark.implicits._
     val kernel = spark.newSession()
