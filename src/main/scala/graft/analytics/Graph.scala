@@ -818,9 +818,12 @@ object Graph {
         coalesce(sum(when(col("d") >= 2,
           round((lit(2.0) * coalesce(col("nt"), lit(0L))) /
             (col("d") * (col("d") - 1)), 9))), lit(0.0)).as("lcc_sum"))
+      // same degenerate-graph guards as the directed twin (q151)
       .select(col("vertex_count"), col("triplet_count"), col("triangle_count"),
-        (col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
-        round(col("lcc_sum") / col("vertex_count"), 6).as("acc"))
+        when(col("triplet_count") > 0,
+          col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
+        when(col("vertex_count") > 0,
+          round(col("lcc_sum") / col("vertex_count"), 6)).as("acc"))
   }
 
   val q148Sql: String =
@@ -1357,9 +1360,16 @@ object Graph {
           round(coalesce(col("tc"), lit(0L)).cast("double") /
             (col("d") * (col("d") - 1)), 9))), lit(0.0)).as("lcc_sum"))
       .crossJoin(triCount)
+      // degenerate-graph guards (library form over arbitrary frames;
+      // ANSI mode makes an unguarded 0-divisor a runtime error, not
+      // a NULL): no triplets -> gcc NULL (Gelly's NaN, encodable),
+      // no vertices -> acc NULL. The graded digraph has both > 0, so
+      // the oracle is unchanged.
       .select(col("vertex_count"), col("triplet_count"), col("triangle_count"),
-        (col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
-        round(col("lcc_sum") / col("vertex_count"), 6).as("acc"))
+        when(col("triplet_count") > 0,
+          col("triangle_count").cast("double") / col("triplet_count")).as("gcc"),
+        when(col("vertex_count") > 0,
+          round(col("lcc_sum") / col("vertex_count"), 6)).as("acc"))
   }
 
   def q151DirectedClusteringMetrics(spark: SparkSession, dir: String): DataFrame =

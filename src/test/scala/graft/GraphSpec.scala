@@ -476,6 +476,34 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(lp(0L) == 1L)
   }
 
+  test("round-8 library forms tolerate degenerate inputs") {
+    import spark.implicits._
+    import graft.analytics.{Bipartite, Graph}
+    // bipartite projections on an empty edge frame: empty, not a crash
+    val emptyE = Seq.empty[(Long, Long, Long)].toDF("t", "b", "ev")
+    val tv = Seq((0L, 1L)).toDF("t", "tv")
+    val bv = Seq((0L, 1L)).toDF("b", "bv")
+    assert(Bipartite.projectionTopSimple(emptyE).count() == 0)
+    assert(Bipartite.projectionBottomFull(emptyE, tv, bv).count() == 0)
+    // dangling PageRank on a single edge a->b, one superstep,
+    // hand-computed: r0 = 1/2 each; b is the sink, dm = 1/2;
+    // r'(a) = 0.15/2 + 0.85*(0 + 1/4) = 0.2875
+    // r'(b) = 0.15/2 + 0.85*(1/2 + 1/4) = 0.7125  (mass conserved)
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Graph.pageRankDanglingFromEdges(one, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.2875) < 1e-9 && math.abs(pr(2L) - 0.7125) < 1e-9)
+    // triangle-free digraph census: vc=2, every triad count 0 (the
+    // empty-sum coalesce path)
+    val census = Graph.directedTriadicCensusFromEdges(one).head
+    (0 until census.length).foreach(i => assert(census.getLong(i) == 0L,
+      s"census field $i on a 1-edge digraph"))
+    // clustering metrics with no d>=2 vertex: acc coalesces to 0.0
+    val met = Graph.directedClusteringMetricsFromEdges(one).head
+    assert(met.getLong(0) == 2L && met.getLong(1) == 0L && met.getLong(2) == 0L)
+    assert(!met.isNullAt(4) && met.getDouble(4) == 0.0) // acc
+  }
+
   test("all four bipartite projections equal a brute-force pair walk") {
     import spark.implicits._
     import graft.analytics.Bipartite
