@@ -626,6 +626,10 @@ object Streams {
             var lastSeenUs = Long.MinValue
             it.toSeq.sortBy(r => (r.t_us, if (r.side == "u") 0 else 1))
               .foreach { r =>
+                // fail fast on a malformed tag: treating it as a probe
+                // would emit plausible-looking unmatched rows instead
+                require(r.side == "u" || r.side == "p",
+                  s"temporal row side must be 'u' or 'p', got '${r.side}'")
                 lastSeenUs = math.max(lastSeenUs, r.t_us)
                 if (r.side == "u") {
                   if (!s.has || r.t_us >= s.ts)

@@ -198,12 +198,17 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
   test("vecsum kernel handles the GLOBAL (ungrouped) aggregate") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
-    def q(s: SparkSession): Seq[Double] = {
+    def df(s: SparkSession): DataFrame = {
       graft.plans.Functions.register(s)
       s.read.parquet(s"$sf/embeddings.parquet")
         .agg(expr("graft_vecsum(embedding)").as("s"))
-        .head.getSeq[Double](0).toList
     }
+    def q(s: SparkSession): Seq[Double] =
+      df(s).head.getSeq[Double](0).toList
+    // the rule must fire on the ungrouped partial stage too — without
+    // this assert a tightened eligibility check would pass vacuously
+    assert(planString(df(kernel)).contains("VecSumKernel"),
+      "global aggregate must route through the kernel partial stage")
     val base = q(spark)
     val kern = q(kernel)
     assert(base.length == kern.length && base.nonEmpty)
