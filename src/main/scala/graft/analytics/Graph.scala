@@ -416,7 +416,7 @@ object Graph {
       .select(col("src"), col("dst"),
         (lit(1L) + (col("src") + col("dst")) % 7).as("w"))
     // bounded model state: ONE scalar (the source node id)
-    val src0 = ed.agg(min(col("src"))).head.getLong(0)
+    val src0 = ed.agg(min(col("src"))).head().getLong(0)
     ssspFromEdges(spark, ed, src0, SsspIters)
       .orderBy(col("dist"), col("node")).limit(50)
   }

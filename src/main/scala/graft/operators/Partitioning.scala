@@ -102,7 +102,7 @@ object Partitioning {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(indexCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val labeled = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val labeled = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
     }
     sorted.sparkSession.createDataFrame(labeled, schema)
