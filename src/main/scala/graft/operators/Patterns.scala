@@ -1489,6 +1489,74 @@ object Patterns {
       }
   }
 
+  // ------------------------------------------- subtype steps
+  /** Flink CEP `subtype()` (reference flink-cep `pattern/Pattern.java`
+    * subtype(Class) — a step accepting any event of a SUBCLASS of its
+    * declared type) re-expressed over the tag column: a step accepts
+    * a SET of tags, the super-type's members. Same committed
+    * earliest-chain semantics and forward scan as [[earliestChain]];
+    * a singleton set per step degrades to it exactly
+    * (PatternsSpec). */
+  def earliestChainMulti(steps: IndexedSeq[Set[String]],
+      events: Iterator[(Long, String)]): Option[IndexedSeq[Long]] = {
+    val sorted = events.toArray.sortBy(_._1)
+    val out = new Array[Long](steps.length)
+    var prev = Long.MinValue
+    var i = 0
+    var ok = true
+    steps.indices.foreach { si =>
+      if (ok) {
+        var found = false
+        while (i < sorted.length && !found) {
+          val (t, tag) = sorted(i)
+          if (steps(si)(tag) && t > prev) { out(si) = t; prev = t; found = true }
+          i += 1
+        }
+        ok = found
+      }
+    }
+    if (ok) Some(out.toIndexedSeq) else None
+  }
+
+  /** Super-type funnel — `signup  followedBy
+    * interaction.subtype(view | click)  followedBy  purchase`: the
+    * middle step accepts either interaction kind, whichever comes
+    * first (the canonical subtype() use: match on the base class). */
+  def q172SubtypeFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = IndexedSeq(Set("signup"), Set("view", "click"), Set("purchase"))
+    Tables.events(spark, dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("t_us"),
+        col("event_type").as("tag"))
+      .as[PEvent]
+      .groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        earliestChainMulti(steps, it.map(e => (e.t_us, e.tag)))
+          .map(m => (key, m(0), m(1), m(2))).iterator
+      }
+      .select(col("_1").as("user_id"), col("_2").as("t1_us"),
+        col("_3").as("t2_us"), col("_4").as("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q172Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2
+      |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type IN ('view', 'click') AND e.t > s1.t1
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3
+      |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.t > s2.t2
+      |       GROUP BY e.user_id)
+      |SELECT s1.user_id AS user_id, s1.t1 AS t1_us, s2.t2 AS t2_us,
+      |  s3.t3 AS t3_us
+      |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+      |        JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   // ------------------------------------------- iterative conditions
   /** Flink CEP `IterativeCondition` (reference flink-cep
     * `pattern/conditions/IterativeCondition.java`:
@@ -1601,7 +1669,8 @@ object Patterns {
     "q155_not_next" -> (q155NotNext _),
     "q161_group_loop" -> (q161GroupLoop _),
     "q162_greedy_group_loop" -> (q162GreedyGroupLoop _),
-    "q165_guarded_funnel" -> (q165GuardedFunnel _))
+    "q165_guarded_funnel" -> (q165GuardedFunnel _),
+    "q172_subtype_funnel" -> (q172SubtypeFunnel _))
 
   def oracles: Map[String, String] = Map(
     "q116_funnel" -> q116Sql,
@@ -1618,5 +1687,6 @@ object Patterns {
     "q155_not_next" -> q155Sql,
     "q161_group_loop" -> q161Sql,
     "q162_greedy_group_loop" -> q162Sql,
-    "q165_guarded_funnel" -> q165Sql)
+    "q165_guarded_funnel" -> q165Sql,
+    "q172_subtype_funnel" -> q172Sql)
 }

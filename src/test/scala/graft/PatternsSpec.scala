@@ -724,6 +724,34 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("earliestChainMulti equals min-pick recursion on tag sets; singletons degrade to earliestChain") {
+    import graft.operators.Patterns
+    val rng = new scala.util.Random(577)
+    val tags = Vector("a", "b", "c", "d")
+    def brute(steps: Seq[Set[String]],
+        evs: Seq[(Long, String)]): Option[List[Long]] =
+      steps.foldLeft(Option((Long.MinValue, List.empty[Long]))) { (acc, st) =>
+        acc.flatMap { case (prev, ts) =>
+          evs.collect { case (t, tg) if st(tg) && t > prev => t }
+            .minOption.map(t => (t, ts :+ t))
+        }
+      }.map(_._2)
+    (1 to 80).foreach { trial =>
+      val evs = (1 to 1 + rng.nextInt(20)).map(_ =>
+        (rng.nextInt(10).toLong, tags(rng.nextInt(tags.length))))
+      val steps = IndexedSeq(
+        Set(tags(rng.nextInt(4))),
+        Set("a", "b").take(1 + rng.nextInt(2)),
+        Set(tags(rng.nextInt(4)), tags(rng.nextInt(4))))
+      val got = Patterns.earliestChainMulti(steps, evs.iterator)
+      assert(got.map(_.toList) == brute(steps, evs), s"trial $trial evs=$evs steps=$steps")
+      // singleton sets == the plain chain
+      val single = IndexedSeq("a", "c").map(Set(_))
+      assert(Patterns.earliestChainMulti(single, evs.iterator) ==
+        Patterns.earliestChain(IndexedSeq("a", "c"), evs.iterator))
+    }
+  }
+
   test("earliestGuardedChain equals independent min-pick recursion; trivial guards degrade to earliestChain") {
     import graft.operators.Patterns
     val rng = new scala.util.Random(733)
