@@ -583,32 +583,33 @@ object Similarity {
     * assignment keeps the oracle closed-form; a KMeans superstep
     * supplies cids the same way). Component sums rounded to 6dp —
     * aggregated sums, engine-dependent order. Also the graded surface
-    * of the opt-in kernel-agg seam (DotKernelSpec proves the swapped
-    * plan matches this stock path). */
+    * of the opt-in kernel-agg seam: the aggregate list is VecSum-only,
+    * so [[graft.plans.VecSumKernelRule]] fires on exactly this plan
+    * when enabled (DotKernelSpec proves the swapped partial stage
+    * matches this stock path). The graded projection unrolls the
+    * centroid to one row per (cid, ord, component) — a shape any
+    * cross-engine compare can sort; DotKernelSpec pins the
+    * array-valued form. 1-based `ord` matches SQL subscripting. */
   def q164CentroidAccumulate(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.Functions.register(spark)
     Tables.embeddings(spark, dir)
       .groupBy((col("vec_id") % 7).as("cid"))
-      .agg(count(lit(1)).as("n"),
-        expr("transform(graft_vecsum(embedding), x -> round(x, 6))")
-          .as("centroid_sum"))
-      .orderBy(col("cid"))
+      .agg(expr("graft_vecsum(embedding)").as("cs"))
+      .select(col("cid"), posexplode(col("cs")).as(Seq("ord0", "c")))
+      .select(col("cid"), (col("ord0") + 1).cast("long").as("ord"),
+        round(col("c"), 6).as("component"))
+      .orderBy(col("cid"), col("ord"))
   }
 
   val q164Sql: String =
     """WITH f AS (
       |  SELECT vec_id % 7 AS cid, unnest(embedding) AS e,
       |    generate_subscripts(embedding, 1) AS ord
-      |  FROM embeddings),
-      |s AS (SELECT cid, ord, round(sum(CAST(e AS DOUBLE)), 6) AS sc
-      |      FROM f GROUP BY cid, ord),
-      |cs AS (SELECT cid, list(sc ORDER BY ord) AS centroid_sum
-      |       FROM s GROUP BY cid),
-      |n AS (SELECT vec_id % 7 AS cid, CAST(count(*) AS BIGINT) AS n
-      |      FROM embeddings GROUP BY 1)
-      |SELECT n.cid AS cid, n.n, cs.centroid_sum
-      |FROM n JOIN cs ON n.cid = cs.cid
-      |ORDER BY n.cid""".stripMargin
+      |  FROM embeddings)
+      |SELECT cid, CAST(ord AS BIGINT) AS ord,
+      |  round(sum(CAST(e AS DOUBLE)), 6) AS component
+      |FROM f GROUP BY cid, ord
+      |ORDER BY cid, ord""".stripMargin
 
   // ---------------------------------------------------------------- q166
   /** Product quantization + asymmetric distance computation (PQ/ADC —

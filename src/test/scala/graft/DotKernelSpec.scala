@@ -240,6 +240,29 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     assert(kern(2)._2.contains(Seq(5.0)))
   }
 
+  test("the graded q164 query IS a kernel-seam surface: rule fires on its exact plan") {
+    // q164's scaladoc claims the graded query is the seam's graded
+    // surface; that only holds if its aggregate list stays VecSum-only
+    // (adding e.g. a count() would silently defeat eligibility). Pin
+    // the plan AND the graded component rows against the stock path.
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def rows(s: SparkSession): Array[(Long, Long, Double)] =
+      graft.pipeline.Similarity.q164CentroidAccumulate(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val kdf = graft.pipeline.Similarity.q164CentroidAccumulate(kernel, sf)
+    assert(planString(kdf).contains("VecSumKernel"),
+      "graded q164 plan must route its partial stage through the kernel:\n" +
+        planString(kdf))
+    val base = rows(spark)
+    val kern = rows(kernel)
+    assert(base.length == kern.length && base.nonEmpty)
+    base.zip(kern).foreach { case ((c1, o1, v1), (c2, o2, v2)) =>
+      assert(c1 == c2 && o1 == o2)
+      assert(math.abs(v1 - v2) < 1e-9, s"cid $c1 ord $o1: $v1 vs $v2")
+    }
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
