@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -1073,6 +1074,84 @@ object Patterns {
        |  AND p.t > v.t AND p.t <= v.t + $AnyWithinUs
        |ORDER BY v.user_id, t1_us, t2_us""".stripMargin
 
+  /** Flink's `oneOrMore().allowCombinations()` — NON-DETERMINISTIC
+    * relaxed internal contiguity on a looping step (reference
+    * flink-cep pattern/Quantifier.java `combinations()` via
+    * Pattern.java `allowCombinations`; nfa/NFA.java keeps EVERY
+    * partial loop state alive, so for `a b+` over `a b1 b2` the match
+    * set is {a b1}, {a b2}, {a b1 b2} — every non-empty ordered
+    * subset of the loop events, not just the consecutive prefixes the
+    * default relaxed contiguity emits). Graded pattern:
+    * `view followedByAny click.oneOrMore().allowCombinations()
+    * .within(24h)` under the all-starts regime (every view anchors,
+    * the q142/q144 device).
+    *
+    * The subset expansion is inherently exponential, so — exactly as
+    * Flink production patterns bound looping states with `within` and
+    * `times` — the loop absorbs at most the first [[CombMax]] clicks
+    * after the anchor (2^CombMax − 1 = 15 combinations per anchor;
+    * the cap is mirrored in the oracle, the SkipMax/GroupMax
+    * precedent). Each match row is scalar-shaped: `mask` identifies
+    * the combination (bit i−1 ⇔ the i-th click by event time is in
+    * it), with its size and first/last click times. Ranks over
+    * equal-timestamp clicks are interchangeable, so tie order cannot
+    * change any output row.
+    *
+    * Scale posture: one within-bounded pair join on the key (the
+    * q144 shape), one anchor-keyed aggregate, and a ≤15-element
+    * generate per anchor — no unbounded expansion anywhere. */
+  val CombMax = 4
+
+  def q174Combinations(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t_us").as("t1_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("uid"), col("t_us").as("tc_us"))
+    val ranked = v.join(c, col("user_id") === col("uid") &&
+        col("tc_us") > col("t1_us") &&
+        col("tc_us") <= col("t1_us") + AnyWithinUs)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("t1_us")).orderBy(col("tc_us"))))
+      .filter(col("rn") <= CombMax)
+    ranked.groupBy(col("user_id"), col("t1_us"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("tc_us")))).as("cs"))
+      .select(col("user_id"), col("t1_us"),
+        expr("explode(sequence(1, shiftleft(1, size(cs)) - 1))")
+          .as("mask0"), col("cs"))
+      .withColumn("sel",
+        expr("filter(cs, x -> ((mask0 >> (x.rn - 1)) & 1) = 1)"))
+      .select(col("user_id"), col("t1_us"),
+        col("mask0").cast("long").as("mask"),
+        size(col("sel")).cast("long").as("k"),
+        expr("array_min(transform(sel, x -> x.tc_us))").as("tc_first"),
+        expr("array_max(transform(sel, x -> x.tc_us))").as("tc_last"))
+      .orderBy(col("user_id"), col("t1_us"), col("mask"))
+  }
+
+  val q174Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+       |anch AS (SELECT user_id, t AS t1 FROM ev WHERE event_type = 'view'),
+       |clk AS (
+       |  SELECT a.user_id, a.t1, c.t AS tc,
+       |    row_number() OVER (PARTITION BY a.user_id, a.t1 ORDER BY c.t) AS rn
+       |  FROM anch a JOIN ev c ON a.user_id = c.user_id
+       |  WHERE c.event_type = 'click' AND c.t > a.t1
+       |    AND c.t <= a.t1 + $AnyWithinUs),
+       |capped AS (SELECT * FROM clk WHERE rn <= $CombMax),
+       |ks AS (SELECT user_id, t1, count(*) AS kA FROM capped GROUP BY 1, 2),
+       |masks AS (
+       |  SELECT k.user_id, k.t1, r.range AS mask
+       |  FROM ks k JOIN range(1, ${(1 << CombMax)}) r ON r.range < (1 << kA))
+       |SELECT m.user_id, m.t1 AS t1_us, CAST(m.mask AS BIGINT) AS mask,
+       |  CAST(count(*) AS BIGINT) AS k, min(c.tc) AS tc_first,
+       |  max(c.tc) AS tc_last
+       |FROM masks m JOIN capped c ON c.user_id = m.user_id AND c.t1 = m.t1
+       |  AND ((m.mask >> (c.rn - 1)) & 1) = 1
+       |GROUP BY m.user_id, m.t1, m.mask
+       |ORDER BY m.user_id, t1_us, mask""".stripMargin
+
   /** `view  followedBy  click.oneOrMore().until(error)  followedBy
     * purchase` — the until-bounded loop (see [[QStep.oneOrMoreUntil]]):
     * the click loop stops accepting at the user's first error after
@@ -1663,6 +1742,7 @@ object Patterns {
     "q140_strict_next" -> (q140StrictNext _),
     "q142_all_starts" -> (q142AllStarts _),
     "q144_any_pairs" -> (q144AnyPairs _),
+    "q174_combinations" -> (q174Combinations _),
     "q145_until_burst" -> (q145UntilBurst _),
     "q147_skip_to_click" -> (q147SkipToClick _),
     "q153_times_range" -> (q153TimesRange _),
@@ -1681,6 +1761,7 @@ object Patterns {
     "q140_strict_next" -> q140Sql,
     "q142_all_starts" -> q142Sql,
     "q144_any_pairs" -> q144Sql,
+    "q174_combinations" -> q174Sql,
     "q145_until_burst" -> q145Sql,
     "q147_skip_to_click" -> q147Sql,
     "q153_times_range" -> q153Sql,

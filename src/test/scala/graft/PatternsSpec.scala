@@ -616,6 +616,46 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
       "fixture should produce at least one one-to-many pairing")
   }
 
+  test("q174 allowCombinations equals recursive ordered-subset enumeration") {
+    // independent derivation: NO bitmasks — enumerate every non-empty
+    // ordered subset of the first CombMax clicks after each view by
+    // plain recursion, then compare (anchor, {k, first, last}) match
+    // multisets with the graded query
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def subsets(xs: List[Long]): List[List[Long]] = xs match {
+      case Nil => List(Nil)
+      case h :: t => val rest = subsets(t); rest ++ rest.map(h :: _)
+    }
+    val brute = ev.filter(_._3 == "view").flatMap { case (u, tv, _) =>
+      val clicks = ev.iterator
+        .filter { case (u2, tc, tag) =>
+          u2 == u && tag == "click" && tc > tv &&
+            tc <= tv + Patterns.AnyWithinUs }
+        .map(_._2).toList.sorted.take(Patterns.CombMax)
+      subsets(clicks).filter(_.nonEmpty)
+        .map(s => (u, tv, s.length.toLong, s.min, s.max))
+    }.toSeq
+    val got = Patterns.q174Combinations(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.sorted == brute.sorted && got.nonEmpty)
+    // the mask column must enumerate each anchor's combinations
+    // exactly once: 2^n - 1 distinct masks for an n-click anchor
+    val masks = Patterns.q174Combinations(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    masks.foreach { case ((u, tv), ms) =>
+      val n = brute.filter(b => b._1 == u && b._2 == tv && b._3 == 1L).size
+      assert(ms == (1L until (1L << n)).toSet,
+        s"anchor ($u,$tv): masks $ms for $n clicks")
+    }
+    // the fixture must actually exercise a multi-click loop (a
+    // non-prefix combination the default contiguity would never emit)
+    assert(brute.exists(_._3 >= 2), "fixture needs a >=2-click anchor")
+  }
+
   test("skip-to-step: repeated suffix chaining, overlap vs skip-past-last, seed guard") {
     val steps = IndexedSeq("view", "click", "purchase")
     // independent reference: round r = earliestChain over the events
