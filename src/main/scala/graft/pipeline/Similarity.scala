@@ -821,6 +821,169 @@ object Similarity {
        |SELECT qid, rank, vec_id, adist FROM ranked
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** IVF-PQ — the composed 100 TB ANN pipeline, graded end-to-end
+    * (Jégou et al. 2011 §IV "IVFADC"; the reference's ANN surface
+    * composes the same way): the q61 coarse quantizer routes each
+    * query to its [[NProbe]] nearest of [[NCells]] cells, and ONLY
+    * vectors living in a probed cell are scanned — by PQ/ADC table
+    * lookups over their 8-byte codes (the q166 device, trained
+    * codebook), never by full-precision math. One narrow
+    * mapPartitions kernel does cell assignment + encoding + lookup
+    * per catalog vector (no assignment shuffle, no index
+    * materialization); only ≈ NProbe/NCells of (catalog × queries)
+    * candidate rows reach the rank window.
+    *
+    * This grades the composition COVERAGE.md claims ("IVF prunes the
+    * candidate set, PQ/ADC makes scanning the surviving cells
+    * byte-cheap"): at 100 TB the cells are sorted-bucketed partitions
+    * pruned at scan time, codes are stored at ingest, and both the
+    * codebook and query tables are broadcast model state — exactly
+    * this dataflow. PipelineSpec pins a recall@10 floor vs the exact
+    * q34 baseline and the probe-subset property. */
+  def q173IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = pqTrainedAnchors(spark, dir)
+    val cents = emb.filter(col("vec_id") < NCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    // per-query probe set (q61 device) + ADC table (q166 device) —
+    // both driver-sized model state, broadcast together
+    val probes: Array[(Long, Array[Int], Array[Array[Double]])] =
+      queries.map { q =>
+        val ranked = cents.indices
+          .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
+          .sortBy { case (s, j) => (-s, j) }
+          .take(NProbe).map(_._2).toArray
+        val tab = Array.tabulate(PqM, PqK) { (m, k) =>
+          var s = 0.0
+          var d = 0
+          while (d < PqD) {
+            val diff = q.v(m * PqD + d) - anchors(m)(k)(d)
+            s += diff * diff
+            d += 1
+          }
+          s
+        }
+        (q.id, ranked, tab)
+      }
+    val bc = spark.sparkContext.broadcast((cents, anchors, probes))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val (cs, an, ps) = bc.value
+        it.flatMap { case (id, e) =>
+          val c = mkVec(id, e)
+          val cell = argmaxCell(c, cs)
+          val v = new Array[Double](e.length)
+          var i = 0
+          while (i < v.length) { v(i) = e(i).toDouble; i += 1 }
+          lazy val codes = pqEncode(v, an)
+          ps.iterator
+            .filter { case (qid, probe, _) =>
+              qid != id && probe.contains(cell) }
+            .map { case (qid, _, tab) =>
+              var dist = 0.0
+              var m = 0
+              while (m < PqM) { dist += tab(m)(codes(m)); m += 1 }
+              (qid, id, round4(dist))
+            }
+        }
+      }
+      .toDF("qid", "vec_id", "adist")
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q61's routing CTEs + q166's trained-codebook/ADC CTEs, composed:
+    * scored joins the probe table to the cell assignment so only
+    * probed-cell candidates get the table-lookup distance. */
+  val q173Sql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn
+       |  FROM ev WHERE vec_id < $NCells),
+       |cellscore AS (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range($Dim),
+       |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.ce[k+1] AS DOUBLE)))
+       |        / (e.nrm * c.cn) DESC, c.cell) AS rk
+       |  FROM ev e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cell FROM cellscore WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qid, cell FROM cellscore
+       |  WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |anch0 AS (
+       |  SELECT m.range AS m, k.range AS k,
+       |    list_transform(range($PqD), d ->
+       |      CAST(((m.range * $PqK + k.range) * $PqD + d + 1) * 2654435761 % 1000003
+       |        AS DOUBLE) / 1000003.0 - 0.5) AS a
+       |  FROM range($PqM) m, range($PqK) k),
+       |encd0 AS (
+       |  SELECT e.vec_id, a.m, a.k,
+       |    list_sum(list_transform(range($PqD), d ->
+       |      (CAST(e.embedding[a.m * $PqD + d + 1] AS DOUBLE) - a.a[d + 1]) *
+       |      (CAST(e.embedding[a.m * $PqD + d + 1] AS DOUBLE) - a.a[d + 1]))) AS sd
+       |  FROM embeddings e CROSS JOIN anch0 a),
+       |asn AS (SELECT vec_id, m, k AS code FROM (
+       |  SELECT vec_id, m, k,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY sd, k) AS rn
+       |  FROM encd0) WHERE rn = 1),
+       |tr AS (
+       |  SELECT a.m, a.code, d.range AS d,
+       |    round(sum(CAST(e.embedding[a.m * $PqD + d.range + 1] AS DOUBLE))
+       |      / count(*), 6) AS c
+       |  FROM asn a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  CROSS JOIN range($PqD) d
+       |  GROUP BY a.m, a.code, d.range),
+       |tra AS (SELECT m, code, list(c ORDER BY d) AS a2 FROM tr GROUP BY m, code),
+       |anch AS (
+       |  SELECT anch0.m, anch0.k, coalesce(tra.a2, anch0.a) AS a
+       |  FROM anch0 LEFT JOIN tra ON anch0.m = tra.m AND anch0.k = tra.code),
+       |encd AS (
+       |  SELECT e.vec_id, a.m, a.k,
+       |    list_sum(list_transform(range($PqD), d ->
+       |      (CAST(e.embedding[a.m * $PqD + d + 1] AS DOUBLE) - a.a[d + 1]) *
+       |      (CAST(e.embedding[a.m * $PqD + d + 1] AS DOUBLE) - a.a[d + 1]))) AS sd
+       |  FROM embeddings e CROSS JOIN anch a),
+       |enc AS (SELECT vec_id, m, k AS code FROM (
+       |  SELECT vec_id, m, k,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY sd, k) AS rn
+       |  FROM encd) WHERE rn = 1),
+       |encl AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id),
+       |qt AS (
+       |  SELECT q.vec_id AS qid, a.m, a.k,
+       |    list_sum(list_transform(range($PqD), d ->
+       |      (CAST(q.embedding[a.m * $PqD + d + 1] AS DOUBLE) - a.a[d + 1]) *
+       |      (CAST(q.embedding[a.m * $PqD + d + 1] AS DOUBLE) - a.a[d + 1]))) AS term
+       |  FROM embeddings q CROSS JOIN anch a WHERE q.vec_id < $NQueries),
+       |qrow AS (SELECT qid, m, list(term ORDER BY k) AS trow FROM qt GROUP BY qid, m),
+       |qtab AS (SELECT qid, list(trow ORDER BY m) AS tbl FROM qrow GROUP BY qid),
+       |scored AS (
+       |  SELECT p.qid, c.vec_id,
+       |    round(list_sum(list_transform(range($PqM),
+       |      m -> qtab.tbl[m + 1][encl.codes[m + 1] + 1])), 4) AS adist
+       |  FROM probes p
+       |  JOIN assigned c ON c.cell = p.cell AND c.vec_id <> p.qid
+       |  JOIN encl ON encl.vec_id = c.vec_id
+       |  JOIN qtab ON qtab.qid = p.qid),
+       |ranked AS (SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, adist FROM ranked
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- q141
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540), composed from the engine's own pieces: the q61
@@ -916,6 +1079,7 @@ object Similarity {
     "q104_cosine_expr" -> (q104CosineExpr _),
     "q164_centroid_accumulate" -> (q164CentroidAccumulate _),
     "q166_pq_adc" -> (q166PqAdc _),
+    "q173_ivf_pq" -> (q173IvfPq _),
     "q141_semdedup" -> (q141SemDedup _),
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -928,6 +1092,7 @@ object Similarity {
     "q104_cosine_expr" -> q104Sql,
     "q164_centroid_accumulate" -> q164Sql,
     "q166_pq_adc" -> q166Sql,
+    "q173_ivf_pq" -> q173Sql,
     "q141_semdedup" -> q141Sql,
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,

@@ -122,6 +122,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF-PQ composition: probed-cell candidates only, ADC-ranked, recall floor holds") {
+    val got = Similarity.q173IvfPq(spark, sf).collect()
+    assert(got.length == Similarity.NQueries * Similarity.TopK)
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to Similarity.TopK))
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      assert(byRank.forall(_ >= 0.0))
+    }
+    // independent probe-subset twin: recompute the coarse routing from
+    // raw embeddings with spec-local math (no Similarity internals) and
+    // assert every returned candidate lives in a probed cell of its query
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); sa += a(i) * a(i); sb += b(i) * b(i); i += 1 }
+      s / math.sqrt(sa) / math.sqrt(sb)
+    }
+    val cents = emb.filter(_._1 < Similarity.NCells)
+    def cellOf(v: Array[Double]): Long =
+      cents.maxBy { case (cid, c) => (cos(v, c), -cid) }._1
+    val cellIdx = emb.map { case (id, v) => id -> cellOf(v) }.toMap
+    val probeIdx = emb.filter(_._1 < Similarity.NQueries).map { case (qid, q) =>
+      qid -> cents.map { case (cid, c) => (cos(q, c), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(Similarity.NProbe).map(_._2).toSet
+    }.toMap
+    got.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(2))
+      assert(qid != vid)
+      assert(probeIdx(qid).contains(cellIdx(vid)),
+        s"query $qid returned $vid from unprobed cell ${cellIdx(vid)}")
+    }
+    // recall floor vs the exact q34 baseline: measured 0.40 on this
+    // catalog (IVF routing + trained PQ) — pin below with margin
+    val exact = Similarity.q34AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = got.map(r => (r.getLong(0), r.getLong(2))).count(exact)
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.30, s"IVF-PQ recall@10 fell to $recall")
+  }
+
   test("repetition signal: distinct <= total and modal run matches a scala recount") {
     val rows = TextAnalysis.q68Repetition(spark, sf).collect()
     assert(rows.length == 500 || rows.nonEmpty)
