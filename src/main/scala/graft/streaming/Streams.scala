@@ -605,7 +605,13 @@ object Streams {
     * traffic (dimension keys whose stream went quiet release their
     * state; a later probe would re-enrich as unmatched, the same
     * answer the batch join gives a probe with no preceding version
-    * inside the retained window). */
+    * inside the retained window).
+    *
+    * Malformed side tags fail fast here BY DESIGN (silently treating
+    * garbage as probes would emit plausible unmatched rows); the
+    * production posture at 100 TB is [[temporalEnrichWithTagAudit]],
+    * which dead-letters such rows through a [[TagAudit]] so one bad
+    * row can't take down the stream. */
   def temporalEnrichStream(rows: Dataset[TemporalRow],
       watermarkDelay: String = "10 minutes",
       idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[TemporalMatch] = {
@@ -647,6 +653,71 @@ object Streams {
             out.iterator
           }
       }
+  }
+
+  /** Dead-letter accounting for malformed temporal side tags — the
+    * [[LateAudit]] posture applied to [[temporalEnrichStream]]'s
+    * input contract: rows whose `side` is neither "u" nor "p" are
+    * counted AND routed to a capped queue (overflow degrades to
+    * counting — a garbage flood can't accumulate unboundedly on the
+    * driver), instead of one bad row killing the whole production
+    * stream via the matcher's fail-fast `require`. The reject
+    * semantics stay intact: a malformed row NEVER reaches the
+    * matcher, so it can't masquerade as a probe and emit a
+    * plausible-looking unmatched enrichment. */
+  class TagAudit(maxBadRows: Int = 10000) {
+    val valid = new java.util.concurrent.atomic.LongAdder
+    val malformed = new java.util.concurrent.atomic.LongAdder
+    /** Routed malformed rows, capped at `maxBadRows`; overflow lands
+      * in [[droppedBad]]. */
+    val badRows = new java.util.concurrent.ConcurrentLinkedQueue[TemporalRow]()
+    val droppedBad = new java.util.concurrent.atomic.LongAdder
+    private[streaming] def observe(batch: Dataset[TemporalRow]): Unit = {
+      // null-safe classification: false AND null = false, so a null
+      // side lands in the malformed bucket, never in a null group key
+      val ok = col("side").isNotNull && col("side").isin("u", "p")
+      val cls = batch.toDF().groupBy(ok.as("ok"))
+        .agg(count(lit(1)).as("n")).collect()
+      var badN = 0L
+      cls.foreach { r =>
+        if (r.getBoolean(0)) valid.add(r.getLong(1))
+        else { malformed.add(r.getLong(1)); badN = r.getLong(1) }
+      }
+      if (badN > 0) {
+        // cap BEFORE materializing (the LateAudit rule): limit() keeps
+        // a flood batch off the driver entirely
+        val room = maxBadRows - badRows.size
+        val stored =
+          if (room <= 0) 0
+          else {
+            val rows = batch.filter(!ok).limit(room).collect()
+            rows.foreach(badRows.add)
+            rows.length
+          }
+        droppedBad.add(badN - stored)
+      }
+    }
+  }
+
+  /** The temporal join's production posture: the enrich query runs on
+    * the tag-filtered stream (so the matcher's fail-fast `require`
+    * can never fire) while a second query dead-letters malformed rows
+    * through `audit` — the [[tumblingWithLateAudit]] two-query shape,
+    * since Structured Streaming has no side outputs. Enriched rows
+    * land in the `name` memory table. */
+  def temporalEnrichWithTagAudit(rows: Dataset[TemporalRow], name: String,
+      audit: TagAudit, watermarkDelay: String = "10 minutes")
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    val good = rows.filter(col("side").isin("u", "p"))
+    val enrich = temporalEnrichStream(good, watermarkDelay)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val auditQ = rows.writeStream.queryName(s"${name}_tag_audit")
+      .outputMode(OutputMode.Append())
+      .foreachBatch((b: Dataset[TemporalRow], _: Long) => audit.observe(b))
+      .start()
+    (enrich, auditQ)
   }
 
   /** Windowed stream coGroup (CoGroupedStreams.java:80 — per (key,

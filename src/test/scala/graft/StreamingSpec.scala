@@ -477,4 +477,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // both matched and unmatched probes must occur for the test to bite
     assert(got.exists(_._3.isEmpty) && got.exists(_._3.nonEmpty))
   }
+
+  test("temporal tag dead-letter: the stream survives malformed rows and audits them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.{TagAudit, TemporalRow}
+    val audit = new TagAudit(maxBadRows = 2)
+    val ms = MemoryStream[TemporalRow]
+    val (q, aq) = Streams.temporalEnrichWithTagAudit(ms.toDS(), "tenrich_dlq", audit)
+    // batch 1: a version, a probe, and a malformed row mid-stream
+    ms.addData(
+      TemporalRow(1L, 1000000L, "u", 5.0),
+      TemporalRow(1L, 1500000L, "zz", 9.9),
+      TemporalRow(1L, 2000000L, "p", 0.0))
+    q.processAllAvailable(); aq.processAllAvailable()
+    // batch 2 AFTER the bad row: the query must still be running and
+    // still enriching (the fail-fast core would have died in batch 1)
+    ms.addData(
+      TemporalRow(1L, 3000000L, "u", 7.0),
+      TemporalRow(1L, 4000000L, "p", 0.0),
+      TemporalRow(2L, 4000000L, null, 1.0),
+      TemporalRow(2L, 4100000L, "x", 1.0),
+      TemporalRow(2L, 4200000L, "y", 1.0))
+    q.processAllAvailable(); aq.processAllAvailable()
+    assert(q.isActive && aq.isActive, "both queries must survive bad rows")
+    q.stop(); aq.stop()
+    val got = spark.table("tenrich_dlq").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._2)
+    // enrichment unaffected: both probes matched their versions, and
+    // no malformed row leaked into the output as a probe
+    assert(got.toSeq == Seq((1L, 2000000L, Some(5.0)), (1L, 4000000L, Some(7.0))))
+    // audit: 4 bad rows counted, 2 stored (cap), 2 dropped, 4 valid
+    assert(audit.malformed.sum == 4, s"malformed=${audit.malformed.sum}")
+    assert(audit.valid.sum == 4, s"valid=${audit.valid.sum}")
+    assert(audit.badRows.size == 2 && audit.droppedBad.sum == 2,
+      s"stored=${audit.badRows.size} dropped=${audit.droppedBad.sum}")
+    import scala.jdk.CollectionConverters._
+    audit.badRows.asScala.foreach(r =>
+      assert(r.side == null || !Set("u", "p").contains(r.side)))
+  }
 }
