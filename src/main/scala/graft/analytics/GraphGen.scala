@@ -277,9 +277,62 @@ object GraphGen {
     (blocks :+ emptyBlock).mkString("", "\nUNION ALL\n", "\nORDER BY gen")
   }
 
+  // ---------------------------------------------------------------- q175
+  /** [[checksumHashCode]] graded as a query surface (Gelly
+    * `metric/ChecksumHashCode.java` — previously spec-pinned only):
+    * the library fold applied to three generated graphs plus the
+    * EMPTY frame, whose (0, 0) closed form is the reference's
+    * empty-checksum contract. One row per graph; the oracle rebuilds
+    * each edge list in DuckDB range() algebra and re-states the
+    * positional polynomial. */
+  def q175ChecksumHashcode(spark: SparkSession, dir: String): DataFrame = {
+    def row(name: String, edges: DataFrame): DataFrame =
+      checksumHashCode(edges)
+        .select(lit(name).as("gen"), col("cnt"), col("checksum"))
+    Seq(
+      row("empty", rmat(spark, 8, 2048).filter(lit(false))),
+      row("hypercube", hypercube(spark, 10)),
+      row("rmat", rmat(spark, 8, 2048)),
+      row("singleton", singletonEdges(spark, 500)))
+      .reduce(_ union _).orderBy(col("gen"))
+  }
+
+  val q175Sql: String = {
+    val p = ChkP
+    s"""WITH h AS (
+       |  SELECT i.range AS src, xor(i.range, 1 << CAST(b.range AS INT)) AS dst
+       |  FROM range(1024) i, range(10) b),
+       |rm AS (
+       |  WITH bits AS (
+       |    SELECT e.range AS e, l.range AS lv,
+       |      (((e.range * 8 + l.range + 1) * (e.range * 8 + l.range + 1) % 1000003)
+       |        * 2654435761 % 1000003) / 1000003.0 AS u
+       |    FROM range(2048) e, range(8) l),
+       |  q AS (SELECT e, lv,
+       |      CASE WHEN u >= 0.60 THEN 1 ELSE 0 END AS sb,
+       |      CASE WHEN (u >= 0.45 AND u < 0.60) OR u >= 0.75 THEN 1 ELSE 0 END AS db
+       |    FROM bits)
+       |  SELECT sum(sb * (1 << CAST(lv AS INT))) AS src,
+       |         sum(db * (1 << CAST(lv AS INT))) AS dst
+       |  FROM q GROUP BY e),
+       |sg AS (
+       |  SELECT range * 2 AS src, range * 2 + 1 AS dst FROM range(500)
+       |  UNION ALL SELECT range * 2 + 1, range * 2 FROM range(500))
+       |SELECT 'empty' AS gen, CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS checksum
+       |UNION ALL SELECT 'hypercube', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(src * $p + dst), 0) AS BIGINT) FROM h
+       |UNION ALL SELECT 'rmat', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(src * $p + dst), 0) AS BIGINT) FROM rm
+       |UNION ALL SELECT 'singleton', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(src * $p + dst), 0) AS BIGINT) FROM sg
+       |ORDER BY gen""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_generator_census" -> (q138GeneratorCensus _))
+    "q138_generator_census" -> (q138GeneratorCensus _),
+    "q175_checksum_hashcode" -> (q175ChecksumHashcode _))
 
   def oracles: Map[String, String] = Map(
-    "q138_generator_census" -> q138Sql)
+    "q138_generator_census" -> q138Sql,
+    "q175_checksum_hashcode" -> q175Sql)
 }
