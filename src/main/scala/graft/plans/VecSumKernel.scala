@@ -14,16 +14,20 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Element-wise vector sum over an `array<float>` column — the
-  * KMeans centroid-accumulate shape (reference TornadoVM
+/** Element-wise vector sum over an `array<float>` or `array<double>`
+  * column — the KMeans centroid-accumulate shape (reference TornadoVM
   * `ChainedAllReduceDriver.java:852`: the per-cluster centroid
-  * partial reduction the artifact offloads to the device). Buffer =
-  * `Array[Double]` of component sums (length 0 = nothing consumed →
-  * result NULL); inputs of different lengths zero-pad to the longest
-  * seen (documented: callers feed fixed-dimension embeddings).
-  * Ascending component order, double accumulators — the engine-wide
-  * fold-order contract, so the kernel-exec path below is bit-equal
-  * per partial buffer.
+  * partial reduction the artifact offloads to the device; the same
+  * shape as the LogReg gradient partial-sum,
+  * `ChainedAllReduceDriver.java:563-600`). Buffer = `Array[Double]`
+  * of component sums (length 0 = nothing consumed → result NULL);
+  * an input whose length differs from the dimension already
+  * accumulated FAILS FAST (callers feed fixed-dimension vectors — a
+  * ragged input is an upstream data bug, and zero-padding it would
+  * yield plausible-looking wrong sums; round-8 advice). Ascending
+  * component order, double accumulators — the engine-wide fold-order
+  * contract, so the kernel-exec path below is bit-equal per partial
+  * buffer.
   *
   * Exposed to SQL as `graft_vecsum` via [[Functions.register]] /
   * [[graft.engine.GraftExtensions]]. Planned through
@@ -36,9 +40,10 @@ case class VecSum(child: Expression,
     extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_vecsum expects array<float>, got ${t.simpleString}")
+      s"graft_vecsum expects array<float> or array<double>, got ${t.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -50,16 +55,18 @@ case class VecSum(child: Expression,
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) buf
-    else VecSum.accumulate(buf, v.asInstanceOf[ArrayData].toFloatArray())
+    else VecSum.accumulate(buf, VecSum.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType))
   }
 
   override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
     if (other.isEmpty) buf
+    else if (buf.isEmpty) other.clone()
     else {
-      val acc = VecSum.grow(buf, other.length)
+      VecSum.checkDim(buf.length, other.length)
       var i = 0
-      while (i < other.length) { acc(i) += other(i); i += 1 }
-      acc
+      while (i < other.length) { buf(i) += other(i); i += 1 }
+      buf
     }
   }
 
@@ -88,16 +95,35 @@ case class VecSum(child: Expression,
 
 object VecSum {
 
-  private[plans] def grow(acc: Array[Double], n: Int): Array[Double] =
-    if (acc.length >= n) acc else java.util.Arrays.copyOf(acc, n)
+  private[plans] def checkDim(have: Int, got: Int): Unit =
+    if (have != got) throw new IllegalArgumentException(
+      s"graft_vecsum: ragged input — accumulated dimension $have, " +
+        s"incoming vector length $got (fixed-dimension vectors required)")
 
-  /** Scalar accumulate: acc += v (zero-padded growth), ascending
-    * component order. Returns the (possibly re-allocated) buffer. */
-  def accumulate(acc0: Array[Double], v: Array[Float]): Array[Double] = {
-    val acc = grow(acc0, v.length)
-    var i = 0
-    while (i < v.length) { acc(i) += v(i).toDouble; i += 1 }
-    acc
+  /** Element extraction per declared input type; float components
+    * widen exactly, so both input types share one double fold. */
+  private[plans] def toDoubles(ad: ArrayData, dt: DataType): Array[Double] =
+    dt match {
+      case ArrayType(FloatType, _) =>
+        val f = ad.toFloatArray()
+        val d = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+        d
+      case _ => ad.toDoubleArray()
+    }
+
+  /** Scalar accumulate: acc += v, ascending component order; the
+    * first vector fixes the dimension, later lengths must match.
+    * Returns the (possibly re-allocated) buffer. */
+  def accumulate(acc0: Array[Double], v: Array[Double]): Array[Double] = {
+    if (acc0.isEmpty) v.clone()
+    else {
+      checkDim(acc0.length, v.length)
+      var i = 0
+      while (i < v.length) { acc0(i) += v(i); i += 1 }
+      acc0
+    }
   }
 
   /** The stand-in device kernel: one contiguous sweep over a batch of
@@ -107,7 +133,7 @@ object VecSum {
     * before its segmented reduce). `slots(i)(f)` is row i's
     * accumulator for function f; re-allocated in place on growth. */
   def accumulateBatch(slots: Array[Array[Array[Double]]], f: Int,
-      vecs: Array[Array[Float]], n: Int): Unit = {
+      vecs: Array[Array[Double]], n: Int): Unit = {
     var i = 0
     while (i < n) {
       val v = vecs(i)
@@ -152,7 +178,7 @@ case class VecSumKernelExec(
       // given the partition's row order (same property as the stock
       // ObjectAggregationMap iteration for these sizes)
       val groups = new java.util.LinkedHashMap[UnsafeRow, Array[Array[Double]]]()
-      val vecs = new Array[Array[Float]](DotKernel.BatchSize)
+      val vecs = new Array[Array[Double]](DotKernel.BatchSize)
       val slots = new Array[Array[Array[Double]]](DotKernel.BatchSize)
       val outProj = UnsafeProjection.create(outAttrs.zipWithIndex.map {
         case (a, i) => BoundReference(i, a.dataType, a.nullable)
@@ -197,11 +223,12 @@ case class VecSumKernelExec(
         // contiguous sweep per function
         var f = 0
         while (f < nF) {
+          val dt = fns(f).child.dataType
           var j = 0
           while (j < n) {
             val v = bound(f).eval(rows(j))
             vecs(j) = if (v == null) null
-              else v.asInstanceOf[ArrayData].toFloatArray()
+              else VecSum.toDoubles(v.asInstanceOf[ArrayData], dt)
             j += 1
           }
           VecSum.accumulateBatch(slots, f, vecs, n)

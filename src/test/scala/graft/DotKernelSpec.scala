@@ -263,6 +263,70 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vecsum fails fast on ragged input instead of zero-padding") {
+    import spark.implicits._
+    graft.plans.Functions.register(spark)
+    val df = Seq((0L, Seq(1.0f, 2.0f)), (0L, Seq(3.0f))).toDF("k", "v")
+      .select(col("k"), col("v").cast("array<float>").as("v"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val e = intercept[Exception] {
+      df.groupBy("k").agg(expr("graft_vecsum(v)")).collect()
+    }
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("ragged")),
+      s"expected the ragged-input error, got: $e")
+  }
+
+  test("LogReg gradient partial-sum routes through the vecsum kernel seam") {
+    // the THIRD kernel workload (reference ChainedAllReduceDriver
+    // .java:563-600 — the gradient's map-side partial vector sum is
+    // an exus device kernel): q24's gradient as graft_vecsum over a
+    // DERIVED per-row double vector (4 gradient components + a count
+    // slot, so the aggregate list stays VecSum-only and eligible).
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gradDf(s: SparkSession, w: Array[Double]): DataFrame = {
+      graft.plans.Functions.register(s)
+      val li = s.read.parquet(s"$sf/lineitem.parquet").select(
+        (col("l_quantity") / 50.0).as("x1"),
+        (col("l_discount") * 10.0).as("x2"),
+        (col("l_extendedprice") / 100000.0).as("x3"),
+        when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("y"))
+      val z = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      li.select(array(p - col("y"), (p - col("y")) * col("x1"),
+          (p - col("y")) * col("x2"), (p - col("y")) * col("x3"),
+          lit(1.0)).as("g"))
+        .agg(expr("graft_vecsum(g)").as("gs"))
+    }
+    def train(s: SparkSession): Array[Double] = {
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      (1 to 2).foreach { _ =>
+        val gs = gradDf(s, w).head.getSeq[Double](0)
+        val n = gs(4)
+        w = Array.tabulate(4)(i => r6(w(i) - 2.0 * gs(i) / n))
+      }
+      w
+    }
+    // the seam must fire on the derived-double-vector global agg
+    assert(planString(gradDf(kernel, Array(0.0, 0.0, 0.0, 0.0)))
+      .contains("VecSumKernel"), "kernel must plan the gradient partial stage")
+    val wStock = train(spark)
+    val wKernel = train(kernel)
+    assert(wStock.sameElements(wKernel),
+      s"stock ${wStock.toSeq} vs kernel ${wKernel.toSeq}")
+    // and the vecsum-trained model equals the graded q24's avg-trained
+    // weights (sum/n vs avg — identical folds, same per-step rounding)
+    val graded = graft.analytics.Iterative.q24LogReg(spark, sf).head
+    val wGraded = Array.tabulate(4)(i => graded.getDouble(i))
+    wKernel.zip(wGraded).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 2e-6, s"vecsum $a vs graded $b") }
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
