@@ -290,7 +290,8 @@ object GraphGen {
       checksumHashCode(edges)
         .select(lit(name).as("gen"), col("cnt"), col("checksum"))
     Seq(
-      row("empty", rmat(spark, 8, 2048).filter(lit(false))),
+      row("empty", spark.range(0)
+        .select(col("id").as("src"), col("id").as("dst"))),
       row("hypercube", hypercube(spark, 10)),
       row("rmat", rmat(spark, 8, 2048)),
       row("singleton", singletonEdges(spark, 500)))

@@ -180,7 +180,26 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     "q170_supplier_relationship" -> PlanCounts(3, 0, 3, 2),
     // facts + red parts + supplier + nation, each once; one
     // (part,supp) agg exchange feeding the semi join
-    "q171_promotion_suppliers" -> PlanCounts(4, 0, 2, 3))
+    "q171_promotion_suppliers" -> PlanCounts(4, 0, 2, 3),
+    // one embeddings scan into the vecsum agg (2 exchanges: agg +
+    // output sort); posexplode adds projection nodes only
+    "q164_centroid_accumulate" -> PlanCounts(1, 0, 2, 0),
+    // composed IVF-PQ: ONE embeddings scan into the routing+encode+ADC
+    // kernel (codebook training is its own bounded job, not in this
+    // plan — its result enters as broadcast model state); rank window
+    // + output sort
+    "q173_ivf_pq" -> PlanCounts(1, 0, 2, 0),
+    // allowCombinations: two filtered events scans into the q144-shaped
+    // pair join (broadcast at test scale), ONE anchor-keyed exchange
+    // shared by the rank window and the combination agg (same keys —
+    // Catalyst reuses the partitioning) + output sort; the mask
+    // expansion is a generate, never an exchange
+    "q174_combinations" -> PlanCounts(2, 0, 2, 1),
+    // generated graphs: range projections, zero table scans; the 2
+    // broadcasts are rmat's and hypercube's range×range nested loops,
+    // the 4 exchanges are rmat's per-edge bit fold plus 1-row global
+    // agg partials and the 4-row union sort — all constant-size
+    "q175_checksum_hashcode" -> PlanCounts(0, 0, 4, 2))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
