@@ -57,21 +57,26 @@ object Bench {
     // bucket to fit the harness's tail capture — a regression INSIDE
     // the bucket would be invisible across rounds. Persist the full
     // per-query map (full names, full precision) as a repo artifact
-    // so every cross-round comparison stays complete.
-    writeFull(results, sfDir)
+    // so every cross-round comparison stays complete. FULL runs only:
+    // a SPARK_GRAFT_BENCH_ONLY subset rerun must not clobber the
+    // complete artifact with its handful of rows.
+    if (only.isEmpty) writeFull(results, sfDir)
     spark.stop()
   }
 
   /** Full-precision per-query sidecar (default `BENCH_FULL.json` next
     to the repo's build — override with SPARK_GRAFT_BENCH_FULL, empty
-    to disable). Best-effort: bench numbers must survive a read-only
+    to disable; skipped entirely on SPARK_GRAFT_BENCH_ONLY subset
+    runs). Best-effort: bench numbers must survive a read-only
     working dir. */
   def writeFull(results: Seq[(String, Double)], sfDir: String): Unit = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     if (path.isEmpty) return
     try {
+      // Locale.ROOT: the same comma-decimal hazard loadTag guards
       val qs = results.map { case (k, v) =>
-        "  \"" + k + "\": " + f"$v%.3f" }.mkString("{\n", ",\n", "\n}")
+        "  \"" + k + "\": " + String.format(java.util.Locale.ROOT,
+          "%.3f", Double.box(v)) }.mkString("{\n", ",\n", "\n}")
       val body = s"""{"sf": "$sfDir", "queries": $qs}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body + "\n")
     } catch { case scala.util.control.NonFatal(e) =>

@@ -290,8 +290,7 @@ object GraphGen {
       checksumHashCode(edges)
         .select(lit(name).as("gen"), col("cnt"), col("checksum"))
     Seq(
-      row("empty", spark.range(0)
-        .select(col("id").as("src"), col("id").as("dst"))),
+      row("empty", empty(spark)),
       row("hypercube", hypercube(spark, 10)),
       row("rmat", rmat(spark, 8, 2048)),
       row("singleton", singletonEdges(spark, 500)))

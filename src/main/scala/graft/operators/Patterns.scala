@@ -1083,8 +1083,10 @@ object Patterns {
     * subset of the loop events, not just the consecutive prefixes the
     * default relaxed contiguity emits). Graded pattern:
     * `view followedByAny click.oneOrMore().allowCombinations()
-    * .within(24h)` under the all-starts regime (every view anchors,
-    * the q142/q144 device).
+    * .within(24h)` under the all-starts regime (every DISTINCT
+    * (key, t) view anchors — same-microsecond views are
+    * interchangeable under the t-only determinism rule — the
+    * q142/q144 device).
     *
     * The subset expansion is inherently exponential, so — exactly as
     * Flink production patterns bound looping states with `within` and
@@ -1105,8 +1107,13 @@ object Patterns {
   def q174Combinations(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+    // anchors are DISTINCT (key, t) pairs — two views at the same
+    // microsecond are interchangeable under this library's t-only
+    // determinism rule, and collapsing them keeps the per-anchor
+    // click list duplicate-free (a non-distinct join would rank each
+    // click once per duplicate view row)
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("t_us").as("t1_us"))
+      .select(col("user_id"), col("t_us").as("t1_us")).distinct()
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("uid"), col("t_us").as("tc_us"))
     val ranked = v.join(c, col("user_id") === col("uid") &&
@@ -1132,7 +1139,7 @@ object Patterns {
 
   val q174Sql: String =
     s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
-       |anch AS (SELECT user_id, t AS t1 FROM ev WHERE event_type = 'view'),
+       |anch AS (SELECT DISTINCT user_id, t AS t1 FROM ev WHERE event_type = 'view'),
        |clk AS (
        |  SELECT a.user_id, a.t1, c.t AS tc,
        |    row_number() OVER (PARTITION BY a.user_id, a.t1 ORDER BY c.t) AS rn

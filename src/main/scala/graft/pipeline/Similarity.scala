@@ -404,26 +404,34 @@ object Similarity {
     cell
   }
 
-  def q61AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < NCells)
+  /** The shared coarse-routing model state (q61 + the q173
+    * composition): ONE collect of the seed centroids — the query
+    * vectors are their first [[NQueries]] (both sets are leading
+    * vec_id prefixes, asserted) — plus each query's [[NProbe]]
+    * closest cells (desc cosine, asc cell id; 4×16 dots, trivially
+    * driver-sized). */
+  private def coarseRouting(spark: SparkSession, dir: String)
+      : (Array[Vec], Array[(Vec, Array[Int])]) = {
+    val cents = Tables.embeddings(spark, dir).filter(col("vec_id") < NCells)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_.id)
-    val queries = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_.id)
-    // Driver-side probe selection: each query's NProbe closest cells
-    // (desc cosine, asc cell id) — 4×16 dots, trivially driver-sized.
-    val probes: Array[(Vec, Array[Int])] = queries.map { q =>
+    assert(NQueries <= NCells && cents.take(NQueries).forall(_.id < NQueries),
+      "query set must be the leading prefix of the collected centroids")
+    val probes: Array[(Vec, Array[Int])] = cents.take(NQueries).map { q =>
       val ranked = cents.indices
         .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
         .sortBy { case (s, j) => (-s, j) }
         .take(NProbe).map(_._2)
       (q, ranked.toArray)
     }
+    (cents, probes)
+  }
+
+  def q61AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val (cents, probes) = coarseRouting(spark, dir)
     val bc = spark.sparkContext.broadcast((cents, probes))
     val scored = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -845,22 +853,12 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val anchors = pqTrainedAnchors(spark, dir)
-    val cents = emb.filter(col("vec_id") < NCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_.id)
-    val queries = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_.id)
-    // per-query probe set (q61 device) + ADC table (q166 device) —
-    // both driver-sized model state, broadcast together
+    // the q61 routing verbatim (shared helper) + each query's ADC
+    // table (the q166 device) — all driver-sized model state,
+    // broadcast together
+    val (cents, routed) = coarseRouting(spark, dir)
     val probes: Array[(Long, Array[Int], Array[Array[Double]])] =
-      queries.map { q =>
-        val ranked = cents.indices
-          .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
-          .sortBy { case (s, j) => (-s, j) }
-          .take(NProbe).map(_._2).toArray
+      routed.map { case (q, ranked) =>
         val tab = Array.tabulate(PqM, PqK) { (m, k) =>
           var s = 0.0
           var d = 0

@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * shape as the LogReg gradient partial-sum,
   * `ChainedAllReduceDriver.java:563-600`). Buffer = `Array[Double]`
   * of component sums (length 0 = nothing consumed → result NULL);
-  * an input whose length differs from the dimension already
+  * a NON-EMPTY input whose length differs from the dimension already
   * accumulated FAILS FAST (callers feed fixed-dimension vectors — a
   * ragged input is an upstream data bug, and zero-padding it would
-  * yield plausible-looking wrong sums; round-8 advice). Ascending
+  * yield plausible-looking wrong sums; round-8 advice); empty arrays
+  * are ignored like nulls, so the check never depends on row order. Ascending
   * component order, double accumulators — the engine-wide fold-order
   * contract, so the kernel-exec path below is bit-equal per partial
   * buffer.
@@ -59,16 +60,8 @@ case class VecSum(child: Expression,
       child.dataType))
   }
 
-  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
-    if (other.isEmpty) buf
-    else if (buf.isEmpty) other.clone()
-    else {
-      VecSum.checkDim(buf.length, other.length)
-      var i = 0
-      while (i < other.length) { buf(i) += other(i); i += 1 }
-      buf
-    }
-  }
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] =
+    VecSum.accumulate(buf, other)
 
   override def eval(buf: Array[Double]): Any =
     if (buf.isEmpty) null else new GenericArrayData(buf)
@@ -114,10 +107,16 @@ object VecSum {
     }
 
   /** Scalar accumulate: acc += v, ascending component order; the
-    * first vector fixes the dimension, later lengths must match.
-    * Returns the (possibly re-allocated) buffer. */
+    * first NON-EMPTY vector fixes the dimension, later non-empty
+    * lengths must match. Empty vectors contribute nothing (like
+    * nulls) regardless of where they land in the fold — dimension
+    * checking must not depend on row order, which is free across
+    * runs. Also the partial-merge fold (a 0-length partial buffer is
+    * "nothing consumed"). Returns the (possibly re-allocated)
+    * buffer. */
   def accumulate(acc0: Array[Double], v: Array[Double]): Array[Double] = {
-    if (acc0.isEmpty) v.clone()
+    if (v.isEmpty) acc0
+    else if (acc0.isEmpty) v.clone()
     else {
       checkDim(acc0.length, v.length)
       var i = 0

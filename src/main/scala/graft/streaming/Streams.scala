@@ -588,6 +588,18 @@ object Streams {
   final case class TemporalMatch(key: Long, t_us: Long,
     asofTs: Option[Long], asofV: Option[Double])
 
+  /** The temporal join's tag vocabulary — the ONE definition the
+    * matcher's fail-fast, the dead-letter filter, and the audit
+    * classifier all share (three hand-copied literals would drift:
+    * a tag added to one site but not another either dead-letters
+    * valid rows or crashes the matcher on rows the audit accepts). */
+  val TemporalSides: Set[String] = Set("u", "p")
+  /** Null-safe Column twin of [[TemporalSides]]: false AND null =
+    * false, so a null side classifies as malformed, never as a null
+    * group key. */
+  private def sideOk = col("side").isNotNull &&
+    col("side").isin(TemporalSides.toSeq: _*)
+
   /** Event-time TEMPORAL table join (the Flink `FOR SYSTEM_TIME AS
     * OF` / `TemporalTableFunction` surface, reference
     * `flink-table/.../TemporalTableFunction.java` + versioned-table
@@ -634,7 +646,7 @@ object Streams {
               .foreach { r =>
                 // fail fast on a malformed tag: treating it as a probe
                 // would emit plausible-looking unmatched rows instead
-                require(r.side == "u" || r.side == "p",
+                require(TemporalSides.contains(r.side),
                   s"temporal row side must be 'u' or 'p', got '${r.side}'")
                 lastSeenUs = math.max(lastSeenUs, r.t_us)
                 if (r.side == "u") {
@@ -673,9 +685,7 @@ object Streams {
     val badRows = new java.util.concurrent.ConcurrentLinkedQueue[TemporalRow]()
     val droppedBad = new java.util.concurrent.atomic.LongAdder
     private[streaming] def observe(batch: Dataset[TemporalRow]): Unit = {
-      // null-safe classification: false AND null = false, so a null
-      // side lands in the malformed bucket, never in a null group key
-      val ok = col("side").isNotNull && col("side").isin("u", "p")
+      val ok = sideOk
       val cls = batch.toDF().groupBy(ok.as("ok"))
         .agg(count(lit(1)).as("n")).collect()
       var badN = 0L
@@ -709,7 +719,7 @@ object Streams {
       audit: TagAudit, watermarkDelay: String = "10 minutes")
       : (org.apache.spark.sql.streaming.StreamingQuery,
          org.apache.spark.sql.streaming.StreamingQuery) = {
-    val good = rows.filter(col("side").isin("u", "p"))
+    val good = rows.filter(sideOk)
     val enrich = temporalEnrichStream(good, watermarkDelay)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()

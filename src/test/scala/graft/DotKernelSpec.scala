@@ -276,6 +276,19 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     assert(causes(e).exists(c =>
       String.valueOf(c.getMessage).contains("ragged")),
       s"expected the ragged-input error, got: $e")
+    // EMPTY arrays are ignored like nulls in ANY position — the check
+    // must not depend on row order, which is free across runs
+    Seq(Seq(0, 1), Seq(1, 0)).foreach { order =>
+      val rows = order.map {
+        case 0 => (0L, Seq.empty[Float])
+        case _ => (0L, Seq(1.0f, 2.0f))
+      }
+      val got = rows.toDF("k", "v")
+        .select(col("k"), col("v").cast("array<float>").as("v"))
+        .groupBy("k").agg(expr("graft_vecsum(v)").as("s"))
+        .head.getSeq[Double](1)
+      assert(got == Seq(1.0, 2.0), s"order $order: $got")
+    }
   }
 
   test("LogReg gradient partial-sum routes through the vecsum kernel seam") {

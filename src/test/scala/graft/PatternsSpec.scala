@@ -628,15 +628,18 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
       case Nil => List(Nil)
       case h :: t => val rest = subsets(t); rest ++ rest.map(h :: _)
     }
-    val brute = ev.filter(_._3 == "view").flatMap { case (u, tv, _) =>
-      val clicks = ev.iterator
-        .filter { case (u2, tc, tag) =>
-          u2 == u && tag == "click" && tc > tv &&
-            tc <= tv + Patterns.AnyWithinUs }
-        .map(_._2).toList.sorted.take(Patterns.CombMax)
-      subsets(clicks).filter(_.nonEmpty)
-        .map(s => (u, tv, s.length.toLong, s.min, s.max))
-    }.toSeq
+    // DISTINCT (user, t) anchors — the operator's documented collapse
+    // of same-microsecond duplicate views
+    val brute = ev.filter(_._3 == "view").map(e => (e._1, e._2)).distinct
+      .flatMap { case (u, tv) =>
+        val clicks = ev.iterator
+          .filter { case (u2, tc, tag) =>
+            u2 == u && tag == "click" && tc > tv &&
+              tc <= tv + Patterns.AnyWithinUs }
+          .map(_._2).toList.sorted.take(Patterns.CombMax)
+        subsets(clicks).filter(_.nonEmpty)
+          .map(s => (u, tv, s.length.toLong, s.min, s.max))
+      }.toSeq
     val got = Patterns.q174Combinations(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
