@@ -1101,7 +1101,8 @@ object Patterns {
     *
     * Scale posture: one within-bounded pair join on the key (the
     * q144 shape), one anchor-keyed aggregate, and a ≤15-element
-    * generate per anchor — no unbounded expansion anywhere. */
+    * generate per anchor — no unbounded expansion anywhere.
+    * Streaming twin: [[matchCombinationsStream]]. */
   val CombMax = 4
 
   def q174Combinations(spark: SparkSession, dir: String): DataFrame = {
@@ -1158,6 +1159,85 @@ object Patterns {
        |  AND ((m.mask >> (c.rn - 1)) & 1) = 1
        |GROUP BY m.user_id, m.t1, m.mask
        |ORDER BY m.user_id, t1_us, mask""".stripMargin
+
+  final case class CombAnchor(t1: Long, clicks: List[Long])
+  final case class CombsState(anchors: List[CombAnchor])
+  final case class CombMatch(key: Long, t1_us: Long, mask: Long, k: Long,
+    tc_first: Long, tc_last: Long)
+
+  /** Streaming twin of [[q174Combinations]] — allowCombinations as
+    * INCREMENTAL subset emission: a new loop event extends every live
+    * anchor and emits exactly the 2^k0 combinations that contain it
+    * (each subset of the anchor's k0 earlier clicks, plus this one),
+    * so over an anchor's life every one of the batch's 2^n − 1
+    * subsets is emitted exactly once — the same one-emission-per-match
+    * contract as every streaming twin here, with no buffering of
+    * emitted matches. Per-key state = live anchors within the
+    * `within` window (the matchWithinStream bound: window × per-key
+    * anchor rate, never stream length) each carrying ≤ [[CombMax]]
+    * click times; a full anchor stops absorbing, an out-of-window
+    * anchor retires. Same in-order per-key arrival contract as the
+    * other twins; same-timestamp anchors dedup on t1 (the batch
+    * DISTINCT) and a click at the anchor's own microsecond is
+    * excluded by the strict `t1 < tc` rule on both paths. */
+  def matchCombinationsStream(events: Dataset[PEvent],
+      anchorTag: String = "view", loopTag: String = "click",
+      withinUs: Long = AnyWithinUs,
+      watermarkDelay: String = "10 minutes",
+      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[CombMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState => GS, GroupStateTimeout, OutputMode}
+    events
+      .withColumn("ets", timestamp_micros(col("t_us")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CombsState, CombMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[PEventT], state: GS[CombsState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CombMatch]
+            var lastSeenUs = Long.MinValue
+            it.toSeq.sortBy(e => (e.t_us, if (e.tag == anchorTag) 0 else 1))
+              .foreach { e =>
+                lastSeenUs = math.max(lastSeenUs, e.t_us)
+                // retire on window expiry ONLY — a full anchor stays
+                // (dedups a same-t1 duplicate view) but absorbs nothing
+                anchors = anchors.filter(_.t1 + withinUs >= e.t_us)
+                if (e.tag == anchorTag) {
+                  if (!anchors.exists(_.t1 == e.t_us))
+                    anchors = CombAnchor(e.t_us, Nil) :: anchors
+                } else if (e.tag == loopTag) {
+                  anchors = anchors.map { a =>
+                    if (a.t1 < e.t_us && e.t_us <= a.t1 + withinUs &&
+                        a.clicks.length < CombMax) {
+                      val k0 = a.clicks.length
+                      var m = 0L
+                      while (m < (1L << k0)) {
+                        val sel = a.clicks.zipWithIndex.collect {
+                          case (t, i) if ((m >> i) & 1L) == 1L => t }
+                        out += CombMatch(key, a.t1, m | (1L << k0),
+                          sel.length + 1L,
+                          if (sel.isEmpty) e.t_us else sel.min, e.t_us)
+                        m += 1
+                      }
+                      CombAnchor(a.t1, a.clicks :+ e.t_us)
+                    } else a
+                  }
+                }
+              }
+            state.update(CombsState(anchors))
+            val horizon = anchors.map(_.t1 + withinUs)
+              .foldLeft(lastSeenUs)(math.max)
+            state.setTimeoutTimestamp(math.max(
+              horizon / 1000L + idleExpiryUs / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
 
   /** `view  followedBy  click.oneOrMore().until(error)  followedBy
     * purchase` — the until-bounded loop (see [[QStep.oneOrMoreUntil]]):

@@ -864,4 +864,34 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
         r.getLong(4))).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming combinations matcher over ordered batches equals the graded q174") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, tag) => Patterns.PEvent(u, t, tag) }
+      .sortBy(_.t_us)
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchCombinationsStream(ms.toDS())
+      .writeStream.format("memory").queryName("cepcomb")
+      .outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // MULTISET compare (sorted seqs, not sets): the streaming twin's
+    // one-emission-per-match contract means a double emission is a
+    // bug a set compare would hide
+    def row6(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val streamed = spark.table("cepcomb").collect().map(row6).toSeq.sorted
+    val batch = Patterns.q174Combinations(spark, sf).collect().map(row6)
+      .toSeq.sorted
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
