@@ -894,4 +894,51 @@ class PatternsSpec extends AnyFunSuite with SparkSpec {
       .toSeq.sorted
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("combinations matcher: cap, window, duplicate anchors, strict ties on a hand fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val W = Patterns.AnyWithinUs
+    val evs = Seq(
+      // key 1: 6 clicks inside the window — only the FIRST CombMax=4
+      // absorb (15 matches); the duplicate view@1000 collapses; the
+      // click@1000 == t1 is excluded by the strict t1 < tc rule
+      Patterns.PEvent(1L, 1000L, "view"),
+      Patterns.PEvent(1L, 1000L, "view"),
+      Patterns.PEvent(1L, 1000L, "click"),
+      Patterns.PEvent(1L, 2000L, "click"),
+      Patterns.PEvent(1L, 3000L, "click"),
+      Patterns.PEvent(1L, 4000L, "click"),
+      Patterns.PEvent(1L, 5000L, "click"),
+      Patterns.PEvent(1L, 6000L, "click"),
+      Patterns.PEvent(1L, 7000L, "click"),
+      // key 2: the only click lands exactly ONE past the window edge
+      Patterns.PEvent(2L, 1000L, "view"),
+      Patterns.PEvent(2L, 1000L + W + 1L, "click"),
+      // key 3: a click exactly AT the window edge is included
+      Patterns.PEvent(3L, 1000L, "view"),
+      Patterns.PEvent(3L, 1000L + W, "click"))
+    val ms = MemoryStream[Patterns.PEvent]
+    val q = Patterns.matchCombinationsStream(ms.toDS())
+      .writeStream.format("memory").queryName("cepcombh")
+      .outputMode(OutputMode.Append()).start()
+    // two batches split mid-loop so the anchor state crosses a batch
+    ms.addData(evs.take(6)); q.processAllAvailable()
+    ms.addData(evs.drop(6)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cepcombh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sorted
+    val k1 = got.filter(_._1 == 1L)
+    assert(k1.length == 15, s"cap must bound key 1 to 15 matches: $k1")
+    assert(k1.forall(m => m._5 >= 2000L && m._6 <= 5000L),
+      "only the first 4 in-window clicks may appear")
+    assert(k1.map(_._3).toSet == (1L to 15L).toSet, "mask census 1..15")
+    assert(!got.exists(_._1 == 2L), "past-window click must not match")
+    assert(got.filter(_._1 == 3L) ==
+      Seq((3L, 1000L, 1L, 1L, 1000L + W, 1000L + W)),
+      "window edge is inclusive")
+  }
 }
