@@ -1176,15 +1176,18 @@ object Patterns {
     * `within` window (the matchWithinStream bound: window × per-key
     * anchor rate, never stream length) each carrying ≤ [[CombMax]]
     * click times; a full anchor stops absorbing, an out-of-window
-    * anchor retires. Same in-order per-key arrival contract as the
-    * other twins; same-timestamp anchors dedup on t1 (the batch
-    * DISTINCT) and a click at the anchor's own microsecond is
-    * excluded by the strict `t1 < tc` rule on both paths. */
+    * anchor retires. A key with no live anchors holds NO state and
+    * pins NO timer (the matchWithinStream posture — state-store size
+    * tracks live anchors, not distinct keys ever seen); non-empty
+    * state expires at the newest anchor's window horizon. Same
+    * in-order per-key arrival contract as the other twins;
+    * same-timestamp anchors dedup on t1 (the batch DISTINCT) and a
+    * click at the anchor's own microsecond is excluded by the strict
+    * `t1 < tc` rule on both paths. */
   def matchCombinationsStream(events: Dataset[PEvent],
       anchorTag: String = "view", loopTag: String = "click",
       withinUs: Long = AnyWithinUs,
-      watermarkDelay: String = "10 minutes",
-      idleExpiryUs: Long = 30L * 86400L * 1000000L): Dataset[CombMatch] = {
+      watermarkDelay: String = "10 minutes"): Dataset[CombMatch] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState => GS, GroupStateTimeout, OutputMode}
     events
@@ -1199,10 +1202,8 @@ object Patterns {
           else {
             var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer.empty[CombMatch]
-            var lastSeenUs = Long.MinValue
             it.toSeq.sortBy(e => (e.t_us, if (e.tag == anchorTag) 0 else 1))
               .foreach { e =>
-                lastSeenUs = math.max(lastSeenUs, e.t_us)
                 // retire on window expiry ONLY — a full anchor stays
                 // (dedups a same-t1 duplicate view) but absorbs nothing
                 anchors = anchors.filter(_.t1 + withinUs >= e.t_us)
@@ -1228,12 +1229,18 @@ object Patterns {
                   }
                 }
               }
-            state.update(CombsState(anchors))
-            val horizon = anchors.map(_.t1 + withinUs)
-              .foldLeft(lastSeenUs)(math.max)
-            state.setTimeoutTimestamp(math.max(
-              horizon / 1000L + idleExpiryUs / 1000L,
-              state.getCurrentWatermarkMs() + 1L))
+            if (anchors.isEmpty) {
+              // no live anchors: an anchorless key can never emit, and a
+              // stale same-t1 duplicate view is watermark-dropped before
+              // it could matter — hold no state, pin no timer
+              if (state.exists) state.remove()
+            } else {
+              state.update(CombsState(anchors))
+              val horizon = anchors.map(_.t1 + withinUs).max
+              state.setTimeoutTimestamp(math.max(
+                horizon / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
             out.iterator
           }
       }
