@@ -30,8 +30,23 @@ object PlanAudit {
       broadcasts = cnt("BroadcastExchangeExec"))
   }
 
+  /** `PlanAudit <sfDir> --counts qNN...` prints the PlanCounts census
+    * (AQE disabled, same posture as PlanBudgetSpec) instead of the
+    * formatted plans — the fast way to pin a new query's budget. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val countsMode = args.length > 1 && args(1) == "--counts"
+    if (countsMode) {
+      val spark = graft.engine.GraftSession.local("graft-plan-audit", "4")
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      args.drop(2).foreach { n =>
+        val c = planCounts(SparkEntry.queries(n)(spark, sfDir))
+        println(s"$n -> PlanCounts(${c.fileScans}, ${c.memScans}, ${c.shuffles}, ${c.broadcasts})")
+      }
+      spark.stop()
+      return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_shipping_priority", "q12_first_n_per_group",
         "q18_window_tumbling", "q29_dedup_minhash_lsh", "q31_simhash_pairs",

@@ -682,7 +682,155 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Blocked edit-distance self-join (entity resolution / fuzzy key
+    * matching — the record-linkage half of dedup) in the ED-Join
+    * shape [Xiao et al., VLDB'08 — public literature]: if
+    * lev(a,b) ≤ K then a and b share at least one of the FIRST
+    * q·K+1 q-grams under ANY global total order on grams, so the
+    * candidate join keys on a short gram prefix instead of all
+    * grams — and we order grams by (global document frequency ASC,
+    * gram), putting the RAREST grams in the prefixes, which keeps the
+    * per-gram posting lists (the join's fan-out) minimal. The gram
+    * frequency table is bounded by the gram vocabulary (alphabet^q),
+    * never the corpus, hence broadcast. The prefix guarantee requires
+    * at least ONE side to carry ≥ q·K+1 DISTINCT grams (each edit
+    * destroys at most q positional grams, hence at most q distinct
+    * gram values; the prefix-filter theorem then needs
+    * max(|A|,|B|) − q·K ≥ 1 shared values) — two short or highly
+    * repetitive names can share zero grams despite lev ≤ K, so names
+    * with ≤ q·K distinct grams are ALSO crossed within the length
+    * band as a separate vocabulary-bounded block (strings that short
+    * or that repetitive are combinatorially few after distinct()),
+    * and the candidate sets union. Survivors pass a length-band
+    * prefilter (|len diff| ≤ K ⟸ lev ≤ K) before the exact
+    * levenshtein verify — the only per-pair work. Contract: inputs of
+    * at least q chars (shorter strings have no q-grams; filtered
+    * identically on both engines). Graded over the distinct part-name
+    * vocabulary; DedupSpec proves blocked ≡ brute-force on random
+    * mutated strings, including the short-name regime.
+    */
+  val FuzzyQ = 3
+  val FuzzyK = 2
+
+  def q176FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    fuzzyJoin(
+      Tables.part(spark, dir).select(col("p_name").as("name")).distinct(),
+      FuzzyQ, FuzzyK)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** The reusable blocked edit-distance join over any single-column
+    * `name` frame of distinct strings; see [[q176FuzzyJoin]]. */
+  private[graft] def fuzzyJoin(names0: DataFrame, q: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = names0.filter(length(col("name")) >= q)
+    val grams = names.select(col("name"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, length(name) - ${q - 1}), i -> substr(name, i, $q))"))).as("gram"))
+    val gdf = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val byName = Window.partitionBy(col("name"))
+    val ranked = grams.join(broadcast(gdf), Seq("gram"))
+      .withColumn("rn", row_number().over(byName.orderBy(col("gdf"), col("gram"))))
+      .withColumn("ng", count(lit(1)).over(byName))
+    val pre = ranked.filter(col("rn") <= q * k + 1).select(col("name"), col("gram"))
+    val fromGrams = pre.as("a").join(pre.as("b"),
+        col("a.gram") === col("b.gram") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // the ≤ q·k-distinct-gram block: both-small pairs evade the gram
+    // join entirely, so cross the (bounded, broadcast) small set in
+    // its length band and union the candidates before one verify
+    val small = ranked.filter(col("rn") === 1 && col("ng") <= q * k).select(col("name"))
+    val fromSmall = small.as("a").join(broadcast(small.as("b")),
+        col("a.name") < col("b.name") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= k)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    fromGrams.unionByName(fromSmall)
+      .distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= k)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= k)
+  }
+
+  val q176Sql: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE length(p_name) >= $FuzzyQ),
+       |g AS (SELECT name, unnest(list_distinct([name[i:i+${FuzzyQ - 1}] for i in range(1, length(name) - ${FuzzyQ - 2})])) AS gram FROM n),
+       |gdf AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+       |r AS (SELECT g.name, g.gram,
+       |    row_number() OVER (PARTITION BY g.name ORDER BY gdf.gdf, g.gram) AS rn,
+       |    count(*) OVER (PARTITION BY g.name) AS ng
+       |  FROM g JOIN gdf USING (gram)),
+       |pre AS (SELECT name, gram FROM r WHERE rn <= ${FuzzyQ * FuzzyK + 1}),
+       |small AS (SELECT name FROM r WHERE rn = 1 AND ng <= ${FuzzyQ * FuzzyK}),
+       |cand AS (SELECT a.name AS name_a, b.name AS name_b
+       |         FROM pre a JOIN pre b ON a.gram = b.gram AND a.name < b.name
+       |         UNION
+       |         SELECT a.name, b.name FROM small a JOIN small b
+       |         ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= $FuzzyK)
+       |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+       |FROM cand
+       |WHERE abs(length(name_a) - length(name_b)) <= $FuzzyK
+       |  AND levenshtein(name_a, name_b) <= $FuzzyK
+       |ORDER BY name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+  /** Substring-overlap candidate pairs via winnowing (the
+    * substring-level near-dup detector that document-level sketches
+    * q29-q31 cannot give — two documents sharing one long passage but
+    * nothing else still collide here, because winnowing guarantees a
+    * common selected hash for any shared run of
+    * ≥ WinnowW+GramLen−1 chars): join the q177 fingerprint sets on
+    * fp, count shared fingerprints per doc pair, keep pairs sharing
+    * ≥ [[WinnowMinShared]]. The standard df-cap is applied FIRST —
+    * fingerprints selected by more than [[WinnowDfCap]] documents are
+    * boilerplate and are dropped via a broadcast anti-join of the
+    * (small) hot set, the same posture as q31/q32, so the join's cost
+    * is Σ df(fp)² with df ≤ cap, never quadratic in the corpus. The
+    * oracle applies the identical cap: the pruned semantics is what
+    * is graded.
+    */
+  val WinnowDfCap = 20
+  val WinnowMinShared = 5
+
+  def q178WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    // cache the exploded fingerprints: the md5-per-position winnow is
+    // the dominant per-doc cost and this relation is read three times
+    // (df census + both join legs) — same posture as q29's shingles
+    val sel = TextAnalysis.winnowFingerprint(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+      .cache()
+    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select(col("fp"))
+    val rare = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q178Sql: String = {
+    import TextAnalysis.{GramLen, WinnowW}
+    s"""WITH hs AS (SELECT doc_id,
+       |    [${h60Sql(s"text[i:i+${GramLen - 1}]")} for i in range(1, length(text) - ${GramLen - 2})] AS hs
+       |  FROM documents WHERE length(text) >= ${GramLen + WinnowW - 1}),
+       |sel AS (SELECT doc_id,
+       |    unnest(list_distinct([list_min(hs[w:w+${WinnowW - 1}]) for w in range(1, len(hs) - ${WinnowW - 2})])) AS fp
+       |  FROM hs),
+       |rare AS (SELECT doc_id, fp FROM sel
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowDfCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_fuzzy_join" -> (q176FuzzyJoin _),
+    "q178_winnow_pairs" -> (q178WinnowPairs _),
     "q111_dedup_spans" -> (q111DedupSpans _),
     "q78_incremental_dedup" -> (q78IncrementalDedup _),
     "q28_dedup_exact" -> (q28ExactDedup _),
@@ -695,6 +843,8 @@ object Dedup {
     "q63_contamination" -> (q63Contamination _))
 
   def oracles: Map[String, String] = Map(
+    "q176_fuzzy_join" -> q176Sql,
+    "q178_winnow_pairs" -> q178Sql,
     "q111_dedup_spans" -> q111Sql,
     "q78_incremental_dedup" -> q78Sql,
     "q28_dedup_exact" -> q28Sql,

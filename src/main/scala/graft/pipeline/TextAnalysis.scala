@@ -165,16 +165,18 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Winnowing fingerprint (the robust upgrade over q39's global
-    * bottom-k, standard for plagiarism/near-dup detection): hash the
-    * POSITIONAL gram sequence, slide a window of [[WinnowW]]
-    * consecutive hashes, keep each window's MINIMUM. The guarantee
-    * q39's global bottom-k cannot give: any shared substring of
-    * ≥ WinnowW+GramLen−1 chars contributes at least one COMMON
-    * selected hash between two documents (both sides select the
-    * minimum of the same fully-shared hash window). Operates on any
-    * (doc_id, text) frame; spec-verified — the per-window argmin has
-    * no tractable SQL twin. Narrow projection, scan speed, output is
-    * the distinct selected-hash set.
+    * bottom-k, standard for plagiarism/near-dup detection; Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): hash the POSITIONAL gram
+    * sequence, slide a window of [[WinnowW]] consecutive hashes, keep
+    * each window's MINIMUM. The guarantee q39's global bottom-k
+    * cannot give: any shared substring of ≥ WinnowW+GramLen−1 chars
+    * contributes at least one COMMON selected hash between two
+    * documents (both sides select the minimum of the same
+    * fully-shared hash window). Operates on any (doc_id, text) frame;
+    * narrow projection, scan speed, output is the distinct
+    * selected-hash set — a VALUE set, so unlike per-window argmin
+    * POSITIONS it needs no tie-break and has an exact SQL twin
+    * (graded q177).
     */
   val WinnowW = 8
 
@@ -191,6 +193,61 @@ object TextAnalysis {
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("fp"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------- q177
+  /** Graded winnowing surface: [[winnowFingerprint]] exploded to one
+    * (doc_id, fp) row per selected fingerprint. The window-min VALUE
+    * set is pure integer algebra over [[graft.functions.Portable.h60]]
+    * hashes, so the DuckDB oracle reproduces it bit-for-bit as a list
+    * comprehension (`list_min` over inclusive slices — the same
+    * windows as the Spark `slice`). Docs shorter than
+    * GramLen+WinnowW−1 select nothing on both engines.
+    */
+  def q177WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprint(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  val q177Sql: String =
+    s"""WITH hs AS (SELECT doc_id,
+       |    [${h60Sql(s"text[i:i+${GramLen - 1}]")} for i in range(1, length(text) - ${GramLen - 2})] AS hs
+       |  FROM documents WHERE length(text) >= ${GramLen + WinnowW - 1})
+       |SELECT doc_id,
+       |  unnest(list_distinct([list_min(hs[w:w+${WinnowW - 1}]) for w in range(1, len(hs) - ${WinnowW - 2})])) AS fp
+       |FROM hs ORDER BY doc_id, fp""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+  /** Character-entropy quality signal (low-entropy text is repeated
+    * boilerplate / padding; near-uniform entropy is encoded noise —
+    * both standard corpus-filter axes alongside q37's ratio features
+    * and [[compressionRatio]]). Shannon entropy in bits over the char
+    * histogram of the first [[EntropyK]] chars (the bounded-prefix
+    * posture: the signal saturates quickly and the cost per doc stays
+    * O(EntropyK) regardless of doc length). Computed as
+    * log2(n) − Σ c·log2(c) / n so one two-level aggregate suffices;
+    * map-side partial aggs collapse the per-(doc,char) counts before
+    * either shuffle. Transcendental output → rounded (4 decimals) on
+    * BOTH engines, per the cross-engine libm rule.
+    */
+  val EntropyK = 256
+
+  def q179CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, least(length(text), $EntropyK)), i -> substr(text, i, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 4)
+        .as("entropy"))
+      .orderBy(col("doc_id"))
+
+  val q179Sql: String =
+    s"""WITH ch AS (SELECT doc_id, unnest([text[i:i] for i in range(1, least(length(text), $EntropyK) + 1)]) AS ch
+       |  FROM documents),
+       |hist AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM ch GROUP BY doc_id, ch)
+       |SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+       |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Compression-ratio quality signal (the CCNet/RefinedWeb-style
     * repetition proxy: machine-generated and boilerplate text
@@ -405,6 +462,8 @@ object TextAnalysis {
     "q37_quality_score" -> (q37Quality _),
     "q38_token_count" -> (q38TokenCount _),
     "q39_fingerprint" -> (q39Fingerprint _),
+    "q177_winnow_fingerprint" -> (q177WinnowFingerprint _),
+    "q179_char_entropy" -> (q179CharEntropy _),
     "q50_sequence_packing" -> (q50SequencePacking _),
     "q51_stratified_sample" -> (q51StratifiedSample _),
     "q53_normalize" -> (q53Normalize _),
@@ -416,6 +475,8 @@ object TextAnalysis {
     "q37_quality_score" -> q37Sql,
     "q38_token_count" -> q38Sql,
     "q39_fingerprint" -> q39Sql,
+    "q177_winnow_fingerprint" -> q177Sql,
+    "q179_char_entropy" -> q179Sql,
     "q50_sequence_packing" -> q50Sql,
     "q51_stratified_sample" -> q51Sql,
     "q53_normalize" -> q53Sql,

@@ -278,4 +278,56 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // pure-template ones vanish entirely, most docs stay untouched
     assert(removedAny > 0 && fullyRemoved > 0 && removedAny < cleaned.length)
   }
+
+  test("blocked fuzzy join equals brute-force levenshtein on random near-dup strings") {
+    import spark.implicits._
+    // deterministic vocabulary with planted near-duplicates: base
+    // words plus 1-2-edit mutations (substitution, deletion, insert)
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghij"
+    def word(): String = (1 to (5 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val bases = Seq.fill(60)(word()).distinct
+    val mutated = bases.flatMap { w =>
+      val i = rnd.nextInt(w.length)
+      val sub = w.updated(i, alpha(rnd.nextInt(alpha.length)))
+      val del = w.take(i) + w.drop(i + 1)
+      val ins = w.take(i) + alpha(rnd.nextInt(alpha.length)) + w.drop(i)
+      Seq(sub, del, ins).filter(_.length >= Dedup.FuzzyQ)
+    }
+    val names = (bases ++ mutated).distinct
+    val got = Dedup.fuzzyJoin(names.toDF("name"), Dedup.FuzzyQ, Dedup.FuzzyK)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // brute force over all pairs with an independent levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      dist = lev(a, b) if dist <= Dedup.FuzzyK
+    } yield (a, b, dist)).toSet
+    assert(want.nonEmpty, "fixture must plant near-duplicate pairs")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("winnow pairs equal a scala recomputation from the fingerprint sets") {
+    val fps = graft.pipeline.TextAnalysis.winnowFingerprint(
+        spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val df = fps.toSeq.flatMap { case (d, s) => s.map(_ -> d) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rare = fps.view.mapValues(_.filter(df(_) <= Dedup.WinnowDfCap)).toMap
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      shared = rare(a).intersect(rare(b)).size if shared >= Dedup.WinnowMinShared
+    } yield (a, b, shared.toLong)).toSet
+    val got = Dedup.q178WinnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "corpus must contain overlapping docs at this threshold")
+    assert(got == want)
+  }
 }

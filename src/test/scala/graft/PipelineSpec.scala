@@ -209,6 +209,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(fp(1L) == want1)
   }
 
+  test("char entropy matches an independent JVM recomputation and known anchors") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.q179CharEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == docs.keySet)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    docs.foreach { case (id, text) =>
+      val prefix = text.take(TextAnalysis.EntropyK)
+      val counts = prefix.groupBy(identity).values.map(_.length.toDouble)
+      val n = counts.sum
+      val h = log2(n) - counts.map(c => c * log2(c)).sum / n
+      // graded output is rounded to 4 decimals → tolerance 5e-5
+      assert(math.abs(got(id) - h) < 5.1e-5, s"doc $id: got ${got(id)} want $h")
+      // entropy of a char distribution over a k-symbol alphabet is in [0, log2 k]
+      assert(got(id) >= 0.0 && got(id) <= log2(counts.size.toDouble) + 1e-4)
+    }
+  }
+
   test("compression ratio separates repetitive from varied text") {
     import spark.implicits._
     val docs = Seq(

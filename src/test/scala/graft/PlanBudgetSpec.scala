@@ -199,7 +199,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // broadcasts are rmat's and hypercube's range×range nested loops,
     // the 4 exchanges are rmat's per-edge bit fold plus 1-row global
     // agg partials and the 4-row union sort — all constant-size
-    "q175_checksum_hashcode" -> PlanCounts(0, 0, 4, 2))
+    "q175_checksum_hashcode" -> PlanCounts(0, 0, 4, 2),
+    // ONE part scan feeds both the prefix join legs and the small
+    // block (exchange reuse); broadcasts: gram-df, small-b leg, and
+    // the prefix self-join's build side
+    "q176_fuzzy_join" -> PlanCounts(1, 0, 3, 3),
+    // single documents pass: the winnow min-fold is pure projection,
+    // one output sort exchange
+    "q177_winnow_fingerprint" -> PlanCounts(1, 0, 1, 0),
+    // 3 cached-fingerprint reads (df census + both join legs), never
+    // a second documents scan / md5 recompute; broadcasts: hot set ×2
+    "q178_winnow_pairs" -> PlanCounts(0, 3, 1, 2),
+    // char histogram: two keyed aggs (map-side combined) + output sort
+    "q179_char_entropy" -> PlanCounts(1, 0, 3, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
