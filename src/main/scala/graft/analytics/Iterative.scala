@@ -268,6 +268,36 @@ object Iterative {
       |FROM ks CROSS JOIN sig
       |GROUP BY k ORDER BY k""".stripMargin
 
+  /** q25's DFT restated as the reference's ACTUAL device shape
+    * (TestDFT.java:151-177: a map over output indices with the whole
+    * signal broadcast, each index computing a signal-length dot) so
+    * it can route through the [[graft.plans.DotKernelProjectRule]]
+    * accelerator seam: per k row, two array&lt;float&gt; columns —
+    * the 64-sample signal (a broadcast literal, the reference's
+    * broadcast set) and the cos / negated-sin wave for k — projected
+    * through top-level `graft_dot` aliases. With the seam flag off
+    * this runs whole-stage codegen over [[graft.plans.DotProduct]];
+    * with it on, the batch kernel — DotKernelSpec dual-runs both and
+    * checks against graded q25 within the reference's 0.01 gate
+    * (float wave/signal vs q25's double path). The im wave carries
+    * the minus sign so BOTH outputs stay top-level kernel aliases
+    * (a `-graft_dot(…)` wrapper would disqualify the projection). */
+  def dftViaDotKernel(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    // 64 samples: bounded model state, the reference broadcasts the
+    // same signal to every map instance
+    val sig: Seq[Float] = Tables.events(spark, dir)
+      .orderBy(col("event_id")).limit(64)
+      .select(col("value")).collect().map(_.getDouble(0).toFloat).toSeq
+    val ks = spark.range(64).select(col("id").cast("int").as("k"))
+    def ang(n: Column) = lit(2.0) * lit(math.Pi) * col("k") * n / lit(64.0)
+    ks.select(col("k"), typedLit(sig).as("sig"),
+        transform(sequence(lit(0), lit(63)), n => cos(ang(n)).cast("float")).as("cw"),
+        transform(sequence(lit(0), lit(63)), n => (-sin(ang(n))).cast("float")).as("nsw"))
+      .selectExpr("k", "graft_dot(sig, cw) AS re", "graft_dot(sig, nsw) AS im")
+      .orderBy(col("k"))
+  }
+
   // ---------------------------------------------------------------- q26
   /** Pi estimation (TestPiEstimation.java:52-58): the reference maps
     * an LCG sample per index and sum-reduces the in-circle count.

@@ -34,6 +34,19 @@ object SessionCache {
       entries: TrieMap[(Int, String), (SparkSession, DataFrame)]): Unit =
     instances.add((new java.lang.ref.WeakReference(c), entries))
 
+  /** Cheap emptiness probe: does ANY cache hold an entry for
+    * `spark`? Lets bench/serve loops skip the invalidate pass (and
+    * its catalog-cache sibling) between queries that pinned nothing
+    * — the common case across the registry. */
+  def hasEntries(spark: SparkSession): Boolean = {
+    val it = instances.iterator()
+    while (it.hasNext) {
+      val (_, entries) = it.next()
+      if (entries.exists { case (_, (s, _)) => s eq spark }) return true
+    }
+    false
+  }
+
   /** Invalidate every cache's entries for `spark` — the between-
     * queries hygiene hook for bench/serve loops. Dead owners are
     * evicted here AFTER their remaining entries are unpersisted. */

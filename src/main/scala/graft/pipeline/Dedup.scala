@@ -792,14 +792,21 @@ object Dedup {
   val WinnowDfCap = 20
   val WinnowMinShared = 5
 
-  def q178WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    // cache the exploded fingerprints: the md5-per-position winnow is
-    // the dominant per-doc cost and this relation is read three times
-    // (df census + both join legs) — same posture as q29's shingles
-    val sel = TextAnalysis.winnowFingerprint(
+  /** q178's exploded winnow fingerprints: the md5-per-position
+    * winnow is the dominant per-doc cost and the relation is read
+    * three times (df census + both join legs) — same posture as
+    * q29's shingles. Routed through SessionCache (not a bare
+    * .cache()) so repeat invocations in a serve loop reuse ONE
+    * pinned copy and invalidateAll can release it (round-9 advice:
+    * the bare-cache version pinned a fresh orphan per call). */
+  private val winnowFpCache = new graft.engine.SessionCache((spark, dir) =>
+    TextAnalysis.winnowFingerprint(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(col("fp")).as("fp"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def q178WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sel = winnowFpCache.get(spark, dir)
     val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowDfCap).select(col("fp"))
     val rare = sel.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -828,7 +835,128 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------- incremental winnowing
+  /** Precomputed corpus side of incremental PASSAGE-level dedup —
+    * the q178 substring detector in the q78 deployment posture: the
+    * corpus' winnow fingerprints are computed ONCE and persisted
+    * (at scale: a bucketed-by-fp table), along with the boilerplate
+    * census (fingerprints selected by more than [[WinnowDfCap]]
+    * corpus docs). Per ingest batch, only the batch side is hashed.
+    *
+    * Contract difference vs graded q178 (documented, deliberate):
+    * the df census is FROZEN with the index — a deployment cannot
+    * re-census the corpus per batch — so a fingerprint that becomes
+    * hot only when counting new docs still probes. Verdicts are
+    * therefore batch-boundary-independent by construction, which is
+    * exactly what the streaming ≡ one-shot spec pins. */
+  final case class WinnowIndex(fps: DataFrame, hot: DataFrame) {
+    def unpersist(): Unit = { fps.unpersist(); hot.unpersist() }
+  }
+
+  def buildWinnowIndex(corpus: DataFrame): WinnowIndex = {
+    val sel = TextAnalysis.winnowFingerprint(corpus)
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select(col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the raw selection fed both derived relations; only they persist
+    sel.unpersist(blocking = false)
+    WinnowIndex(fps = rare, hot = hot)
+  }
+
+  /** Passage-overlap verdicts for an arbitrary `(doc_id, text)` batch
+    * against a prebuilt [[WinnowIndex]]: per batch doc, the smallest
+    * corpus doc sharing ≥ [[WinnowMinShared]] rare fingerprints (or
+    * −1) and a keep flag. The probe is one equi-join on fp whose
+    * fan-out is bounded by the index's df cap (≤ WinnowDfCap corpus
+    * rows per fingerprint), so cost is batch-fingerprints × cap —
+    * linear in ingest rate, independent of corpus size. */
+  def winnowAgainst(index: WinnowIndex, batch: DataFrame): DataFrame = {
+    val bfp = TextAnalysis.winnowFingerprint(batch)
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+      .join(broadcast(index.hot), Seq("fp"), "left_anti")
+    val matched = bfp.as("nb")
+      .join(index.fps.as("ob"), col("nb.fp") === col("ob.fp"))
+      .groupBy(col("nb.doc_id").as("nid"), col("ob.doc_id").as("oid"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+      .groupBy(col("nid")).agg(min(col("oid")).as("matched_old"))
+    batch.select(col("doc_id"))
+      .join(matched, col("doc_id") === col("nid"), "left_outer")
+      .select(col("doc_id"), coalesce(col("matched_old"), lit(-1L)).as("matched_old"),
+        col("matched_old").isNull.cast("int").as("keep"))
+  }
+
+  /** Graded surface of the incremental winnowing deployment:
+    * [[winnowAgainst]] with q78's corpus split (`doc_id % 10 >= 8`
+    * is the ingest batch). The corpus index lives in SessionCache —
+    * built once per (session, dir), shared with repeat invocations,
+    * released by `invalidateAll` like every other memoized relation
+    * (never a bare per-call persist). The oracle replays the
+    * FROZEN-census contract exactly: the df cap counts corpus docs
+    * only. */
+  private def winnowCorpusSel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprint(
+        graft.sources.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 10 < 8)
+          .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+
+  private val winnowHotCache = new graft.engine.SessionCache((spark, dir) =>
+    winnowCorpusSel(spark, dir)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select(col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val winnowRareCache = new graft.engine.SessionCache((spark, dir) =>
+    winnowCorpusSel(spark, dir)
+      .join(broadcast(winnowHotCache.get(spark, dir)), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def q180WinnowIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val index = WinnowIndex(
+      fps = winnowRareCache.get(spark, dir),
+      hot = winnowHotCache.get(spark, dir))
+    winnowAgainst(index,
+        graft.sources.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q180Sql: String = {
+    import TextAnalysis.{GramLen, WinnowW}
+    s"""WITH hs AS (SELECT doc_id,
+       |    [${h60Sql(s"text[i:i+${GramLen - 1}]")} for i in range(1, length(text) - ${GramLen - 2})] AS hs
+       |  FROM documents WHERE length(text) >= ${GramLen + WinnowW - 1}),
+       |sel AS (SELECT doc_id,
+       |    unnest(list_distinct([list_min(hs[w:w+${WinnowW - 1}]) for w in range(1, len(hs) - ${WinnowW - 2})])) AS fp
+       |  FROM hs),
+       |hot AS (SELECT fp FROM sel WHERE doc_id % 10 < 8
+       |  GROUP BY fp HAVING count(*) > $WinnowDfCap),
+       |corp AS (SELECT doc_id, fp FROM sel
+       |  WHERE doc_id % 10 < 8 AND fp NOT IN (SELECT fp FROM hot)),
+       |batch AS (SELECT doc_id, fp FROM sel
+       |  WHERE doc_id % 10 >= 8 AND fp NOT IN (SELECT fp FROM hot)),
+       |matched AS (
+       |  SELECT nid, min(oid) AS matched_old FROM (
+       |    SELECT b.doc_id AS nid, c.doc_id AS oid
+       |    FROM batch b JOIN corp c ON b.fp = c.fp
+       |    GROUP BY b.doc_id, c.doc_id
+       |    HAVING count(*) >= $WinnowMinShared)
+       |  GROUP BY nid)
+       |SELECT d.doc_id, coalesce(m.matched_old, -1) AS matched_old,
+       |  CAST(m.matched_old IS NULL AS INT) AS keep
+       |FROM documents d LEFT JOIN matched m ON d.doc_id = m.nid
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_winnow_incremental" -> (q180WinnowIncremental _),
     "q176_fuzzy_join" -> (q176FuzzyJoin _),
     "q178_winnow_pairs" -> (q178WinnowPairs _),
     "q111_dedup_spans" -> (q111DedupSpans _),
@@ -843,6 +971,7 @@ object Dedup {
     "q63_contamination" -> (q63Contamination _))
 
   def oracles: Map[String, String] = Map(
+    "q180_winnow_incremental" -> q180Sql,
     "q176_fuzzy_join" -> q176Sql,
     "q178_winnow_pairs" -> q178Sql,
     "q111_dedup_spans" -> q111Sql,

@@ -416,8 +416,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_.id)
-    assert(NQueries <= NCells && cents.take(NQueries).forall(_.id < NQueries),
-      "query set must be the leading prefix of the collected centroids")
+    // Both the Scala path (array index AS cell id) and the SQL oracle
+    // (centroid vec_id AS cell) assume ids are EXACTLY 0..NCells-1 —
+    // a sparse/short embeddings table must fail fast, not silently
+    // route to wrong cells or shorten the query set (round-9 advice:
+    // the old prefix-only forall was vacuous under take()).
+    assert(cents.length == NCells,
+      s"expected $NCells centroid rows with vec_id 0..${NCells - 1}, got ${cents.length}")
+    assert(cents.indices.forall(j => cents(j).id == j),
+      "centroid vec_ids must be exactly 0..NCells-1 (dense, in order)")
+    assert(NQueries <= NCells,
+      "query set must be a leading prefix of the centroids")
     val probes: Array[(Vec, Array[Int])] = cents.take(NQueries).map { q =>
       val ranked = cents.indices
         .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))

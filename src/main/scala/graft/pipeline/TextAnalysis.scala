@@ -233,6 +233,12 @@ object TextAnalysis {
 
   def q179CharEntropy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // contract (mirrored in the SQL): empty docs get NO entropy row.
+      // Without the filter, Spark's sequence(1, 0) is the DESCENDING
+      // [1, 0] → two '' chars → a spurious 0.0 row, while DuckDB's
+      // range(1, 1) is empty — a latent cross-engine divergence
+      // (round-9 advice).
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, least(length(text), $EntropyK)), i -> substr(text, i, 1))")).as("ch"))
       .groupBy(col("doc_id"), col("ch"))
@@ -244,7 +250,7 @@ object TextAnalysis {
 
   val q179Sql: String =
     s"""WITH ch AS (SELECT doc_id, unnest([text[i:i] for i in range(1, least(length(text), $EntropyK) + 1)]) AS ch
-       |  FROM documents),
+       |  FROM documents WHERE length(text) >= 1),
        |hist AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM ch GROUP BY doc_id, ch)
        |SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
        |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -835,6 +835,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental PASSAGE-level dedup — the q178 winnowing
+    * substring detector in the same deployment posture as
+    * [[streamingIncrementalDedup]]: each micro-batch of
+    * `(doc_id, text)` documents is fingerprinted and probed against
+    * a prebuilt [[graft.pipeline.Dedup.WinnowIndex]] (rare corpus
+    * fingerprints + frozen boilerplate census, persisted once); one
+    * verdict row per incoming doc (matched_old, keep). Per-trigger
+    * cost is batch-fingerprints × df-cap — ingest-rate-bound, corpus
+    * never rescans. DedupSpec pins streaming ≡ one-shot
+    * `winnowAgainst` across micro-batch boundaries. */
+  def streamingWinnowDedup(docs: DataFrame,
+      index: graft.pipeline.Dedup.WinnowIndex, name: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.pipeline.Dedup.winnowAgainst(index, batch))
+      }
+      .start()
+
   /** Streaming ANN search — the online-serving twin of
     * [[graft.pipeline.Similarity.q35AnnLsh]]: a stream of
     * `(qid, embedding)` query vectors probes a prebuilt

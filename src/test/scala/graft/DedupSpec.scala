@@ -286,7 +286,11 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val rnd = new scala.util.Random(42)
     val alpha = "abcdefghij"
     def word(): String = (1 to (5 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
-    val bases = Seq.fill(60)(word()).distinct
+    // 30 bases (was 60): the brute-force side is quadratic and this
+    // test dominated suite wall-time on a loaded box (round-9
+    // verdict #3); the short-name fallback regime is still exercised
+    // — asserted below — so coverage is unchanged.
+    val bases = Seq.fill(30)(word()).distinct
     val mutated = bases.flatMap { w =>
       val i = rnd.nextInt(w.length)
       val sub = w.updated(i, alpha(rnd.nextInt(alpha.length)))
@@ -295,6 +299,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Seq(sub, del, ins).filter(_.length >= Dedup.FuzzyQ)
     }
     val names = (bases ++ mutated).distinct
+    // the fixture must keep BOTH regimes live: names with ≤ q·K
+    // distinct grams take the small-block cross, longer ones the
+    // gram-prefix join (a trim that lost either would silently
+    // weaken the blocked ≡ brute-force claim)
+    def nGrams(w: String) =
+      w.sliding(Dedup.FuzzyQ).toSet.size
+    assert(names.exists(w => w.length >= Dedup.FuzzyQ && nGrams(w) <= Dedup.FuzzyQ * Dedup.FuzzyK),
+      "fixture lost the short-name (small-block) regime")
+    assert(names.exists(nGrams(_) > Dedup.FuzzyQ * Dedup.FuzzyK),
+      "fixture lost the gram-prefix regime")
     val got = Dedup.fuzzyJoin(names.toDF("name"), Dedup.FuzzyQ, Dedup.FuzzyK)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     // brute force over all pairs with an independent levenshtein
@@ -329,5 +343,65 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.nonEmpty, "corpus must contain overlapping docs at this threshold")
     assert(got == want)
+  }
+
+  test("SessionCache.hasEntries tracks pinned relations for the bench cleanup gate") {
+    // Bench skips its between-queries cleanup when nothing is pinned
+    // (the round-9 window fix) — the probe must flip exactly with the
+    // memoized relations' lifecycle
+    graft.engine.SessionCache.invalidateAll(spark)
+    assert(!graft.engine.SessionCache.hasEntries(spark))
+    Dedup.q178WinnowPairs(spark, sf).count()
+    assert(graft.engine.SessionCache.hasEntries(spark),
+      "q178's fingerprint relation must register in SessionCache")
+    graft.engine.SessionCache.invalidateAll(spark)
+    assert(!graft.engine.SessionCache.hasEntries(spark))
+  }
+
+  test("streaming winnow dedup equals the one-shot probe and a scala recompute across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val incoming = docs.filter(col("doc_id") % 10 >= 8).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val index = Dedup.buildWinnowIndex(corpus)
+    try {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.streamingWinnowDedup(
+        ms.toDF().toDF("doc_id", "text"), index, "winnow_dedup") { verdicts =>
+        verdicts.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+      }
+      // two micro-batches: verdicts must not depend on batch
+      // boundaries (the index's df census is frozen by construction)
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      q.stop()
+      val streamed = seen.toArray(Array.empty[(Long, Long, Int)]).sortBy(_._1)
+      val oneShot = Dedup.winnowAgainst(index,
+          docs.filter(col("doc_id") % 10 >= 8)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      assert(streamed.toSeq == oneShot.toSeq)
+      // independent scala recompute from the fingerprint VALUE sets:
+      // corpus-frozen df cap, shared ≥ WinnowMinShared, min corpus id
+      val fps = graft.pipeline.TextAnalysis.winnowFingerprint(docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      def isNew(id: Long) = id % 10 >= 8
+      val corpusDf = fps.toSeq.filterNot(t => isNew(t._1))
+        .flatMap { case (d, s) => s.map(_ -> d) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val hot = corpusDf.filter(_._2 > Dedup.WinnowDfCap).keySet
+      val want = incoming.map(_._1).sorted.map { nid =>
+        val nfp = fps(nid) -- hot
+        val matches = fps.keys.filter(oid => !isNew(oid) &&
+          ((fps(oid) -- hot) intersect nfp).size >= Dedup.WinnowMinShared)
+        if (matches.isEmpty) (nid, -1L, 1) else (nid, matches.min, 0)
+      }
+      assert(streamed.toSeq == want.toSeq)
+      assert(want.exists(_._3 == 0), "fixture sanity: some batch doc must match a corpus passage")
+    } finally index.unpersist()
   }
 }

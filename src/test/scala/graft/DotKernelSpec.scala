@@ -340,6 +340,43 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(a - b) <= 2e-6, s"vecsum $a vs graded $b") }
   }
 
+  test("DFT map routes through the dot-kernel seam (fourth kernel workload)") {
+    // the reference's DFT is a map over output indices, each a
+    // signal-length dot against the broadcast signal (TestDFT.java:
+    // 151-177) — with dftViaDotKernel every reference-accelerated
+    // workload class (map, all-reduce, grouped reduce, gradient) has
+    // a seam-covered twin
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
+    def run(s: SparkSession): Array[(Int, Double, Double)] =
+      graft.analytics.Iterative.dftViaDotKernel(s, sf).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val plain = graft.analytics.Iterative.dftViaDotKernel(spark, sf)
+    assert(!planString(plain).contains("DotKernelProject"),
+      "kernel exec must stay off by default")
+    val swapped = graft.analytics.Iterative.dftViaDotKernel(kernel, sf)
+    assert(planString(swapped).contains("DotKernelProject"),
+      "enabled session must plan the kernel operator:\n" + planString(swapped))
+    val base = run(spark)
+    val kern = run(kernel)
+    assert(base.length == 64 && kern.length == 64)
+    // same fold order on both paths: bit equality, not just tolerance
+    base.zip(kern).foreach { case ((k1, re1, im1), (k2, re2, im2)) =>
+      assert(k1 == k2 && re1 == re2 && im1 == im2,
+        s"k=$k1: codegen ($re1,$im1) vs kernel ($re2,$im2)")
+    }
+    // and against the graded double-precision q25 within the
+    // reference's cross-device dual-run gate (the float wave/signal
+    // is the only divergence source)
+    val graded = graft.analytics.Iterative.q25Dft(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    base.zip(graded).foreach { case ((k1, re1, im1), (k2, re2, im2)) =>
+      assert(k1 == k2)
+      assert(math.abs(re1 - re2) <= 0.01, s"k=$k1 re: kernel $re1 vs graded $re2")
+      assert(math.abs(im1 - im2) <= 0.01, s"k=$k1 im: kernel $im1 vs graded $im2")
+    }
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")

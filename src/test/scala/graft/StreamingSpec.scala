@@ -517,4 +517,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     audit.badRows.asScala.foreach(r =>
       assert(r.side == null || !Set("u", "p").contains(r.side)))
   }
+
+  test("malformed-tag flood caps the dead-letter sink with exact overflow accounting") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.{TagAudit, TemporalRow}
+    // tiny cap so ONE flood batch overflows it — the LateAudit flood
+    // spec's shape applied to the tag dead-letter (round-9 advice):
+    // droppedBad must account for every row past the cap exactly,
+    // and the limit() guard must keep the flood off the driver
+    val audit = new TagAudit(maxBadRows = 5)
+    val ms = MemoryStream[TemporalRow]
+    val (q, aq) = Streams.temporalEnrichWithTagAudit(ms.toDS(), "tenrich_flood", audit)
+    ms.addData(
+      TemporalRow(1L, 1000000L, "u", 5.0),
+      TemporalRow(1L, 2000000L, "p", 0.0))
+    q.processAllAvailable(); aq.processAllAvailable()
+    // misconfigured-upstream flood: 20 malformed rows in one batch
+    // (cap 5), plus 2 valid rows that must still flow
+    ms.addData((100 to 119).map(i =>
+      TemporalRow(2L, i * 1000L, s"bad$i", 1.0)) ++ Seq(
+      TemporalRow(1L, 3000000L, "u", 7.0),
+      TemporalRow(1L, 4000000L, "p", 0.0)): _*)
+    q.processAllAvailable(); aq.processAllAvailable()
+    assert(q.isActive && aq.isActive, "both queries must survive the flood")
+    q.stop(); aq.stop()
+    assert(audit.malformed.sum == 20, s"all flood rows counted: ${audit.malformed.sum}")
+    assert(audit.badRows.size == 5, "dead-letter sink capped at maxBadRows")
+    assert(audit.droppedBad.sum == 15, "overflow recorded exactly, not silently lost")
+    assert(audit.valid.sum == 4, "valid accounting unaffected by the flood")
+    // enrichment unaffected: both probes matched their versions
+    val got = spark.table("tenrich_flood").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._2)
+    assert(got.toSeq == Seq((1L, 2000000L, Some(5.0)), (1L, 4000000L, Some(7.0))))
+  }
 }
