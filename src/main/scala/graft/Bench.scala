@@ -39,9 +39,23 @@ object Bench {
     // without paying for the full registry.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_BENCH_BUDGET_SEC (default 240): hard deadline on
+    // measured query time. A PARTIAL-but-parsed artifact always beats
+    // a timed-out run with no metric line (round 9, rc 124): once the
+    // budget is spent, remaining queries are reported as skipped
+    // instead of racing the driver's ~300 s kill. At today's ~190
+    // queries the full pass fits (~0.8-1.5 s/query first-run, codegen
+    // compile included) and the guard never fires idle; it exists for
+    // loaded boxes and future registry growth.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toIntOption).getOrElse(240)
+    val benchStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(shortKey(name))) }
-    val results = selected.map { case (name, fn) =>
+    var skipped = List.empty[String]
+    val results = selected.flatMap { case (name, fn) =>
+      if (elapsed() > budgetSec) { skipped ::= name; None } else Some {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -69,13 +83,16 @@ object Bench {
       }
       if (gcBetween) { System.gc(); Thread.sleep(200) }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }
+    }}
+    if (skipped.nonEmpty) System.err.println(
+      s"[bench] budget ${budgetSec}s exhausted; skipped ${skipped.size}: " +
+        skipped.reverse.map(shortKey).mkString(","))
     // The harness that captures this line keeps only the tail of stdout,
     // so the JSON must stay well under ~2000 chars even as the query set
     // grows: short keys (the qNN id prefix) + centisecond precision.
     // Full names + full precision go to stderr for local inspection.
     results.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
-    println(jsonLine(results, sfDir, loadTag(load0, loadAvg())))
+    println(jsonLine(results, sfDir, loadTag(load0, loadAvg()), skipped.size))
     // The stdout line folds the fastest queries into an "others"
     // bucket to fit the harness's tail capture — a regression INSIDE
     // the bucket would be invisible across rounds. Persist the full
@@ -158,8 +175,12 @@ object Bench {
   val LineBudget = 1880
 
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      loadavg: String = ""): String = {
-    val loadField = if (loadavg.isEmpty) "" else "," + loadavg
+      loadavg: String = "", skipped: Int = 0): String = {
+    val loadField = (if (loadavg.isEmpty) "" else "," + loadavg) +
+      // deadline guard fired: the total covers only the measured
+      // prefix — flag it so a cross-round compare can't mistake a
+      // truncated run for a speedup
+      (if (skipped == 0) "" else s""","skipped":$skipped""")
     def entry(k: String, v: Double) = "\"" + shortKey(k) + "\":" + fmt(v)
     def render(qs: Seq[(String, Double)], others: Seq[(String, Double)]): String = {
       val qmap = qs.map((entry _).tupled).mkString("{", ",", "}")

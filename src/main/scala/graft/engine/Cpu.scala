@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Helpers for CPU-bound per-row stages (digest hashing, gram
+  * expansion, fingerprinting) whose cost is decoupled from input
+  * BYTES — the class of work where Spark's byte-oriented split
+  * planning under-parallelizes.
+  */
+object Cpu {
+
+  /** Ensure at least core-count parallelism before a CPU-heavy
+    * stage. A small compressed file arrives as ONE split regardless
+    * of `spark.sql.files.maxPartitionBytes`, pinning an entire
+    * digest pass to one task on a 32-core executor; the spread
+    * shuffle moves only the projected input columns. At real corpus
+    * scale the scan already yields >= cores splits and this is a
+    * no-op — no corpus-sized shuffle is ever added.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
+  /** Explode an EXPENSIVE computed array (per-gram digests, shingle
+    * construction) without the two hidden costs of
+    * `explode(expensive(x))`:
+    *
+    *  1. Catalyst's InferFiltersFromGenerate adds `size(arr) > 0`
+    *     for a non-outer explode and pushes it to the scan — the
+    *     entire computation evaluated a SECOND time, below any
+    *     spread exchange (i.e. at file-split parallelism). At sf0.1
+    *     this made q177's winnow kernel the slowest query in the
+    *     registry by two orders of magnitude and is what overran the
+    *     round-9 driver bench window. The OUTER explode is exempt
+    *     from the inference; the null row an empty array produces is
+    *     dropped by the isNotNull filter, so output rows are
+    *     identical (our generators never produce null ELEMENTS).
+    *  2. File-split under-parallelism — handled by [[spread]].
+    */
+  def explodeComputed(df: DataFrame, keep: Seq[Column], arr: Column,
+      alias: String): DataFrame =
+    spread(df).select((keep :+ explode_outer(arr).as(alias)): _*)
+      .filter(col(alias).isNotNull)
+}

@@ -50,9 +50,7 @@ object Dedup {
     * interpreted shingle lambda is the dominant cost of recomputing.
     */
   private val shingleCache = new graft.engine.SessionCache((spark, dir) =>
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-      .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
+    shingleHashesOf(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
@@ -84,7 +82,11 @@ object Dedup {
     * df-parameterized core shared by the corpus-cached path and the
     * incremental/streaming batch path. */
   private[graft] def shingleHashesOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+    // Cpu.explodeComputed: spread + outer explode so the interpreted
+    // shingle lambda is built once per doc at core parallelism, never
+    // re-inferred into the scan as a size()>0 filter
+    graft.engine.Cpu.explodeComputed(docs, Seq(col("doc_id")),
+        array_distinct(shingles(col("text"))), "sh")
       .select(col("doc_id"), (h60(col("sh")) % P).as("hp"))
 
   /** MinHash signature (m0..m{K-1}) + shingle-set size, one hash-agg. */
@@ -634,8 +636,12 @@ object Dedup {
   def q111DedupSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val marked = docs
-      .select(col("doc_id"), posexplode(shingles(col("text"), Q111K)).as(Seq("p", "g")))
+    val marked = graft.engine.Cpu.spread(docs)
+      // outer posexplode for the same reason Cpu.explodeComputed uses
+      // it: no inferred size(shingles)>0 filter re-running the gram
+      // build in the scan stage (empty-gram docs drop either way)
+      .select(col("doc_id"), posexplode_outer(shingles(col("text"), Q111K)).as(Seq("p", "g")))
+      .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"), h60(col("g")).as("gh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("df") >= 2)
@@ -800,9 +806,8 @@ object Dedup {
     * pinned copy and invalidateAll can release it (round-9 advice:
     * the bare-cache version pinned a fresh orphan per call). */
   private val winnowFpCache = new graft.engine.SessionCache((spark, dir) =>
-    TextAnalysis.winnowFingerprint(
+    TextAnalysis.winnowExploded(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(col("fp")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def q178WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -854,8 +859,7 @@ object Dedup {
   }
 
   def buildWinnowIndex(corpus: DataFrame): WinnowIndex = {
-    val sel = TextAnalysis.winnowFingerprint(corpus)
-      .select(col("doc_id"), explode(col("fp")).as("fp"))
+    val sel = TextAnalysis.winnowExploded(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowDfCap).select(col("fp"))
@@ -875,8 +879,7 @@ object Dedup {
     * rows per fingerprint), so cost is batch-fingerprints × cap —
     * linear in ingest rate, independent of corpus size. */
   def winnowAgainst(index: WinnowIndex, batch: DataFrame): DataFrame = {
-    val bfp = TextAnalysis.winnowFingerprint(batch)
-      .select(col("doc_id"), explode(col("fp")).as("fp"))
+    val bfp = TextAnalysis.winnowExploded(batch)
       .join(broadcast(index.hot), Seq("fp"), "left_anti")
     val matched = bfp.as("nb")
       .join(index.fps.as("ob"), col("nb.fp") === col("ob.fp"))
@@ -899,11 +902,10 @@ object Dedup {
     * FROZEN-census contract exactly: the df cap counts corpus docs
     * only. */
   private def winnowCorpusSel(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnowFingerprint(
+    TextAnalysis.winnowExploded(
         graft.sources.Tables.documents(spark, dir)
           .filter(col("doc_id") % 10 < 8)
           .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(col("fp")).as("fp"))
 
   private val winnowHotCache = new graft.engine.SessionCache((spark, dir) =>
     winnowCorpusSel(spark, dir)

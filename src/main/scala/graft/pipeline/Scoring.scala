@@ -101,8 +101,9 @@ object Scoring {
     * never text, never pairwise: O(corpus grams), no Σ df² term.
     */
   def q85DupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+    val grams = graft.engine.Cpu.explodeComputed(
+        Tables.documents(spark, dir), Seq(col("doc_id")),
+        shingles(col("text"), 5), "g")
       .select(col("doc_id"), h60(col("g")).as("gh"))
       .distinct()
     grams
@@ -300,8 +301,9 @@ object Scoring {
       .select(h60(col("t")).as("w1h"))
       .groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("n_vocab"))
-    val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+    val bg = graft.engine.Cpu.explodeComputed(
+        Tables.documents(spark, dir), Seq(col("doc_id")),
+        shingles(col("text"), 2), "bg")
       .select(col("doc_id"), h60(col("bg")).as("bgh"),
         h60(split(col("bg"), " ").getItem(0)).as("w1h"))
     // bigram model count as a WINDOW over the bigram-hash partition —

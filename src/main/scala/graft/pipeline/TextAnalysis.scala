@@ -181,6 +181,39 @@ object TextAnalysis {
   val WinnowW = 8
 
   def winnowFingerprint(docs: DataFrame): DataFrame = {
+    // CPU-bound per-doc work (one md5 per gram position): spread
+    // small-file inputs to core-count parallelism first —
+    // graft.engine.Cpu.spread is a no-op at real corpus scale
+    graft.engine.Cpu.spread(docs).select(col("doc_id"),
+      graft.functions.WinnowFp.winnowFp(col("text"), GramLen, WinnowW).as("fp"))
+  }
+
+  /** Exploded `(doc_id, fp)` winnow rows — THE way to flatten
+    * [[winnowFingerprint]]. Uses `explode_outer` + an isNotNull
+    * post-filter instead of plain `explode`: for a non-outer
+    * Generate, Catalyst's InferFiltersFromGenerate adds
+    * `size(graft_winnow_fp(text)) > 0` and pushes it below the
+    * spread exchange into the scan stage — the entire kernel (the
+    * dominant cost) evaluated a SECOND time, pinned to however few
+    * tasks the file split into (at sf0.1: one task carrying 100% of
+    * the digest work; this, not the md5s, was q177's wall-clock).
+    * The outer form cannot be inferred on; the null row an empty
+    * fingerprint array produces is dropped right after, so the
+    * output rows are identical. */
+  def winnowExploded(docs: DataFrame): DataFrame =
+    winnowFingerprint(docs)
+      .select(col("doc_id"), explode_outer(col("fp")).as("fp"))
+      .filter(col("fp").isNotNull)
+
+  /** The compositional (built-in HOF) form of [[winnowFingerprint]],
+    * kept as the semantic twin PipelineSpec pins the native
+    * [[graft.functions.WinnowFp]] against bit-for-bit. NOT on any
+    * query path: higher-order functions evaluate interpreted, and the
+    * `hs` array feeding the window lambda gets re-walked per window —
+    * ~WinnowW× the digest work plus interpreter overhead made this
+    * form two orders of magnitude slower at sf0.1 (it is what
+    * actually overran the round-9 driver bench window mid-q177). */
+  private[graft] def winnowFingerprintCompositional(docs: DataFrame): DataFrame = {
     val grams = expr(
       s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> substr(text, i, $GramLen))")
     docs
@@ -191,7 +224,6 @@ object TextAnalysis {
             sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
             w => array_min(slice(col("hs"), w, lit(WinnowW))))))
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("fp"))
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q177
@@ -204,8 +236,7 @@ object TextAnalysis {
     * GramLen+WinnowW−1 select nothing on both engines.
     */
   def q177WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    winnowFingerprint(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(col("fp")).as("fp"))
+    winnowExploded(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"), col("fp"))
 
   val q177Sql: String =
@@ -232,14 +263,22 @@ object TextAnalysis {
   val EntropyK = 256
 
   def q179CharEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread: the 256-wide char expansion is CPU-bound per doc — at
+    // sf1 the whole 12.8M-row generate otherwise runs on the file's
+    // ONE split (measured 8.5 s; spread ≈ core-count × faster)
+    graft.engine.Cpu.spread(Tables.documents(spark, dir))
       // contract (mirrored in the SQL): empty docs get NO entropy row.
       // Without the filter, Spark's sequence(1, 0) is the DESCENDING
       // [1, 0] → two '' chars → a spurious 0.0 row, while DuckDB's
       // range(1, 1) is empty — a latent cross-engine divergence
       // (round-9 advice).
       .filter(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(expr(
+      // explode_OUTER: plain explode lets InferFiltersFromGenerate
+      // push a size(transform(...)) > 0 filter into the scan — the
+      // whole 256-substr expansion evaluated a second time (the q177
+      // lesson). The array is never empty after the length filter, so
+      // the outer form emits identical rows and nothing is inferred.
+      .select(col("doc_id"), explode_outer(expr(
         s"transform(sequence(1, least(length(text), $EntropyK)), i -> substr(text, i, 1))")).as("ch"))
       .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).cast("double").as("c"))

@@ -21,6 +21,12 @@ object Bridge {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Reverse direction: wrap an already-built catalyst Expression as
+    * a user-facing Column (the classic ExpressionUtils.column, which
+    * is private[sql]). */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 

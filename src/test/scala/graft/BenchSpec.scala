@@ -59,6 +59,11 @@ class BenchSpec extends AnyFunSuite {
     // "queries crashed" as "got faster"
     assert(withCrash.contains(""""value":1.50""") && withCrash.contains(""""failed":1"""))
     assert(line.contains(""""failed":0"""))
+    // deadline-guard truncation must be visible in the headline (a
+    // truncated run must never read as a speedup) and absent otherwise
+    val part = Bench.jsonLine(Seq("q01_x" -> 1.0), "/x", skipped = 7)
+    assert(part.contains(""""skipped":7"""), part)
+    assert(!withCrash.contains("skipped"))
   }
 
   test("every reference benchmark maps to a registered query") {

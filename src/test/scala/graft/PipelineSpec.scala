@@ -184,6 +184,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native winnow fingerprint is bit-identical to the compositional HOF form") {
+    import spark.implicits._
+    // the native single-pass expression replaced the interpreted
+    // HOF pipeline on the query path (q177/q178/q180) — the HOF form
+    // stays as THE semantic oracle: same values, same first-occurrence
+    // order, same empty-array contract for short/empty/null texts
+    val edge = Seq(
+      (100L, ""),
+      (101L, "short"),
+      (102L, "x" * (TextAnalysis.GramLen + TextAnalysis.WinnowW - 2)), // one below threshold
+      (103L, "y" * (TextAnalysis.GramLen + TextAnalysis.WinnowW - 1)), // exactly at threshold
+      (104L, "añçé💡βγ " * 6), // non-ASCII incl. a surrogate-pair codepoint
+      (105L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(edge, corpus)) {
+      val native = TextAnalysis.winnowFingerprint(docs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = TextAnalysis.winnowFingerprintCompositional(docs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native.keySet == hof.keySet)
+      native.keys.foreach(k =>
+        assert(native(k) == hof(k), s"doc $k: ${native(k)} vs ${hof(k)}"))
+    }
+  }
+
   test("winnowing guarantees a shared hash for long shared substrings") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again"
