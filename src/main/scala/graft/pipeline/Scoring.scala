@@ -380,7 +380,155 @@ object Scoring {
       |FROM t CROSS JOIN c
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q181
+  /** Per-source token-distribution drift: KL(P_source ‖ P_corpus)
+    * over [[DsirBuckets]] hashed unigram buckets with Laplace
+    * smoothing — the mixture-monitoring pass a training pipeline runs
+    * to catch a source whose content shifted (crawl drift, template
+    * takeover, pipeline bug upstream) before it skews the mix.
+    * Cousin of q84 (same bucketed model) at the opposite altitude:
+    * DSIR scores each DOC against a target domain; this scores each
+    * SOURCE against the corpus.
+    *
+    * Scale shape: ONE token-keyed shuffle with map-side combine
+    * collapses the corpus to (sources × 64) count rows; everything
+    * after — the dense grid (zero-count buckets still carry their
+    * smoothed mass; a missing row would silently drop its KL term),
+    * the three marginals, the per-source fold — is window algebra
+    * over that tiny relation. The model never grows with the corpus.
+    * ln output → rounded 6 decimals on BOTH engines (libm rule).
+    */
+  def q181SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.engine.Cpu.explodeComputed(
+        Tables.documents(spark, dir), Seq(col("source")),
+        split(col("text"), " "), "t")
+      .filter(col("t") =!= "")
+      .select(col("source"), (h60(col("t")) % DsirBuckets).as("b"))
+    val cnt = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_sb"))
+    val grid = cnt.select(col("source")).distinct()
+      .crossJoin(spark.range(DsirBuckets).select(col("id").as("b")))
+    val dense = grid.join(cnt, Seq("source", "b"), "left_outer")
+      .select(col("source"), col("b"), coalesce(col("c_sb"), lit(0L)).as("c_sb"))
+      .withColumn("c_b", sum(col("c_sb")).over(Window.partitionBy(col("b"))))
+      .withColumn("n_s", sum(col("c_sb")).over(Window.partitionBy(col("source"))))
+      .withColumn("n", sum(col("c_sb")).over(Window.partitionBy()))
+    val k = lit(DsirBuckets.toDouble)
+    val p = (col("c_sb") + 1.0) / (col("n_s") + k)
+    val q = (col("c_b") + 1.0) / (col("n") + k)
+    dense.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(p * log(p / q)), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val q181Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, ${h60Sql("t")} % $DsirBuckets AS b
+       |  FROM (SELECT source, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |cnt AS (SELECT source, b, count(*) AS c_sb FROM tok GROUP BY 1, 2),
+       |grid AS (SELECT s.source, r.range AS b
+       |  FROM (SELECT DISTINCT source FROM tok) s CROSS JOIN range($DsirBuckets) r),
+       |dense AS (
+       |  SELECT g.source, g.b, coalesce(c.c_sb, 0) AS c_sb
+       |  FROM grid g LEFT JOIN cnt c ON g.source = c.source AND g.b = c.b),
+       |enr AS (
+       |  SELECT source, c_sb,
+       |    sum(c_sb) OVER (PARTITION BY b) AS c_b,
+       |    sum(c_sb) OVER (PARTITION BY source) AS n_s,
+       |    sum(c_sb) OVER () AS n
+       |  FROM dense)
+       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       |  round(sum(((c_sb + 1.0) / (n_s + $DsirBuckets.0))
+       |    * ln(((c_sb + 1.0) / (n_s + $DsirBuckets.0))
+       |        / ((c_b + 1.0) / (n + $DsirBuckets.0)))), 6) AS kl
+       |FROM enr GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- streaming drift gate
+  /** Frozen reference distribution for the streaming drift monitor:
+    * the corpus' Laplace-smoothed bucket probabilities — exactly the
+    * Q side of [[q181SourceDrift]]'s KL, collected once
+    * ([[DsirBuckets]] doubles: bounded model state, the broadcast
+    * posture of every index this engine serves streams against). */
+  def buildDriftRef(docs: DataFrame): Array[Double] = {
+    val cnt = graft.engine.Cpu.explodeComputed(docs, Seq.empty,
+        split(col("text"), " "), "t")
+      .filter(col("t") =!= "")
+      .groupBy((h60(col("t")) % DsirBuckets).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val n = cnt.values.sum
+    Array.tabulate(DsirBuckets)(b =>
+      (cnt.getOrElse(b, 0L) + 1.0) / (n + DsirBuckets.toDouble))
+  }
+
+  /** One drift verdict for an arbitrary `(… text …)` batch against a
+    * frozen reference: smoothed batch distribution, KL(batch ‖ ref),
+    * one output row `(n_tokens, kl)`. The per-trigger cost is one
+    * map-side-combined 64-key agg over the batch — ingest-rate-bound;
+    * the reference never rescans. ScoringSpec pins streaming ≡
+    * one-shot across micro-batch boundaries and that a
+    * planted-drift batch scores strictly higher than an
+    * in-distribution one. */
+  def driftAgainst(ref: Array[Double], batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val cnt = batch.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy((h60(col("t")) % DsirBuckets).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val dense = spark.range(DsirBuckets).select(col("id").as("b"))
+      .join(cnt, Seq("b"), "left_outer")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val k = lit(DsirBuckets.toDouble)
+    val p = (col("c") + 1.0) / (col("n") + k)
+    val q = element_at(typedLit(ref.toSeq), col("b").cast("int") + 1)
+    dense.agg(max(col("n")).as("n_tokens"),
+      round(sum(p * log(p / q)), 6).as("kl"))
+  }
+
+  // --------------------------------------------------------------- q182
+  /** Vocabulary-growth (novelty) curve: treating `doc_id % 10` as the
+    * ingest order, the count of NEVER-SEEN-BEFORE distinct tokens
+    * each batch contributes, plus the cumulative vocabulary — the
+    * Heaps-law saturation measure that tells a collection pipeline
+    * when more of the same source stops adding new content (and,
+    * inverted, flags a batch whose novelty SPIKES — format break or
+    * contamination).
+    *
+    * Scale shape: one token-hash-keyed shuffle (map-side combined
+    * min) collapses the corpus to one row per distinct token; the
+    * per-batch rollup and the 10-row cumulative window are free.
+    * All-integer output — exact on both engines.
+    */
+  def q182VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    // word BIGRAMS as the vocabulary unit: the synthetic corpus'
+    // unigram vocabulary is ~40 words (saturates in the first batch —
+    // a 1-row curve); bigrams give the combinatorial vocabulary a
+    // real tokenizer-training run sees
+    val toks = graft.engine.Cpu.explodeComputed(
+        Tables.documents(spark, dir), Seq(col("doc_id")),
+        shingles(col("text"), 2), "t")
+      .select((col("doc_id") % 10).as("d"), h60(col("t")).as("th"))
+    toks.groupBy(col("th")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(
+        Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("d"))
+  }
+
+  val q182Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id % 10 AS d, ${h60Sql("t")} AS th
+       |  FROM (SELECT doc_id, unnest(${shinglesSql("text", 2)}) AS t FROM documents)),
+       |f AS (SELECT th, min(d) AS d FROM tok GROUP BY th)
+       |SELECT d, count(*) AS n_new,
+       |  CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_vocab
+       |FROM f GROUP BY d ORDER BY d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_source_drift" -> (q181SourceDrift _),
+    "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
     "q86_quality_classifier" -> (q86QualityClassifier _),
@@ -390,6 +538,8 @@ object Scoring {
     "q95_curriculum_buckets" -> (q95CurriculumBuckets _))
 
   def oracles: Map[String, String] = Map(
+    "q181_source_drift" -> q181Sql,
+    "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,
     "q86_quality_classifier" -> q86Sql,

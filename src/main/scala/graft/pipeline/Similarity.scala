@@ -1082,7 +1082,64 @@ object Similarity {
        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q183
+  /** Per-label embedding outlier score: every vector's cosine to its
+    * own label's centroid, with the [[OutlierK]] lowest-cosine
+    * vectors per label flagged — the curation pass that catches
+    * mislabeled / corrupted / off-distribution embeddings before they
+    * poison retrieval or training (the centroid-distance cousin of
+    * q141's SemDeDup, pointed at label hygiene instead of dedup).
+    *
+    * Scale shape: the centroid rides an avg WINDOW over the
+    * component relation's OWN lineage — labels × dim values, never a
+    * second embeddings scan (the q85/q90 twice-read rule); per-vector
+    * scoring is one (vec_id)-keyed agg. At 100 TB the centroids are a
+    * tiny broadcast model recomputed per ingest epoch; the scoring
+    * pass is scan-shaped. Ranking uses the ROUNDED cosine with
+    * vec_id tie-break so the flag set is engine-deterministic
+    * (aggregated-sum rounding rule: cosine rounds to 6 on both
+    * engines before any comparison).
+    */
+  val OutlierK = 5
+
+  def q183LabelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"), col("x").cast("double").as("x"))
+    val scored = comp
+      .withColumn("c", avg(col("x")).over(Window.partitionBy(col("label"), col("i"))))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("c")).as("dot"),
+        sum(col("x") * col("x")).as("nx"),
+        sum(col("c") * col("c")).as("nc"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (sqrt(col("nx")) * sqrt(col("nc"))), 6).as("cos_centroid"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("cos_centroid"), col("vec_id"))))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        (col("rk") <= OutlierK).cast("int").as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q183Sql: String =
+    s"""WITH comp AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |w AS (SELECT vec_id, label, x,
+       |    avg(x) OVER (PARTITION BY label, i) AS c
+       |  FROM comp),
+       |s AS (SELECT vec_id, label,
+       |    round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 6) AS cos_centroid
+       |  FROM w GROUP BY vec_id, label)
+       |SELECT vec_id, label, cos_centroid,
+       |  CAST(row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) <= $OutlierK AS INT) AS is_outlier
+       |FROM s ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_label_outliers" -> (q183LabelOutliers _),
     "q104_cosine_expr" -> (q104CosineExpr _),
     "q164_centroid_accumulate" -> (q164CentroidAccumulate _),
     "q166_pq_adc" -> (q166PqAdc _),
@@ -1096,6 +1153,7 @@ object Similarity {
     "q65_ann_lsh_multiprobe" -> (q65AnnLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
+    "q183_label_outliers" -> q183Sql,
     "q104_cosine_expr" -> q104Sql,
     "q164_centroid_accumulate" -> q164Sql,
     "q166_pq_adc" -> q166Sql,

@@ -855,6 +855,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming corpus-drift monitor — q181's KL drift in the ingest
+    * posture: the corpus' smoothed bucket distribution is computed
+    * ONCE ([[graft.pipeline.Scoring.buildDriftRef]], 64 doubles of
+    * broadcast model state); each micro-batch of documents gets one
+    * `(n_tokens, kl)` verdict row against it — the gate that pages a
+    * pipeline operator when an ingest batch's token distribution
+    * shifts (crawl drift, template takeover, upstream bug) BEFORE the
+    * batch lands in the mix. Per-trigger cost: one 64-key map-side-
+    * combined agg over the batch; the reference never rescans.
+    * ScoringSpec pins streaming ≡ one-shot [[graft.pipeline.Scoring
+    * .driftAgainst]] per batch and planted-drift ordering. */
+  def streamingDriftMonitor(docs: DataFrame, ref: Array[Double], name: String)(
+      sink: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, graft.pipeline.Scoring.driftAgainst(ref, batch))
+      }
+      .start()
+
   /** Streaming ANN search — the online-serving twin of
     * [[graft.pipeline.Similarity.q35AnnLsh]]: a stream of
     * `(qid, embedding)` query vectors probes a prebuilt

@@ -184,6 +184,37 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q183 label outliers match a driver-side centroid recomputation") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val byLabel = rows.groupBy(_._3)
+    val centroids = byLabel.view.mapValues { vs =>
+      val dim = vs.head._2.length
+      Array.tabulate(dim)(i => vs.map(_._2(i)).sum / vs.size)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val wantCos = rows.map { case (id, v, l) => id -> cos(v, centroids(l)) }.toMap
+    val got = Similarity.q183LabelOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == rows.length)
+    got.foreach { case (id, _, c, _) =>
+      assert(math.abs(c - wantCos(id)) < 1.1e-6, s"vec $id: $c vs ${wantCos(id)}") }
+    // exactly OutlierK flagged per label (every label here has > K
+    // members), and they are the label's bottom-K by (rounded cos, id)
+    byLabel.foreach { case (l, vs) =>
+      val flagged = got.filter(g => g._2 == l && g._4 == 1).map(_._1).toSet
+      assert(flagged.size == Similarity.OutlierK, s"label $l")
+      val wantBottom = vs.map(v => (math.BigDecimal(wantCos(v._1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v._1))
+        .sortBy(identity).take(Similarity.OutlierK).map(_._2).toSet
+      assert(flagged == wantBottom, s"label $l bottom-k")
+    }
+  }
+
   test("native winnow fingerprint is bit-identical to the compositional HOF form") {
     import spark.implicits._
     // the native single-pass expression replaced the interpreted

@@ -217,6 +217,90 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q181 per-source KL drift matches a driver-side recomputation") {
+    val k = Scoring.DsirBuckets
+    val bucketed = docs.flatMap { case (_, text, _, src) =>
+      tokens(text).map(t => (src, (h60s(t) % k).toInt)) }
+    val bySrc = bucketed.groupBy(_._1)
+    val corpusCnt = bucketed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bucketed.size.toLong
+    val want = bySrc.map { case (src, rows) =>
+      val cs = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ns = rows.size.toLong
+      val kl = (0 until k).map { b =>
+        val p = (cs.getOrElse(b, 0L) + 1.0) / (ns + k.toDouble)
+        val q = (corpusCnt.getOrElse(b, 0L) + 1.0) / (n + k.toDouble)
+        p * math.log(p / q)
+      }.sum
+      src -> (ns, kl)
+    }
+    val got = Scoring.q181SourceDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (ns, kl)) =>
+      assert(got(src)._1 == ns, s"$src n_tokens")
+      assert(math.abs(got(src)._2 - kl) < 1.1e-6, s"$src kl: got ${got(src)._2} want $kl")
+    }
+    // KL is non-negative and SOME source must diverge from the mix
+    assert(want.values.forall(_._2 >= -1e-12))
+    assert(want.values.exists(_._2 > 1e-4), "fixture sanity: corpus has no drift signal at all")
+  }
+
+  test("q182 bigram vocabulary growth matches a driver-side recomputation") {
+    val first = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (id, text, _, _) =>
+      val d = id % 10
+      grams(text, 2).foreach { g =>
+        val h = h60s(g)
+        if (!first.contains(h) || first(h) > d) first(h) = d
+      }
+    }
+    val wantNew = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Scoring.q182VocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    got.foreach { case (d, nNew, _) => assert(nNew == wantNew(d), s"decile $d") }
+    // cumulative column is the running sum and ends at the full vocab
+    assert(got.map(_._2).sum == first.size.toLong)
+    assert(got.last._3 == first.size.toLong)
+    got.foldLeft(0L) { case (acc, (_, nNew, cum)) =>
+      assert(cum == acc + nNew); cum }
+    assert(got.length >= 5, "fixture sanity: the bigram curve must actually grow across batches")
+  }
+
+  test("streaming drift monitor equals the one-shot probe and ranks planted drift above in-distribution") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+    val ref = Scoring.buildDriftRef(corpus)
+    assert(ref.length == Scoring.DsirBuckets && math.abs(ref.sum - 1.0) < 1e-9)
+    // batch 1: in-distribution (a corpus slice); batch 2: planted
+    // drift (one word repeated — the template-takeover failure mode)
+    val inDist = docs.take(40).map(_._2)
+    val drifted = Seq.fill(40)(Seq.fill(30)("driftword").mkString(" "))
+    val seen = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = graft.streaming.Streams.streamingDriftMonitor(
+      ms.toDF().toDF("text"), ref, "drift_mon") { (id, verdict) =>
+      val r = verdict.collect()(0)
+      seen(id) = (r.getLong(0), r.getDouble(1))
+    }
+    try {
+      ms.addData(inDist); q.processAllAvailable()
+      ms.addData(drifted); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.size == 2)
+    // streaming == one-shot driftAgainst on the same batch
+    Seq(0L -> inDist, 1L -> drifted).foreach { case (id, batch) =>
+      val r = Scoring.driftAgainst(ref, batch.toDF("text")).collect()(0)
+      assert(seen(id) == ((r.getLong(0), r.getDouble(1))), s"batch $id")
+    }
+    // the planted-drift batch must score far above the corpus slice
+    assert(seen(1L)._2 > seen(0L)._2 + 0.5,
+      s"drift ${seen(1L)._2} vs in-dist ${seen(0L)._2}")
+  }
+
   test("q90 bigram perplexity matches a driver-side LM recomputation") {
     val toks = docs.flatMap(d => tokens(d._2))
     val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
