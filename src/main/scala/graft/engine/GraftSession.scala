@@ -53,6 +53,19 @@ object GraftSession {
       // driver testdata `events.ts` is parquet TIMESTAMP(NANOS): read as
       // epoch-nanos LongType (Spark has no nanos timestamp)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // engine-altitude guard for the whole class of bug behind the
+      // round-9 bench timeout: for a non-outer explode over a COMPUTED
+      // array, InferFiltersFromGenerate adds size(arr)>0 and pushes it
+      // into the scan — the entire generator expression (gram digests,
+      // shingle builds) evaluated a second time at file-split
+      // parallelism. The hot sites also use explode_outer+isNotNull
+      // (graft.engine.Cpu.explodeComputed) so they stay safe on
+      // sessions built elsewhere; this exclusion protects every future
+      // site on engine sessions. What the rule buys — pruning rows
+      // with empty arrays before the generate — is a trivial win only
+      // for STORED array columns, which our plans explode rarely.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -22,6 +22,33 @@ object Portable {
   def h60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM-side twin of [[h60]] — THE single implementation every
+    * driver/kernel-side consumer delegates to (WinnowFp's digest
+    * loop, Multimodal's feature hash, spec recomputations). Byte-shift
+    * form: the first 15 hex chars are the high nibbles of the first 8
+    * digest bytes, so the value is the big-endian first-8-bytes long
+    * shifted right 4 — no hex round-trip, thread-local digest, no
+    * per-call allocation beyond the 16-byte digest. */
+  def h60jvm(bytes: Array[Byte]): Long = {
+    val digest = md5Local.get()
+    digest.reset()
+    val d = digest.digest(bytes)
+    val hi =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    hi >>> 4
+  }
+
+  def h60jvm(s: String): Long =
+    h60jvm(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Universal-hash family over Z_p: h_i(x) = (a_i·x + b_i) mod p with
     * x already reduced mod p. a_i·x < p² ≈ 10¹⁸ stays inside a signed
     * 64-bit long in both engines. */

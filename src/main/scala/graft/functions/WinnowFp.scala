@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -75,25 +74,6 @@ object WinnowFp {
 
   private[functions] val Empty = new GenericArrayData(Array.empty[Long])
 
-  private val md5 = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  /** Top 60 bits of md5(bytes), big-endian — bit-identical to
-    * `('0x' || substr(md5(x), 1, 15))::BIGINT` (the first 15 hex
-    * chars are the high nibbles of the first 8 digest bytes). */
-  private def h60(bytes: Array[Byte]): Long = {
-    val digest = md5.get()
-    digest.reset()
-    val d = digest.digest(bytes)
-    val hi =
-      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    hi >>> 4
-  }
-
   private[functions] def fingerprint(text: UTF8String, gramLen: Int, w: Int): GenericArrayData = {
     val chars = text.numChars()
     if (chars < gramLen + w - 1) return Empty
@@ -103,7 +83,7 @@ object WinnowFp {
     while (i < n) {
       // substringSQL is codepoint-indexed like the `substr` the
       // compositional form hashes — identical bytes reach md5
-      hs(i) = h60(text.substringSQL(i + 1, gramLen).getBytes)
+      hs(i) = Portable.h60jvm(text.substringSQL(i + 1, gramLen).getBytes)
       i += 1
     }
     // O(n) sliding-window minimum: deque of indices with increasing

@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,12 +33,12 @@ object Multimodal {
       n_bytes: Int, byte_sum: Long, frame_hash: Long)
 
   /** 60-bit md5-prefix hash, JVM-side — same value as
-    * [[graft.functions.Portable.h60]] computes in-plan. */
-  private[graft] def h60jvm(s: String): Long = {
-    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+    * [[graft.functions.Portable.h60]] computes in-plan. Delegates to
+    * the single byte-shift implementation in Portable (three
+    * independent copies of the portable-hash contract is how engines
+    * silently diverge). */
+  private[graft] def h60jvm(s: String): Long =
+    graft.functions.Portable.h60jvm(s)
 
   /** STUB decoder + feature extractor. A real implementation would
     * decode `payload` with an image/audio codec; this one reads the
