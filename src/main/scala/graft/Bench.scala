@@ -100,7 +100,7 @@ object Bench {
     // so every cross-round comparison stays complete. FULL runs only:
     // a SPARK_GRAFT_BENCH_ONLY subset rerun must not clobber the
     // complete artifact with its handful of rows.
-    if (only.isEmpty) writeFull(results, sfDir)
+    if (only.isEmpty) writeFull(results, sfDir, skipped.size)
     spark.stop()
   }
 
@@ -109,9 +109,16 @@ object Bench {
     to disable; skipped entirely on SPARK_GRAFT_BENCH_ONLY subset
     runs). Best-effort: bench numbers must survive a read-only
     working dir. */
-  def writeFull(results: Seq[(String, Double)], sfDir: String): Unit = {
+  def writeFull(results: Seq[(String, Double)], sfDir: String,
+      skipped: Int = 0): Unit = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     if (path.isEmpty) return
+    // A deadline-truncated run must never masquerade as a complete
+    // artifact: keep whatever complete sidecar already exists.
+    if (skipped > 0) {
+      System.err.println(s"[bench] sidecar NOT written: $skipped queries skipped")
+      return
+    }
     try {
       // Locale.ROOT: the same comma-decimal hazard loadTag guards
       val qs = results.map { case (k, v) =>
