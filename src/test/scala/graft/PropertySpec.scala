@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import graft.plans.TopK
 
 /** Randomized-shape checks (seeded, deterministic) — an upgrade over
@@ -186,6 +186,51 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .select(graft.functions.Portable.h60(col("s")))
       .collect().map(_.getLong(0)).toSeq
     assert(planSide == samples.map(graft.pipeline.Multimodal.h60jvm))
+  }
+
+  test("native winnow kernel equals the compositional form on random unicode strings") {
+    import spark.implicits._
+    // randomized twin of PipelineSpec's corpus/edge-case bit-equality:
+    // arbitrary lengths straddling the gram+window threshold, mixed
+    // ASCII / multi-byte / surrogate-pair codepoints, repeated chars
+    // (min-tie windows) — the regimes a hand fixture under-samples
+    val rng = new scala.util.Random(11)
+    val alphabet = "abXY 01éñ中😀" // incl. é ñ 中 😀
+    val cps = alphabet.codePoints().toArray
+    def randString(): String = {
+      val n = rng.nextInt(40) // 0..39 codepoints, threshold is 15
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rng.nextInt(cps.length))))
+      sb.toString
+    }
+    val docs = (1 to 200).map(i => (i.toLong, randString())).toDF("doc_id", "text")
+    val native = TextAnalysis.winnowFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = TextAnalysis.winnowFingerprintCompositional(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet)
+    native.keys.foreach(k => assert(native(k) == hof(k), s"doc $k"))
+    assert(native.values.exists(_.nonEmpty), "fixture sanity: some strings cross the threshold")
+    assert(native.values.exists(_.isEmpty), "fixture sanity: some strings stay below the threshold")
+  }
+
+  test("q177 plans exactly one winnow-kernel evaluation (no inferred-filter double eval)") {
+    // the round-9 bench killer: InferFiltersFromGenerate turning the
+    // explode into a pushed size(graft_winnow_fp(text))>0 filter that
+    // re-runs the whole digest pass in the scan stage. Guarded twice
+    // (explode_outer + the session-level rule exclusion) — this pins
+    // the OUTCOME: one kernel occurrence in the executed plan, and it
+    // sits above the spread exchange, never in the scan stage.
+    val plan = graft.pipeline.TextAnalysis
+      .q177WinnowFingerprint(spark, sf)
+      .queryExecution.executedPlan.toString
+    val occurrences = "graft_winnow_fp".r.findAllIn(plan).length
+    assert(occurrences == 1, s"expected exactly 1 kernel eval in plan, got $occurrences:\n$plan")
+    val kernelAt = plan.indexOf("graft_winnow_fp")
+    val exchangeAt = plan.indexOf("Exchange RoundRobinPartitioning")
+    assert(exchangeAt >= 0, "spread exchange missing from q177's plan:\n" + plan)
+    assert(kernelAt < exchangeAt,
+      "kernel must evaluate ABOVE the spread exchange (plans print top-down):\n" + plan)
   }
 
   test("minhash signatures are permutation-mins: bounded by shingle hash behavior") {
