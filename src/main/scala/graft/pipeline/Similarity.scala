@@ -1123,6 +1123,51 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------- streaming outlier gate
+  /** Frozen serving index for the streaming outlier gate: one row
+    * per label with its centroid (array<float> so the probe scores
+    * through the codegen'd `graft_cosine`) and a per-label threshold
+    * tau = the [[OutlierK]]-th LOWEST corpus cosine-to-centroid
+    * (rounded 6, the q183 grading unit) — i.e. the corpus' own
+    * bottom-K boundary. Labels × (dim + 1) values: bounded model
+    * state, the broadcast posture of every served index here. */
+  def buildCentroidIndex(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.Functions.register(emb.sparkSession)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      // rebuild the ordered centroid: structs sort by their FIRST
+      // field (i), then project the component
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> CAST(s.c AS FLOAT))")
+        .as("cent"))
+    val tau = emb.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(expr("graft_cosine(embedding, cent)"), 6).as("cs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("cs"), col("vec_id"))))
+      .filter(col("rk") === OutlierK)
+      .select(col("label"), col("cs").as("tau"))
+    cents.join(tau, Seq("label"))
+  }
+
+  /** Score an arbitrary `(vec_id, embedding, label)` batch against a
+    * prebuilt centroid index: cosine to the OWN-label centroid and an
+    * outlier flag (`cos <= tau`, the corpus' bottom-K boundary — a
+    * new vector scoring at or below where the corpus' own worst K
+    * sat gets flagged). One broadcast join + a codegen'd per-row
+    * expression: no shuffle, ingest-rate-bound. */
+  def outliersAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
+    graft.plans.Functions.register(batch.sparkSession)
+    batch.join(broadcast(index), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(expr("graft_cosine(embedding, cent)"), 6).as("cos_centroid"),
+        col("tau"))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        (col("cos_centroid") <= col("tau")).cast("int").as("is_outlier"))
+  }
+
   val q183Sql: String =
     s"""WITH comp AS (
        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,

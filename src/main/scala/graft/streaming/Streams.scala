@@ -855,6 +855,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming embedding outlier gate — q183's label hygiene in the
+    * ingest posture: per-label centroids + corpus bottom-K thresholds
+    * are frozen once ([[graft.pipeline.Similarity.buildCentroidIndex]],
+    * labels × (dim+1) values of broadcast model state); each
+    * micro-batch of `(vec_id, embedding, label)` rows gets per-row
+    * cosine-to-own-centroid + outlier verdicts. Per-trigger cost: one
+    * broadcast join + a codegen'd `graft_cosine` per row — no
+    * shuffle, no state. PipelineSpec pins streaming ≡ one-shot
+    * [[graft.pipeline.Similarity.outliersAgainst]] and planted
+    * far-off / on-centroid verdicts. */
+  def streamingOutlierGate(vecs: DataFrame, index: DataFrame, name: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.queryName(name)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.pipeline.Similarity.outliersAgainst(index, batch))
+      }
+      .start()
+
   /** Streaming corpus-drift monitor — q181's KL drift in the ingest
     * posture: the corpus' smoothed bucket distribution is computed
     * ONCE ([[graft.pipeline.Scoring.buildDriftRef]], 64 doubles of

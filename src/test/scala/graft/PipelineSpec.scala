@@ -215,6 +215,55 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming outlier gate equals the one-shot probe and flags planted outliers") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val index = Similarity.buildCentroidIndex(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idxRows = index.collect()
+      val labels = idxRows.map(_.getInt(0)).sorted
+      assert(labels.toSeq == labels.distinct.toSeq && labels.length == 10)
+      idxRows.foreach(r => assert(r.getDouble(2) < 1.0, "tau below perfect cosine"))
+      val cents = idxRows.map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      // planted probes per label: the centroid itself (cos 1 → keep)
+      // and the negated centroid (cos −1 → outlier)
+      val planted = cents.toSeq.flatMap { case (l, c) =>
+        Seq((9000L + l, c.toSeq, l), (9500L + l, c.map(x => -x).toSeq, l)) }
+      val corpus = emb.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Int)]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float], Int)]
+      val q = graft.streaming.Streams.streamingOutlierGate(
+        ms.toDF().toDF("vec_id", "embedding", "label"), index, "outlier_gate") { v =>
+        v.collect().foreach(r => seen.add((r.getLong(0), r.getDouble(2), r.getInt(3))))
+      }
+      ms.addData(corpus); q.processAllAvailable()
+      ms.addData(planted); q.processAllAvailable()
+      q.stop()
+      val streamed = seen.toArray(Array.empty[(Long, Double, Int)]).sortBy(_._1)
+      val oneShot = Similarity.outliersAgainst(index,
+          (corpus ++ planted).toDF("vec_id", "embedding", "label")).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).sortBy(_._1)
+      assert(streamed.toSeq == oneShot.toSeq)
+      val verdict = streamed.map(t => t._1 -> t).toMap
+      cents.keys.foreach { l =>
+        assert(verdict(9000L + l)._3 == 0, s"label $l: own centroid must pass")
+        assert(verdict(9000L + l)._2 > 0.999999)
+        assert(verdict(9500L + l)._3 == 1, s"label $l: negated centroid must flag")
+      }
+      // corpus replay: everything q183 flags sits at or below its
+      // label's tau, so the gate flags a superset of the graded set
+      val graded = Similarity.q183LabelOutliers(spark, sf).collect()
+        .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+      val gateFlagged = streamed.filter(t => t._1 < 9000L && t._3 == 1).map(_._1).toSet
+      assert(graded.subsetOf(gateFlagged),
+        s"missing: ${graded -- gateFlagged}")
+    } finally index.unpersist()
+  }
+
   test("native winnow fingerprint is bit-identical to the compositional HOF form") {
     import spark.implicits._
     // the native single-pass expression replaced the interpreted
