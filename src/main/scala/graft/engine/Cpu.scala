@@ -17,10 +17,24 @@ object Cpu {
     * shuffle moves only the projected input columns. At real corpus
     * scale the scan already yields >= cores splits and this is a
     * no-op — no corpus-sized shuffle is ever added.
+    *
+    * The gate is the OPTIMIZER'S size estimate, not
+    * `df.rdd.getNumPartitions`: building the RDD instantiates a whole
+    * separate physical plan per call (once per streaming micro-batch
+    * on the drift/winnow gates) and can disagree with the executed
+    * plan's post-AQE partitioning anyway. `optimizedPlan.stats` costs
+    * one logical-optimization pass that execution pays regardless.
+    * Estimate below cores × maxPartitionBytes ⇒ the scan cannot yield
+    * cores splits ⇒ repartition; the known trade is a handful of huge
+    * NON-splittable files (gzip) passing the size gate while arriving
+    * as few splits — none of this engine's sources are gzip text.
     */
   def spread(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val sess = df.sparkSession
+    val cores = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(cores) * maxSplit) df.repartition(cores) else df
   }
 
   /** Explode an EXPENSIVE computed array (per-gram digests, shingle

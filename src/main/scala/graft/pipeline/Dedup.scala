@@ -966,8 +966,65 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q180's streaming twin, graded END-TO-END: the same ingest split
+    * (`doc_id % 10 >= 8`) is driven through an actual
+    * [[graft.streaming.Streams.streamingWinnowDedup]] StreamingQuery
+    * in TWO micro-batches (docs ending in 8, then in 9), the
+    * foreachBatch sink's verdicts accumulated and graded against the
+    * SAME oracle as q180 — the frozen-census contract makes verdicts
+    * batch-boundary-independent, so the streamed result must equal
+    * the one-shot one bit-for-bit. Until round 11 this equivalence
+    * was only a ScalaTest pin; this row makes the DuckDB gate
+    * exercise a real StreamingQuery.
+    *
+    * Driver-side pieces are grading harness, not operator: a
+    * MemoryStream source is driver-fed by definition, and the sink
+    * accumulates one bounded verdict row per ingest doc (production
+    * sinks write to a table). The probe itself — fingerprint, census
+    * anti-join, df-capped equi-join — runs distributed inside each
+    * micro-batch exactly as in q180. */
+  def q184StreamingWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.types._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // explicit encoder, not spark.implicits: the TypeTag-based product
+    // encoder needs scala-reflect machinery that breaks under the
+    // driver's plain-java launch (Types$RefinedType MatchError)
+    implicit val enc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val sel = winnowCorpusCache.get(spark, dir)
+    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select(col("fp"))
+    val index = WinnowIndex(
+      fps = sel.join(broadcast(hot), Seq("fp"), "left_anti"),
+      hot = hot)
+    val ingest = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = ingest.partition(_._1 % 10 == 8)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.streamingWinnowDedup(
+      ms.toDF().toDF("doc_id", "text"), index, "q184_streaming_winnow") { v =>
+      v.collect().foreach(acc.add)
+    }
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("matched_old", LongType),
+      StructField("keep", IntegerType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_winnow_incremental" -> (q180WinnowIncremental _),
+    "q184_streaming_winnow" -> (q184StreamingWinnow _),
     "q176_fuzzy_join" -> (q176FuzzyJoin _),
     "q178_winnow_pairs" -> (q178WinnowPairs _),
     "q111_dedup_spans" -> (q111DedupSpans _),
@@ -983,6 +1040,9 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q180_winnow_incremental" -> q180Sql,
+    // the streamed twin grades against q180's oracle verbatim: the
+    // frozen census makes verdicts batch-boundary-independent
+    "q184_streaming_winnow" -> q180Sql,
     "q176_fuzzy_join" -> q176Sql,
     "q178_winnow_pairs" -> q178Sql,
     "q111_dedup_spans" -> q111Sql,

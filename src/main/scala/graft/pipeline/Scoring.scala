@@ -472,7 +472,8 @@ object Scoring {
     * in-distribution one. */
   def driftAgainst(ref: Array[Double], batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
-    val cnt = batch.select(explode(split(col("text"), " ")).as("t"))
+    val cnt = graft.engine.Cpu.explodeComputed(batch, Seq.empty,
+        split(col("text"), " "), "t")
       .filter(col("t") =!= "")
       .groupBy((h60(col("t")) % DsirBuckets).as("b"))
       .agg(count(lit(1)).as("c"))

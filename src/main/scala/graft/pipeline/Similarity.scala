@@ -1129,8 +1129,13 @@ object Similarity {
     * through the codegen'd `graft_cosine`) and a per-label threshold
     * tau = the [[OutlierK]]-th LOWEST corpus cosine-to-centroid
     * (rounded 6, the q183 grading unit) — i.e. the corpus' own
-    * bottom-K boundary. Labels × (dim + 1) values: bounded model
-    * state, the broadcast posture of every served index here. */
+    * bottom-K boundary. A label with FEWER than K vectors keeps a
+    * degenerate tau (its highest cosine: with n ≤ K the whole label
+    * is its own bottom-K, so the boundary is the best of them) —
+    * dropping such labels would make [[outliersAgainst]] silently
+    * pass their batch vectors, the failure mode a hygiene gate must
+    * not have. Labels × (dim + 1) values: bounded model state, the
+    * broadcast posture of every served index here. */
   def buildCentroidIndex(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.Functions.register(emb.sparkSession)
@@ -1147,7 +1152,8 @@ object Similarity {
         round(expr("graft_cosine(embedding, cent)"), 6).as("cs"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("label")).orderBy(col("cs"), col("vec_id"))))
-      .filter(col("rk") === OutlierK)
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .filter(col("rk") === least(lit(OutlierK), col("nn")))
       .select(col("label"), col("cs").as("tau"))
     cents.join(tau, Seq("label"))
   }
@@ -1157,15 +1163,21 @@ object Similarity {
     * outlier flag (`cos <= tau`, the corpus' bottom-K boundary — a
     * new vector scoring at or below where the corpus' own worst K
     * sat gets flagged). One broadcast join + a codegen'd per-row
-    * expression: no shuffle, ingest-rate-bound. */
+    * expression: no shuffle, ingest-rate-bound. A batch vector whose
+    * label is MISSING from the index (never seen at build time)
+    * gets an EXPLICIT verdict — `cos_centroid` null, flagged — not
+    * silent omission: a hygiene gate that passes unknown labels by
+    * dropping their rows is the inner-join bug class. */
   def outliersAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
     graft.plans.Functions.register(batch.sparkSession)
-    batch.join(broadcast(index), Seq("label"))
+    batch.join(broadcast(index), Seq("label"), "left_outer")
       .select(col("vec_id"), col("label"),
         round(expr("graft_cosine(embedding, cent)"), 6).as("cos_centroid"),
         col("tau"))
       .select(col("vec_id"), col("label"), col("cos_centroid"),
-        (col("cos_centroid") <= col("tau")).cast("int").as("is_outlier"))
+        when(col("tau").isNull, lit(1))
+          .otherwise((col("cos_centroid") <= col("tau")).cast("int"))
+          .as("is_outlier"))
   }
 
   val q183Sql: String =

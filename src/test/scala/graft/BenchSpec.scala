@@ -66,6 +66,60 @@ class BenchSpec extends AnyFunSuite {
     assert(!withCrash.contains("skipped"))
   }
 
+  test("budget walk order: ref workloads first, then cheapest-first by prior") {
+    val names = Seq("q22_matmul", "q23_kmeans", "q25_dft", "q24_logreg",
+      "q21_iot", "q26_pi", "q27_vadd",
+      "q125_hits", "q01_cheap", "q50_mid", "q99_new")
+    val prior = Map("q125_hits" -> 98.0, "q01_cheap" -> 0.2, "q50_mid" -> 1.0,
+      "q22_matmul" -> 0.3, "q23_kmeans" -> 1.5, "q25_dft" -> 0.4,
+      "q24_logreg" -> 1.2, "q21_iot" -> 0.5, "q26_pi" -> 0.2, "q27_vadd" -> 0.2)
+    val order = Bench.orderForBudget(names, prior)
+    // the seven BASELINE analogues lead, in RefBenchmarks order, so a
+    // budget-truncated run can never ship an empty "ref" sub-map again
+    assert(order.take(7) == Seq("q22_matmul", "q23_kmeans", "q25_dft",
+      "q24_logreg", "q21_iot", "q26_pi", "q27_vadd"), order.take(7))
+    // the rest ascend by prior cost — the 98 s superstep query is LAST,
+    // not first as in round 10's alphabetical walk
+    assert(order.drop(7) == Seq("q01_cheap", "q99_new", "q50_mid", "q125_hits"),
+      order.drop(7))
+    // q99_new has no prior: it slots at the median estimate (0.45 here),
+    // between the cheap and mid queries — neither starved nor privileged
+    // with no prior at all, order degrades to name order after the refs
+    val bare = Bench.orderForBudget(names, Map.empty)
+    assert(bare.drop(7) == Seq("q01_cheap", "q125_hits", "q50_mid", "q99_new"))
+    // every name survives the reorder exactly once
+    assert(order.sorted == names.sorted)
+  }
+
+  test("prior sidecar parse tolerates crashes and junk, keyed by full name") {
+    val f = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"sf": "/x", "runs": 2, "queries": {
+        |  "q01_alpha": 1.519,
+        |  "q02_crashed": -1.000,
+        |  "q125_hits": 98.065
+        |}}""".stripMargin)
+    val prior = try Bench.readPriorSidecar(f.toString)
+      finally java.nio.file.Files.deleteIfExists(f)
+    // the crashed row (-1) is dropped: a crash is not a cost estimate
+    assert(prior == Map("q01_alpha" -> 1.519, "q125_hits" -> 98.065))
+    // missing file → empty map, no throw
+    assert(Bench.readPriorSidecar("/nonexistent/nope.json").isEmpty)
+  }
+
+  test("median of odd/even/empty sequences") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 4.0)) == 2.5)
+    assert(Bench.median(Nil) == 0.0)
+  }
+
+  test("non-default runs setting is visible in the metric line") {
+    val two = Bench.jsonLine(Seq("q01_x" -> 1.0), "/x", runs = 2)
+    assert(two.contains(""""runs":2"""), two)
+    val one = Bench.jsonLine(Seq("q01_x" -> 1.0), "/x", runs = 1)
+    assert(!one.contains("runs"), one)
+  }
+
   test("every reference benchmark maps to a registered query") {
     val shorts = SparkEntry.queries.keys.map(Bench.shortKey).toSet
     Bench.RefBenchmarks.foreach { case (name, q) =>

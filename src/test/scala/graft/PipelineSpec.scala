@@ -264,6 +264,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     } finally index.unpersist()
   }
 
+  test("centroid gate: small labels keep a degenerate tau, unknown labels get an explicit flagged verdict") {
+    import spark.implicits._
+    // label 1 has 3 < OutlierK vectors: with n <= K the whole label is
+    // its own bottom-K, so tau degrades to the label's BEST cosine
+    // instead of the row vanishing (the silent-pass bug class)
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 1),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 1),
+      (3L, Seq(0.5f, 0.5f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val index = Similarity.buildCentroidIndex(emb)
+    val idx = index.collect()
+    assert(idx.length == 1 && idx.head.getInt(0) == 1,
+      "a small label must still serve from the index")
+    val tau = idx.head.getDouble(2)
+    // replaying the corpus: every member sits at or below its own
+    // label's boundary, so all three flag — the n<=K semantics
+    val replay = Similarity.outliersAgainst(index, emb).collect()
+    assert(replay.forall(_.getInt(3) == 1), replay.mkString(","))
+    assert(replay.map(_.getDouble(2)).max == tau)
+    // an unknown label gets an explicit verdict row: flagged, no score
+    val alien = Seq((99L, Seq(0f, 0f, 1f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val v = Similarity.outliersAgainst(index, alien).collect()
+    assert(v.length == 1 && v.head.getInt(3) == 1 && v.head.isNullAt(2), v.mkString(","))
+  }
+
   test("native winnow fingerprint is bit-identical to the compositional HOF form") {
     import spark.implicits._
     // the native single-pass expression replaced the interpreted

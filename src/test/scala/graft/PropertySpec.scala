@@ -233,6 +233,51 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       "kernel must evaluate ABOVE the spread exchange (plans print top-down):\n" + plan)
   }
 
+  test("plain explode sites stay pinned to the audited-cheap set") {
+    // InferFiltersFromGenerate turns a plain (pos)explode over a
+    // COMPUTED array into a pushed size(arr)>0 filter that evaluates
+    // the whole generator a second time in the scan stage — the
+    // round-9 bench killer. Expensive generators must go through
+    // Cpu.explodeComputed (outer explode + spread). The sites counted
+    // here were audited round-11: every argument is a stored column,
+    // split-on-space, sequence(), or array() of existing columns —
+    // double evaluation costs at most one cheap recompute, and engine
+    // sessions exclude the rule anyway. A NEW plain explode anywhere
+    // is a conscious decision: re-audit the site, then re-pin.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val gen = """(?<![_a-zA-Z])(pos)?explode\(""".r
+    val counts = {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map { p =>
+          val code = java.nio.file.Files.readAllLines(p).asScala
+            .filterNot { l =>
+              val t = l.trim; t.startsWith("*") || t.startsWith("//") }
+          p.getFileName.toString ->
+            code.map(l => gen.findAllIn(l).length).sum
+        }.filter(_._2 > 0).toMap
+      finally s.close()
+    }
+    val audited = Map(
+      "Windows.scala" -> 1,      // sequence(h0, h1) over stored longs
+      "Patterns.scala" -> 1,     // expr explode(sequence(1, 2^size))
+      "Sketches.scala" -> 1,     // stored struct-array column hh
+      "Typed.scala" -> 1,        // split(text) wordcount, cheap
+      "RangeJoin.scala" -> 3,    // 2-element array / hour sequence
+      "Partitioning.scala" -> 1, // salt sequence(0, salts-1)
+      "Similarity.scala" -> 4,   // probe array + stored embeddings
+      "Dedup.scala" -> 9,        // band/member arrays, split-on-space
+      "Curation.scala" -> 4,     // split / bigram transform / stride
+      "Scoring.scala" -> 1,      // split(text) token stream (q181 agg)
+      "Iterative.scala" -> 1,    // stored embedding posexplode
+      "Graph.scala" -> 2)        // 3-element triangle array
+    assert(counts == audited,
+      s"plain explode census moved — re-audit the new/changed sites.\n" +
+        s"now: ${counts.toSeq.sorted}\npinned: ${audited.toSeq.sorted}")
+  }
+
   test("minhash signatures are permutation-mins: bounded by shingle hash behavior") {
     // identical docs must produce identical signatures (pure function)
     val sig = Dedup.q30SimHash(spark, sf).limit(50).collect()
