@@ -71,22 +71,32 @@ object Iterative {
     * Nearest-center argmin is `array_min` over (distance, cid) structs
     * — lexicographic, so ties break to the lowest cid on both engines.
     */
-  def q23KMeans(spark: SparkSession, dir: String): DataFrame = {
+  private def kmeansCidExpr(cs: Array[Double]): Column =
+    array_min(array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(abs(col("value") - lit(c)).as("d"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** The q23 training loop (persisted working set + 3 supersteps of
+    * assign/average over fixed init), shared between the graded query
+    * and the kernel-seam restatement of its assign step. */
+  private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, Array[Double]) = {
     // cache the working set: every superstep (plus the final
     // assignment) re-scans it — memory-resident like MLlib's kmeans
     val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def cidExpr(cs: Array[Double]): Column =
-      array_min(array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct(abs(col("value") - lit(c)).as("d"), lit(i).as("cid"))
-      }: _*)).getField("cid")
     val cents = graft.engine.Iterate.loop(Array(50.0, 150.0, 250.0, 350.0), 3) { (cs, _) =>
-      val upd = ev.withColumn("cid", cidExpr(cs))
+      val upd = ev.withColumn("cid", kmeansCidExpr(cs))
         .groupBy("cid").agg(avg("value").as("c"))
         .collect()
         .map(r => r.getInt(0) -> r6(r.getDouble(1))).toMap
       cs.indices.map(i => upd.getOrElse(i, cs(i))).toArray
     }
+    (ev, cents)
+  }
+
+  def q23KMeans(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, cents) = kmeansFit(spark, dir)
+    def cidExpr(cs: Array[Double]): Column = kmeansCidExpr(cs)
     val centMap = map(cents.zipWithIndex.toIndexedSeq.flatMap { case (c, i) => Seq(lit(i), lit(c)) }: _*)
     localized(spark, ev.withColumn("cid", cidExpr(cents))
       .groupBy(col("cid"))
@@ -296,6 +306,63 @@ object Iterative {
         transform(sequence(lit(0), lit(63)), n => (-sin(ang(n))).cast("float")).as("nsw"))
       .selectExpr("k", "graft_dot(sig, cw) AS re", "graft_dot(sig, nsw) AS im")
       .orderBy(col("k"))
+  }
+
+  /** q23's ASSIGN step (KMeans.java:118-129 SelectNearestCenter: a
+    * map over points with the centroids broadcast, each point scored
+    * against every centroid) restated as the device shape GPU kmeans
+    * actually uses — distances via DOT PRODUCTS:
+    * argmin_c ‖x−c‖² = argmin_c (c·c − 2·x·c), the x·x term constant
+    * per point. One projection emits the K per-centroid dots as
+    * top-level `graft_dot` aliases (the kernel batch — the c²/2
+    * offset and argmin live in the NEXT projection, because an
+    * arithmetic wrapper around the dot would disqualify the kernel
+    * projection, same as the DFT's negated-sin device); the argmin
+    * reuses q23's lexicographic struct-min tie rule. Fifth
+    * seam-covered reference workload class: DotKernelSpec dual-runs
+    * kernel-on vs codegen (bit-equal — same float fold) and both vs
+    * graded q23's cluster counts. */
+  def kmeansAssignViaDotKernel(spark: SparkSession, dir: String): DataFrame = {
+    val (dotted, cents, ev) = kmeansDotBatch(spark, dir)
+    // the device→host handoff: materialize the kernel's output batch
+    // BEFORE the host-side argmin consumes it. Structurally required,
+    // not just faithful — Catalyst's CollapseProject would otherwise
+    // inline each dot into the argmin's struct arithmetic, and a
+    // wrapped kernel expression no longer qualifies as a top-level
+    // projection (the DFT restatement never hit this because its dots
+    // ARE the final output columns). The batch is (event_id, K
+    // doubles) — model-assignment-sized, never corpus-wide columns.
+    val batch = dotted.localCheckpoint(true)
+    val centMap = map(cents.zipWithIndex.toIndexedSeq.flatMap {
+      case (c, i) => Seq(lit(i), lit(c)) }: _*)
+    localized(spark, batch
+      .select(col("event_id"),
+        array_min(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+          struct((lit(c * c) - lit(2.0) * col(s"d$i")).as("s"), lit(i).as("cid"))
+        }: _*)).getField("cid").as("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("centroid", element_at(centMap, col("cid")))
+      .select(col("cid"), col("n"), col("centroid"))
+      .orderBy(col("cid")), ev)
+  }
+
+  /** The kernel stage behind [[kmeansAssignViaDotKernel]]: per point
+    * one top-level `graft_dot` alias per broadcast centroid — the
+    * batch the seam spec asserts plans as a DotKernelProject.
+    * Returns (dot batch, centroids, the persisted working set to
+    * release after the read). */
+  private[graft] def kmeansDotBatch(
+      spark: SparkSession, dir: String): (DataFrame, Array[Double], DataFrame) = {
+    graft.plans.Functions.register(spark)
+    val (ev, cents) = kmeansFit(spark, dir)
+    val lifted = ev.select(
+      Seq(col("event_id"), array(col("value").cast("float")).as("xv")) ++
+        cents.zipWithIndex.map { case (c, i) =>
+          typedLit(Seq(c.toFloat)).as(s"cw$i") }: _*)
+    val dotted = lifted.selectExpr(
+      Seq("event_id") ++ cents.indices.map(i => s"graft_dot(xv, cw$i) AS d$i"): _*)
+    (dotted, cents, ev)
   }
 
   // ---------------------------------------------------------------- q26

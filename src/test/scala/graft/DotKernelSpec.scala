@@ -377,6 +377,39 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("KMeans assign step routes through the dot-kernel seam (fifth kernel workload)") {
+    // the reference's SelectNearestCenter (KMeans.java:118-129) is a
+    // map over points with broadcast centroids; the device shape is
+    // distances-via-dots (argmin c²−2x·c), K top-level graft_dot
+    // aliases per point — the kernel batch
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
+    def run(s: org.apache.spark.sql.SparkSession): Seq[(Int, Long, Double)] =
+      graft.analytics.Iterative.kmeansAssignViaDotKernel(s, sf).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // plan assertions run on the KERNEL STAGE (the dot batch): the
+    // full surface materializes it (device→host handoff) and then
+    // Localizes, both of which hide operators from executedPlan
+    val (plain, _, ev1) = graft.analytics.Iterative.kmeansDotBatch(spark, sf)
+    assert(!planString(plain).contains("DotKernelProject"),
+      "kernel exec must stay off by default")
+    ev1.unpersist(blocking = false)
+    val (swapped, _, ev2) = graft.analytics.Iterative.kmeansDotBatch(kernel, sf)
+    assert(planString(swapped).contains("DotKernelProject"),
+      "enabled session must plan the kernel operator:\n" + planString(swapped))
+    ev2.unpersist(blocking = false)
+    val base = run(spark)
+    val kern = run(kernel)
+    // same float fold on both paths: bit equality, not just tolerance
+    assert(base == kern, s"codegen $base vs kernel $kern")
+    // and the dot-space argmin reproduces the graded q23 assignment
+    // exactly — the float lift of a scalar value cannot move a point
+    // across a Voronoi boundary on this data (margins ≫ float eps)
+    val graded = graft.analytics.Iterative.q23KMeans(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(base == graded, s"dot-space assign $base vs graded q23 $graded")
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
