@@ -527,8 +527,95 @@ object Scoring {
        |  CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_vocab
        |FROM f GROUP BY d ORDER BY d""".stripMargin
 
+  // --------------------------------------------------------------- q185
+  /** The streaming drift monitor graded END-TO-END: the reference
+    * distribution is frozen from the corpus split (`doc_id % 10 < 8`,
+    * [[buildDriftRef]] — 64 doubles of broadcast model state), then
+    * the ingest split is driven through an actual
+    * [[graft.streaming.Streams.streamingDriftMonitor]] StreamingQuery
+    * from a FILE source (the production posture: parquet drops into a
+    * watched directory) in two deliberate triggers — docs ending in 8,
+    * then in 9 — and each trigger's `(n_tokens, kl)` verdict is graded
+    * against a DuckDB replay of the same two batches. Unlike q184,
+    * the output here is batch-DEPENDENT (one KL per trigger), so this
+    * row grades the trigger protocol itself, not just the probe.
+    *
+    * Driver-side pieces are grading harness: the two writes feed the
+    * watched directory deterministically, and the sink accumulates
+    * one bounded verdict row per trigger (batch ordinal = arrival
+    * order; empty no-op triggers emit nothing). The per-trigger work
+    * — one 64-key map-side-combined agg — runs distributed. */
+  def q185StreamingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ref = buildDriftRef(docs.filter(col("doc_id") % 10 < 8))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_q185_src")
+    try {
+      val ingest = docs.filter(col("doc_id") % 10 >= 8)
+      ingest.filter(col("doc_id") % 10 === 8)
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      val stream = spark.readStream.schema(ingest.schema).parquet(srcDir.toString)
+      val q = graft.streaming.Streams.streamingDriftMonitor(
+        stream, ref, "q185_streaming_drift") { (_, verdict) =>
+        verdict.collect().foreach { r =>
+          // no-op trigger guard: an empty batch carries no verdict
+          if (r.getLong(0) > 0L)
+            acc.add(Row(acc.size.toLong, r.getLong(0), r.getDouble(1)))
+        }
+      }
+      try {
+        q.processAllAvailable()
+        ingest.filter(col("doc_id") % 10 === 9)
+          .coalesce(1).write.mode("append").parquet(srcDir.toString)
+        q.processAllAvailable()
+      } finally q.stop()
+      val schema = StructType(Seq(
+        StructField("batch_id", LongType),
+        StructField("n_tokens", LongType),
+        StructField("kl", DoubleType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+        .orderBy(col("batch_id"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(srcDir)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  val q185Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id % 10 AS d, ${h60Sql("t")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |refc AS (SELECT b, count(*) AS c FROM tok WHERE d < 8 GROUP BY b),
+       |ref AS (SELECT r.range AS b,
+       |    (coalesce(c.c, 0) + 1.0)
+       |      / ((SELECT count(*) FROM tok WHERE d < 8) + $DsirBuckets.0) AS q
+       |  FROM range($DsirBuckets) r LEFT JOIN refc c ON r.range = c.b),
+       |bat AS (SELECT CASE WHEN d = 8 THEN 0 ELSE 1 END AS batch_id, b
+       |  FROM tok WHERE d >= 8),
+       |bcnt AS (SELECT batch_id, b, count(*) AS c FROM bat GROUP BY 1, 2),
+       |grid AS (SELECT g.batch_id, r.range AS b
+       |  FROM (SELECT DISTINCT batch_id FROM bat) g CROSS JOIN range($DsirBuckets) r),
+       |dense AS (SELECT g.batch_id, g.b, coalesce(c.c, 0) AS c
+       |  FROM grid g LEFT JOIN bcnt c ON g.batch_id = c.batch_id AND g.b = c.b),
+       |enr AS (SELECT batch_id, b, c,
+       |    sum(c) OVER (PARTITION BY batch_id) AS n
+       |  FROM dense)
+       |SELECT e.batch_id::BIGINT AS batch_id, CAST(max(e.n) AS BIGINT) AS n_tokens,
+       |  round(sum(((e.c + 1.0) / (e.n + $DsirBuckets.0))
+       |    * ln(((e.c + 1.0) / (e.n + $DsirBuckets.0)) / r.q)), 6) AS kl
+       |FROM enr e JOIN ref r ON e.b = r.b
+       |GROUP BY e.batch_id ORDER BY e.batch_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_source_drift" -> (q181SourceDrift _),
+    "q185_streaming_drift" -> (q185StreamingDrift _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
@@ -540,6 +627,7 @@ object Scoring {
 
   def oracles: Map[String, String] = Map(
     "q181_source_drift" -> q181Sql,
+    "q185_streaming_drift" -> q185Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,

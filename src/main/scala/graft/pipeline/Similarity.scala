@@ -1180,6 +1180,104 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  // --------------------------------------------------------------- q186
+  /** The streaming outlier gate graded END-TO-END: the centroid index
+    * is frozen from the corpus split (`vec_id % 10 < 8`,
+    * [[buildCentroidIndex]] — labels × (dim+1) values, persisted once
+    * like a served model), then the ingest split is driven through an
+    * actual [[graft.streaming.Streams.streamingOutlierGate]]
+    * StreamingQuery from a FILE source (parquet drops into a watched
+    * directory, two triggers) and the accumulated per-row verdicts
+    * are graded against a DuckDB replay of the same frozen-index
+    * contract. Verdicts are batch-boundary-independent (frozen
+    * index), so the oracle replays the whole ingest split one-shot —
+    * the q184 device pointed at the embedding-hygiene gate.
+    *
+    * Driver-side pieces are grading harness (the watched-directory
+    * writes and the bounded verdict sink); the per-trigger work — a
+    * broadcast join + codegen'd `graft_cosine` per row, no shuffle —
+    * runs distributed. */
+  def q186StreamingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val index = buildCentroidIndex(emb.filter(col("vec_id") % 10 < 8))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_q186_src")
+    try {
+      index.count() // freeze the model before serving begins
+      val ingest = emb.filter(col("vec_id") % 10 >= 8)
+      ingest.filter(col("vec_id") % 10 === 8)
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      val stream = spark.readStream.schema(ingest.schema).parquet(srcDir.toString)
+      val q = graft.streaming.Streams.streamingOutlierGate(
+        stream, index, "q186_streaming_outliers") { verdict =>
+        verdict.collect().foreach(acc.add)
+      }
+      try {
+        q.processAllAvailable()
+        ingest.filter(col("vec_id") % 10 === 9)
+          .coalesce(1).write.mode("append").parquet(srcDir.toString)
+        q.processAllAvailable()
+      } finally q.stop()
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("cos_centroid", DoubleType),
+        StructField("is_outlier", IntegerType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+        .orderBy(col("vec_id"))
+    } finally {
+      index.unpersist(blocking = false)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(srcDir)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  val q186Sql: String =
+    s"""WITH ev AS (SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |comp AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings WHERE vec_id % 10 < 8),
+       |cent AS (SELECT label, i, CAST(avg(x) AS FLOAT) AS c
+       |  FROM comp GROUP BY label, i),
+       |cvec AS (SELECT label, list(c ORDER BY i) AS cent FROM cent GROUP BY label),
+       |cnrm AS (SELECT label, cent,
+       |    sqrt(list_sum(list_transform(cent,
+       |         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cn
+       |  FROM cvec),
+       |corp AS (SELECT e.vec_id, e.label,
+       |    round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
+       |      / (e.nrm * v.cn), 6) AS cs
+       |  FROM ev e JOIN cnrm v ON e.label = v.label WHERE e.vec_id % 10 < 8),
+       |tau AS (SELECT label, cs AS tau FROM (
+       |    SELECT label, cs, vec_id,
+       |      row_number() OVER (PARTITION BY label ORDER BY cs, vec_id) AS rk,
+       |      count(*) OVER (PARTITION BY label) AS nn
+       |    FROM corp) WHERE rk = least($OutlierK, nn))
+       |SELECT e.vec_id, e.label,
+       |  round(list_sum(list_transform(range($Dim),
+       |    k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
+       |    / (e.nrm * v.cn), 6) AS cos_centroid,
+       |  CAST(round(list_sum(list_transform(range($Dim),
+       |    k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
+       |    / (e.nrm * v.cn), 6) <= t.tau AS INT) AS is_outlier
+       |FROM ev e
+       |JOIN cnrm v ON e.label = v.label
+       |JOIN tau t ON e.label = t.label
+       |WHERE e.vec_id % 10 >= 8
+       |ORDER BY e.vec_id""".stripMargin
+
   val q183Sql: String =
     s"""WITH comp AS (
        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
@@ -1197,6 +1295,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_label_outliers" -> (q183LabelOutliers _),
+    "q186_streaming_outliers" -> (q186StreamingOutliers _),
     "q104_cosine_expr" -> (q104CosineExpr _),
     "q164_centroid_accumulate" -> (q164CentroidAccumulate _),
     "q166_pq_adc" -> (q166PqAdc _),
@@ -1211,6 +1310,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q183_label_outliers" -> q183Sql,
+    "q186_streaming_outliers" -> q186Sql,
     "q104_cosine_expr" -> q104Sql,
     "q164_centroid_accumulate" -> q164Sql,
     "q166_pq_adc" -> q166Sql,
