@@ -613,9 +613,152 @@ object Scoring {
        |FROM enr e JOIN ref r ON e.b = r.b
        |GROUP BY e.batch_id ORDER BY e.batch_id""".stripMargin
 
+  // --------------------------------------------------------------- q187
+  /** BM25 retrieval scoring (Robertson-Sparck Jones; Lucene's +1 idf
+    * variant so idf is always positive): the top-20 documents for a
+    * fixed keyword query — the lexical-retrieval half every RAG /
+    * eval-harness pipeline needs next to the embedding ANN family
+    * (q34/q61/q173), and the query-side cousin of q89's corpus-side
+    * TF-IDF keywords.
+    *
+    * Scale shape: ONE map-side-combined token shuffle builds the
+    * compressed (doc, term, tf) relation — the inverted-index
+    * posture — materialized once (it feeds both the corpus stats and
+    * the candidate scoring; the twice-read rule). Document length
+    * rides a window over that compressed relation, the query filter
+    * cuts it to candidates-only before any join, and df/avgdl/N are
+    * broadcast scalars. Nothing downstream of the first shuffle
+    * touches the raw token stream again. Scores: ln output → rounded
+    * 6 on both engines (libm rule), rank on the rounded value with
+    * doc_id tie-break. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("hash", "join", "filter")
+  // declared BEFORE q188Sql: a val-initialized SQL string that reads a
+  // LATER val interpolates its zero default (bit this round: LIMIT 0)
+  val HybridCand = 50
+
+  /** Every candidate's rounded BM25 for [[Bm25Query]] — the shared
+    * relation behind graded q187 (top-20) and q188 (hybrid rerank). */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.engine.Cpu.explodeComputed(
+        Tables.documents(spark, dir), Seq(col("doc_id")),
+        split(col("text"), " "), "t")
+      .filter(col("t") =!= "")
+    val tfd = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val stats = tfd.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qtf = tfd
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("t").isin(Bm25Query: _*))
+    val dfp = qtf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfp), Seq("t")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("s")), 6).as("bm25"))
+  }
+
+  def q187Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+
+  /** Shared CTE prefix: every candidate's rounded BM25 as `bm`. */
+  private def bm25SqlCtes: String = {
+    val qvals = Bm25Query.map(t => s"('$t')").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, t
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |tfd AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, sum(tf) AS dl FROM tfd GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |q(t) AS (VALUES $qvals),
+       |qtf AS (SELECT f.doc_id, f.t, f.tf, d.dl
+       |  FROM tfd f JOIN q USING (t) JOIN dls d USING (doc_id)),
+       |dfp AS (SELECT t, count(*) AS df FROM qtf GROUP BY t),
+       |bm AS (SELECT c.doc_id, round(sum(
+       |    ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
+       |    * (c.tf * ${Bm25K1 + 1.0})
+       |    / (c.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * c.dl / s.avgdl))), 6) AS bm25
+       |  FROM qtf c JOIN dfp p USING (t) CROSS JOIN stats s
+       |  GROUP BY c.doc_id)""".stripMargin
+  }
+
+  val q187Sql: String =
+    s"""$bm25SqlCtes
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  val q188Sql: String = {
+    val dim = graft.pipeline.Similarity.Dim
+    s"""$bm25SqlCtes,
+       |cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridCand),
+       |qv AS (SELECT embedding AS qe,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+       |  FROM embeddings WHERE vec_id = 0),
+       |scored AS (SELECT c.doc_id, c.bm25,
+       |    coalesce(round(list_sum(list_transform(range($dim), k ->
+       |        CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(e.embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6),
+       |      0.0) AS cosine
+       |  FROM cand c CROSS JOIN qv v
+       |  LEFT JOIN embeddings e ON e.vec_id = c.doc_id)
+       |SELECT doc_id, bm25, cosine,
+       |  round(0.5 * bm25 / (SELECT max(bm25) FROM cand) + 0.5 * cosine, 6) AS hybrid
+       |FROM scored ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q188
+  /** Hybrid retrieval: BM25 lexical candidates reranked by embedding
+    * cosine to a query vector — the standard two-stage RAG serving
+    * shape (cheap inverted-index recall, dense rerank on the short
+    * list). The query vector is the corpus' own vec 0 (bounded model
+    * state, collected once); candidates are the top-[[HybridCand]]
+    * BM25 docs; the final score is
+    * `0.5·bm25/max_bm25 + 0.5·cosine`, with docs OUTSIDE the
+    * embedding coverage kept at their lexical score (cosine 0) —
+    * vectors covering a subset of the corpus is the normal deployment
+    * state (at sf0.1 only the first 500 of 5000 docs embed), and a
+    * reranker that silently drops uncovered candidates is the same
+    * inner-join bug class the outlier gate fixed this round.
+    *
+    * Scale shape: the rerank touches only [[HybridCand]] rows — one
+    * broadcast-able candidate set joined to the embeddings table on
+    * its key, one codegen'd `graft_cosine` per candidate. Rounding:
+    * bm25 (rounded 6) and cosine (rounded 6) are both grading units;
+    * the blend re-rounds, and every comparison is on rounded values
+    * with doc_id tie-breaks. */
+  def q188HybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val qv: Seq[Float] = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val cand = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand)
+    val mx = cand.agg(max(col("bm25")).as("mx"))
+    cand.join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding")), Seq("doc_id"), "left_outer")
+      .withColumn("qv", typedLit(qv))
+      .withColumn("cosine", coalesce(
+        round(expr("graft_cosine(embedding, qv)"), 6), lit(0.0)))
+      .crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("bm25"), col("cosine"),
+        round(lit(0.5) * col("bm25") / col("mx") + lit(0.5) * col("cosine"), 6)
+          .as("hybrid"))
+      .orderBy(col("hybrid").desc, col("doc_id")).limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_source_drift" -> (q181SourceDrift _),
     "q185_streaming_drift" -> (q185StreamingDrift _),
+    "q187_bm25" -> (q187Bm25 _),
+    "q188_hybrid_rerank" -> (q188HybridRerank _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
@@ -628,6 +771,8 @@ object Scoring {
   def oracles: Map[String, String] = Map(
     "q181_source_drift" -> q181Sql,
     "q185_streaming_drift" -> q185Sql,
+    "q187_bm25" -> q187Sql,
+    "q188_hybrid_rerank" -> q188Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,

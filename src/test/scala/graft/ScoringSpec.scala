@@ -246,6 +246,54 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     assert(want.values.exists(_._2 > 1e-4), "fixture sanity: corpus has no drift signal at all")
   }
 
+  test("q187 BM25 top-20 matches a driver-side fold; q188 blends it with cosine") {
+    // driver-side BM25 over the same corpus and query
+    val byDoc = docs.map { case (id, text, _, _) => id -> tokens(text) }
+      .filter(_._2.nonEmpty)
+    val nDocs = byDoc.size.toDouble
+    val avgdl = byDoc.map(_._2.size).sum.toDouble / nDocs
+    val dfm = Scoring.Bm25Query.map { t =>
+      t -> byDoc.count(_._2.contains(t)).toDouble }.toMap
+    val want = byDoc.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val s = Scoring.Bm25Query.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0 || dfm(t) == 0) 0.0
+        else math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+          (tf * (Scoring.Bm25K1 + 1.0)) /
+          (tf + Scoring.Bm25K1 * (1.0 - Scoring.Bm25B +
+            Scoring.Bm25B * dl / avgdl))
+      }.sum
+      id -> s
+    }.filter(_._2 > 0)
+      .sortBy { case (id, s) =>
+        (-BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+      .take(20)
+    val got = Scoring.q187Bm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq == want.map(_._1), s"got $got want $want")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1.1e-6) }
+    // the hybrid rerank keeps candidate lexical order only where
+    // cosine agrees; sanity: 10 rows, hybrid in [0, ~1.0001+], and
+    // every returned doc is a BM25 candidate
+    val hyb = Scoring.q188HybridRerank(spark, sf).collect()
+    assert(hyb.length == 10)
+    val candIds = Scoring.bm25Scores(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("bm25").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .limit(Scoring.HybridCand).collect().map(_.getLong(0)).toSet
+    hyb.foreach { r =>
+      assert(candIds.contains(r.getLong(0)))
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.5)
+      // blend arithmetic holds row by row against its own parts
+      val mx = got.map(_._2).max
+      assert(math.abs(r.getDouble(3) -
+        BigDecimal(0.5 * r.getDouble(1) / mx + 0.5 * r.getDouble(2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1.1e-6)
+    }
+  }
+
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
     val first = scala.collection.mutable.Map.empty[Long, Long]
     docs.foreach { case (id, text, _, _) =>
