@@ -993,33 +993,42 @@ object Dedup {
     implicit val enc: Encoder[(Long, String)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val sel = winnowCorpusCache.get(spark, dir)
+    // the streaming posture probes the index ONCE PER TRIGGER: unlike
+    // q180's one-shot (each leg read once), lazy legs here would
+    // re-run the census + anti-join over the cached fingerprints for
+    // every micro-batch — persist and materialize both, like
+    // buildWinnowIndex does for exactly this read-many posture
+    // (round-11 review finding)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowDfCap).select(col("fp"))
-    val index = WinnowIndex(
-      fps = sel.join(broadcast(hot), Seq("fp"), "left_anti"),
-      hot = hot)
-    val ingest = graft.sources.Tables.documents(spark, dir)
-      .filter(col("doc_id") % 10 >= 8)
-      .select(col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    val (b1, b2) = ingest.partition(_._1 % 10 == 8)
-    val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val q = graft.streaming.Streams.streamingWinnowDedup(
-      ms.toDF().toDF("doc_id", "text"), index, "q184_streaming_winnow") { v =>
-      v.collect().foreach(acc.add)
-    }
+      .filter(col("df") > WinnowDfCap).select(col("fp")).persist(lvl)
+    val fps = sel.join(broadcast(hot), Seq("fp"), "left_anti").persist(lvl)
+    hot.count(); fps.count()
+    val index = WinnowIndex(fps = fps, hot = hot)
     try {
-      ms.addData(b1.toSeq); q.processAllAvailable()
-      ms.addData(b2.toSeq); q.processAllAvailable()
-    } finally q.stop()
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("matched_old", LongType),
-      StructField("keep", IntegerType)))
-    spark.createDataFrame(
-        java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
-      .orderBy(col("doc_id"))
+      val ingest = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = ingest.partition(_._1 % 10 == 8)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.streamingWinnowDedup(
+        ms.toDF().toDF("doc_id", "text"), index, "q184_streaming_winnow") { v =>
+        v.collect().foreach(acc.add)
+      }
+      try {
+        ms.addData(b1.toSeq); q.processAllAvailable()
+        ms.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("matched_old", LongType),
+        StructField("keep", IntegerType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+        .orderBy(col("doc_id"))
+    } finally index.unpersist()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

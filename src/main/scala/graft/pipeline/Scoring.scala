@@ -550,41 +550,29 @@ object Scoring {
     import org.apache.spark.sql.types._
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val ref = buildDriftRef(docs.filter(col("doc_id") % 10 < 8))
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_q185_src")
-    try {
-      val ingest = docs.filter(col("doc_id") % 10 >= 8)
-      ingest.filter(col("doc_id") % 10 === 8)
-        .coalesce(1).write.mode("append").parquet(srcDir.toString)
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      val stream = spark.readStream.schema(ingest.schema).parquet(srcDir.toString)
-      val q = graft.streaming.Streams.streamingDriftMonitor(
+    val ingest = docs.filter(col("doc_id") % 10 >= 8)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    // batch_id = arrival ordinal of NON-EMPTY triggers (the monitor
+    // suppresses rowless ones), which under FileDrip's one-write-one-
+    // drain protocol is exactly the write order the oracle's CASE
+    // replays — docs ending in 8 are batch 0, ending in 9 batch 1
+    graft.streaming.FileDrip.drive(Seq(
+      ingest.filter(col("doc_id") % 10 === 8),
+      ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+      graft.streaming.Streams.streamingDriftMonitor(
         stream, ref, "q185_streaming_drift") { (_, verdict) =>
         verdict.collect().foreach { r =>
-          // no-op trigger guard: an empty batch carries no verdict
-          if (r.getLong(0) > 0L)
-            acc.add(Row(acc.size.toLong, r.getLong(0), r.getDouble(1)))
+          acc.add(Row(acc.size.toLong, r.getLong(0), r.getDouble(1)))
         }
       }
-      try {
-        q.processAllAvailable()
-        ingest.filter(col("doc_id") % 10 === 9)
-          .coalesce(1).write.mode("append").parquet(srcDir.toString)
-        q.processAllAvailable()
-      } finally q.stop()
-      val schema = StructType(Seq(
-        StructField("batch_id", LongType),
-        StructField("n_tokens", LongType),
-        StructField("kl", DoubleType)))
-      spark.createDataFrame(
-          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
-        .orderBy(col("batch_id"))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(srcDir)
-      try s.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally s.close()
     }
+    val schema = StructType(Seq(
+      StructField("batch_id", LongType),
+      StructField("n_tokens", LongType),
+      StructField("kl", DoubleType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+      .orderBy(col("batch_id"))
   }
 
   val q185Sql: String =
@@ -739,8 +727,12 @@ object Scoring {
     val emb = Tables.embeddings(spark, dir)
     val qv: Seq[Float] = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).collect().head.getSeq[Float](0)
+    // materialized: cand feeds BOTH the max-normalizer and the rerank
+    // join — the twice-read rule (an unmaterialized lineage would
+    // re-derive the whole BM25 pipeline above the checkpoint twice)
     val cand = bm25Scores(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand)
+      .localCheckpoint(true)
     val mx = cand.agg(max(col("bm25")).as("mx"))
     cand.join(emb.select(col("vec_id").as("doc_id"),
         col("embedding")), Seq("doc_id"), "left_outer")

@@ -1204,24 +1204,18 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"))
     val index = buildCentroidIndex(emb.filter(col("vec_id") % 10 < 8))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_q186_src")
     try {
       index.count() // freeze the model before serving begins
       val ingest = emb.filter(col("vec_id") % 10 >= 8)
-      ingest.filter(col("vec_id") % 10 === 8)
-        .coalesce(1).write.mode("append").parquet(srcDir.toString)
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      val stream = spark.readStream.schema(ingest.schema).parquet(srcDir.toString)
-      val q = graft.streaming.Streams.streamingOutlierGate(
-        stream, index, "q186_streaming_outliers") { verdict =>
-        verdict.collect().foreach(acc.add)
+      graft.streaming.FileDrip.drive(Seq(
+        ingest.filter(col("vec_id") % 10 === 8),
+        ingest.filter(col("vec_id") % 10 === 9))) { stream =>
+        graft.streaming.Streams.streamingOutlierGate(
+          stream, index, "q186_streaming_outliers") { verdict =>
+          verdict.collect().foreach(acc.add)
+        }
       }
-      try {
-        q.processAllAvailable()
-        ingest.filter(col("vec_id") % 10 === 9)
-          .coalesce(1).write.mode("append").parquet(srcDir.toString)
-        q.processAllAvailable()
-      } finally q.stop()
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("label", IntegerType),
@@ -1230,14 +1224,7 @@ object Similarity {
       spark.createDataFrame(
           java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
         .orderBy(col("vec_id"))
-    } finally {
-      index.unpersist(blocking = false)
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(srcDir)
-      try s.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally s.close()
-    }
+    } finally index.unpersist(blocking = false)
   }
 
   val q186Sql: String =
@@ -1266,15 +1253,17 @@ object Similarity {
        |      count(*) OVER (PARTITION BY label) AS nn
        |    FROM corp) WHERE rk = least($OutlierK, nn))
        |SELECT e.vec_id, e.label,
-       |  round(list_sum(list_transform(range($Dim),
-       |    k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
-       |    / (e.nrm * v.cn), 6) AS cos_centroid,
-       |  CAST(round(list_sum(list_transform(range($Dim),
-       |    k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
-       |    / (e.nrm * v.cn), 6) <= t.tau AS INT) AS is_outlier
+       |  CASE WHEN v.label IS NULL THEN NULL
+       |    ELSE round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
+       |      / (e.nrm * v.cn), 6) END AS cos_centroid,
+       |  CAST(CASE WHEN t.tau IS NULL THEN 1
+       |    ELSE CAST(round(list_sum(list_transform(range($Dim),
+       |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.cent[k+1] AS DOUBLE)))
+       |      / (e.nrm * v.cn), 6) <= t.tau AS INT) END AS INT) AS is_outlier
        |FROM ev e
-       |JOIN cnrm v ON e.label = v.label
-       |JOIN tau t ON e.label = t.label
+       |LEFT JOIN cnrm v ON e.label = v.label
+       |LEFT JOIN tau t ON e.label = t.label
        |WHERE e.vec_id % 10 >= 8
        |ORDER BY e.vec_id""".stripMargin
 

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Deterministic driver for the FILE-SOURCE streaming posture the
+  * graded streaming rows (q185, q186) exercise: parquet batches drop
+  * into a watched directory one at a time, the stream drains after
+  * each drop, so every batch becomes exactly one trigger. One audited
+  * implementation of the write→drain→stop→cleanup protocol — the
+  * review finding behind this file was two verbatim copies of it
+  * drifting independently (q184's MemoryStream twin stays separate on
+  * purpose: it exercises the in-memory source instead).
+  *
+  * Driver-side by design: this is the grading/ingest harness around a
+  * distributed probe, not an operator. The per-trigger work runs in
+  * whatever query `start` builds. */
+object FileDrip {
+
+  /** Write `batches` into a fresh watched directory in order, start
+    * the stream `start(fileSource)` after the first write, drain
+    * after every write, stop, and delete the directory. */
+  def drive(batches: Seq[DataFrame])(
+      start: DataFrame => StreamingQuery): Unit = {
+    require(batches.nonEmpty, "FileDrip needs at least one batch")
+    val spark = batches.head.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_filedrip")
+    try {
+      batches.head.coalesce(1).write.mode("append").parquet(dir.toString)
+      val stream = spark.readStream
+        .schema(batches.head.schema).parquet(dir.toString)
+      val q = start(stream)
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b =>
+          b.coalesce(1).write.mode("append").parquet(dir.toString)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+}

@@ -890,7 +890,13 @@ object Streams {
     docs.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(id, graft.pipeline.Scoring.driftAgainst(ref, batch))
+        // a rowless trigger carries no verdict: unlike the per-row
+        // gates (whose empty batch emits zero rows anyway), this
+        // monitor emits ONE row per trigger, and a spurious no-data
+        // trigger would fabricate a full-drift verdict (every smoothed
+        // batch bucket at 1/64 vs the reference). The isEmpty probe is
+        // one tiny job per trigger.
+        if (!batch.isEmpty) sink(id, graft.pipeline.Scoring.driftAgainst(ref, batch))
       }
       .start()
 

@@ -120,6 +120,33 @@ class BenchSpec extends AnyFunSuite {
     assert(!one.contains("runs"), one)
   }
 
+  test("overflow fold keeps every crash individual, never in 'others'") {
+    // enough queries that the line MUST fold, with one crash buried
+    // among the fastest values — the crash must survive the fold
+    // (review finding: +MaxValue sorted crashes into the dropped
+    // suffix, the exact inversion of the stated intent)
+    val many = (1 to 400).map(i => f"q$i%03d_x" -> 0.05) :+ ("q999_dead" -> -1.0)
+    val line = Bench.jsonLine(many, "/x")
+    assert(line.length <= Bench.LineBudget)
+    assert(line.contains(""""q999":-1.00"""), line.takeRight(300))
+    assert(line.contains(""""others""""), "fixture must actually overflow")
+  }
+
+  test("prior sidecar is ignored when its recorded sf differs") {
+    val f = java.nio.file.Files.createTempFile("bench_sf", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"sf": "/tmp/graft_sf1", "queries": { "q01_alpha": 15.0 }}""")
+    try {
+      assert(Bench.readPriorSidecar(f.toString,
+        expectSf = "/root/testdata/sf0.1").isEmpty,
+        "cross-sf priors would predict 10x real cost and starve admission")
+      assert(Bench.readPriorSidecar(f.toString,
+        expectSf = "/tmp/graft_sf1") == Map("q01_alpha" -> 15.0))
+      assert(Bench.readPriorSidecar(f.toString) == Map("q01_alpha" -> 15.0),
+        "no expectation -> accept (local tooling)")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("every reference benchmark maps to a registered query") {
     val shorts = SparkEntry.queries.keys.map(Bench.shortKey).toSet
     Bench.RefBenchmarks.foreach { case (name, q) =>

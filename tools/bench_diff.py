@@ -45,7 +45,11 @@ def main():
     for q in sorted(set(old) & set(new)):
         o, n = old[q], new[q]
         if o < 0 or n < 0:
-            if n < 0:
+            if o < 0 and n < 0:
+                # a known persistent crasher is not NEW information —
+                # flagging it every round buries real moves
+                print(f"[still-crashed] {q}")
+            elif n < 0:
                 flagged.append(q)
                 print(f"[CRASH ] {q}: old={o:.3f} new=CRASHED")
             else:
