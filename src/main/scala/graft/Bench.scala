@@ -161,6 +161,16 @@ object Bench {
           spark.catalog.clearCache()
           graft.engine.SessionCache.invalidateAll(spark)
         }
+        // sweep RDD-level blocks too: localCheckpoint(true) state
+        // (every superstep loop, q141's assignment, q187's inverted
+        // index) lives BELOW the SQL cache manager and leaked across
+        // the whole loop — by the sf1 tail, accumulated blocks had
+        // the digest family spiking 10-20x in-run vs isolated. Safe
+        // between queries: each invocation builds fresh checkpoints,
+        // and the SQL-cache clear above already dropped anything the
+        // session memoized on top.
+        val leaked = spark.sparkContext.getPersistentRDDs
+        if (leaked.nonEmpty) leaked.values.foreach(_.unpersist(blocking = false))
         if (gcBetween) { System.gc(); Thread.sleep(200) }
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }

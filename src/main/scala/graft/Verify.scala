@@ -36,9 +36,13 @@ object Verify {
         }
       }
       // same between-queries hygiene as Bench: don't let one query's
-      // pinned caches ride into the next hundred
+      // pinned caches ride into the next hundred — including
+      // RDD-level localCheckpoint blocks, which live below the SQL
+      // cache manager and otherwise accumulate across the whole dump
       spark.catalog.clearCache()
       graft.engine.SessionCache.invalidateAll(spark)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
