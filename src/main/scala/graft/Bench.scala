@@ -79,8 +79,14 @@ object Bench {
       .filter(name => only.forall(_.contains(shortKey(name))))
     val byName = SparkEntry.queries
     // warm the session (codegen, parquet reader, shuffle machinery)
-    // so the first measured query isn't charged ~4s of JVM startup
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    // so the first measured query isn't charged ~4s of JVM startup —
+    // under the watchdog like everything else: a hung FS read here
+    // would otherwise reproduce the rc-124 no-metric-line failure
+    // that all three budget layers below exist to prevent
+    runWithWatchdog(spark, "session warm-up",
+      (s, d) => s.read.parquet(s"$d/nation.parquet")
+        .groupBy("n_regionkey").count(),
+      sfDir, math.max(5.0, budgetSec * 0.1))
     // warm the seven BASELINE analogues themselves (untimed): they
     // run FIRST in the measured walk, and a cold first position
     // otherwise charges them the JVM's early-JIT phase (measured
@@ -98,6 +104,10 @@ object Bench {
         if (left > 1.0)
           runWithWatchdog(spark, s"$name (warm-up)", byName(name), sfDir, left)
       }
+    // a crashed or cancelled warm-up run must not leak its pinned
+    // working sets into the measured refs it exists to protect —
+    // same hygiene as after every measured query
+    graft.engine.SessionCache.sweepBetweenQueries(spark)
     // Observed-vs-prior inflation ratios (loaded box ≈ 1.25-14×,
     // idle ≈ 1×): the admission predictor scales prior costs by the
     // running median so a loaded round skips early rather than
@@ -134,7 +144,10 @@ object Bench {
             val remaining = math.max(5.0, budgetSec - elapsed())
             runWithWatchdog(spark, name, fn, sfDir, remaining) match {
               case Some(t) => t
-              case None => deadlineBlown = true; -1.0
+              case None =>
+                System.err.println(
+                  "[bench] deadline blown; remaining queries will be skipped")
+                deadlineBlown = true; -1.0
             }
           }
         }
@@ -156,21 +169,7 @@ object Bench {
         // pinned: most registry queries cache nothing, and paying
         // clearCache + invalidateAll ~190× contributed to the round-9
         // window overrun.
-        if (graft.engine.SessionCache.hasEntries(spark)
-            || !spark.sharedState.cacheManager.isEmpty) {
-          spark.catalog.clearCache()
-          graft.engine.SessionCache.invalidateAll(spark)
-        }
-        // sweep RDD-level blocks too: localCheckpoint(true) state
-        // (every superstep loop, q141's assignment, q187's inverted
-        // index) lives BELOW the SQL cache manager and leaked across
-        // the whole loop — by the sf1 tail, accumulated blocks had
-        // the digest family spiking 10-20x in-run vs isolated. Safe
-        // between queries: each invocation builds fresh checkpoints,
-        // and the SQL-cache clear above already dropped anything the
-        // session memoized on top.
-        val leaked = spark.sparkContext.getPersistentRDDs
-        if (leaked.nonEmpty) leaked.values.foreach(_.unpersist(blocking = false))
+        graft.engine.SessionCache.sweepBetweenQueries(spark)
         if (gcBetween) { System.gc(); Thread.sleep(200) }
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
@@ -226,7 +225,7 @@ object Bench {
       Some(if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     } catch { case _: concurrent.TimeoutException =>
       System.err.println(f"[bench] $name TIMED OUT after $deadlineSec%.0f s; " +
-        "cancelling its job group and skipping the rest")
+        "cancelling its job group")
       // grace loop: cancel for up to 10 s — a driver-side loop may
       // launch successor jobs after the first cancel lands
       var waited = 0

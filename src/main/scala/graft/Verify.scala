@@ -35,14 +35,10 @@ object Verify {
           System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
         }
       }
-      // same between-queries hygiene as Bench: don't let one query's
-      // pinned caches ride into the next hundred — including
-      // RDD-level localCheckpoint blocks, which live below the SQL
-      // cache manager and otherwise accumulate across the whole dump
-      spark.catalog.clearCache()
-      graft.engine.SessionCache.invalidateAll(spark)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // same between-queries hygiene as Bench (one shared sweep):
+      // SQL caches + RDD-level localCheckpoint blocks must not ride
+      // into the next hundred queries
+      graft.engine.SessionCache.sweepBetweenQueries(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -60,6 +60,27 @@ object SessionCache {
         case c => c.invalidate(spark); false
       }
     }
+
+  /** The ONE between-queries hygiene sweep shared by Bench and
+    * Verify (they had diverging copies — round-11 review finding):
+    * SQL-level caches are cleared only when something is actually
+    * pinned (paying clearCache ~190× per loop contributed to the
+    * round-9 window overrun), then RDD-level blocks are swept
+    * unconditionally — localCheckpoint(true) state (superstep loops,
+    * q141's assignment, q187's inverted index) lives BELOW the cache
+    * manager and accumulating it across a loop had the sf1 tail
+    * spiking 6-16× over isolated truth (A/B'd in SCALE.md). Safe
+    * between self-contained queries: each invocation builds fresh
+    * checkpoints, and the SQL-cache clear drops anything memoized on
+    * top first. */
+  def sweepBetweenQueries(spark: SparkSession): Unit = {
+    if (hasEntries(spark) || !spark.sharedState.cacheManager.isEmpty) {
+      spark.catalog.clearCache()
+      invalidateAll(spark)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs
+    if (leaked.nonEmpty) leaked.values.foreach(_.unpersist(blocking = false))
+  }
 }
 
 final class SessionCache(build: (SparkSession, String) => DataFrame) {

@@ -858,13 +858,34 @@ object Dedup {
     def unpersist(): Unit = { fps.unpersist(); hot.unpersist() }
   }
 
+  /** Census + rare-fp legs over an exploded fingerprint relation —
+    * the ONE construction behind buildWinnowIndex, q180 and q184
+    * (they had three drifting copies — round-11 review finding).
+    * `persist = true` is the read-many posture (streaming probes, a
+    * shared build): both legs are persisted AND materialized, with
+    * the partial persists released if either action fails;
+    * `persist = false` leaves them lazy for one-shot probes where
+    * each leg is read exactly once. */
+  private[graft] def winnowIndexFrom(sel: DataFrame,
+      persist: Boolean): WinnowIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hot0 = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap).select(col("fp"))
+    val hot = if (persist) hot0.persist(lvl) else hot0
+    val fps0 = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    val fps = if (persist) fps0.persist(lvl) else fps0
+    if (persist) {
+      try { hot.count(); fps.count() }
+      catch { case t: Throwable =>
+        hot.unpersist(blocking = false); fps.unpersist(blocking = false)
+        throw t
+      }
+    }
+    WinnowIndex(fps = fps, hot = hot)
+  }
+
   def buildWinnowIndex(corpus: DataFrame): WinnowIndex = {
     val sel = TextAnalysis.winnowExploded(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowDfCap).select(col("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sel.join(broadcast(hot), Seq("fp"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // MATERIALIZE the derived relations while sel is still pinned —
     // an unpersist before any action here would make the persist of
@@ -872,10 +893,8 @@ object Dedup {
     // dominant build cost) would run once per derived leg (round-10
     // review finding). Index builds are eager by nature: this is the
     // one-time ingest-side cost the probe path amortizes.
-    hot.count()
-    rare.count()
-    sel.unpersist(blocking = false)
-    WinnowIndex(fps = rare, hot = hot)
+    try winnowIndexFrom(sel, persist = true)
+    finally sel.unpersist(blocking = false)
   }
 
   /** Passage-overlap verdicts for an arbitrary `(doc_id, text)` batch
@@ -925,12 +944,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def q180WinnowIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sel = winnowCorpusCache.get(spark, dir)
-    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowDfCap).select(col("fp"))
-    val index = WinnowIndex(
-      fps = sel.join(broadcast(hot), Seq("fp"), "left_anti"),
-      hot = hot)
+    // one-shot probe: each index leg is read exactly once, so the
+    // legs stay lazy over the cached fingerprint relation
+    val index = winnowIndexFrom(winnowCorpusCache.get(spark, dir),
+      persist = false)
     winnowAgainst(index,
         graft.sources.Tables.documents(spark, dir)
           .filter(col("doc_id") % 10 >= 8)
@@ -996,15 +1013,10 @@ object Dedup {
     // the streaming posture probes the index ONCE PER TRIGGER: unlike
     // q180's one-shot (each leg read once), lazy legs here would
     // re-run the census + anti-join over the cached fingerprints for
-    // every micro-batch — persist and materialize both, like
-    // buildWinnowIndex does for exactly this read-many posture
-    // (round-11 review finding)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowDfCap).select(col("fp")).persist(lvl)
-    val fps = sel.join(broadcast(hot), Seq("fp"), "left_anti").persist(lvl)
-    hot.count(); fps.count()
-    val index = WinnowIndex(fps = fps, hot = hot)
+    // every micro-batch — persist and materialize both, the same
+    // read-many posture buildWinnowIndex serves (round-11 review
+    // finding)
+    val index = winnowIndexFrom(sel, persist = true)
     try {
       val ingest = graft.sources.Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 >= 8)

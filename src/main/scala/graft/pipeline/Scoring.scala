@@ -552,17 +552,23 @@ object Scoring {
     val ref = buildDriftRef(docs.filter(col("doc_id") % 10 < 8))
     val ingest = docs.filter(col("doc_id") % 10 >= 8)
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-    // batch_id = arrival ordinal of NON-EMPTY triggers (the monitor
-    // suppresses rowless ones), which under FileDrip's one-write-one-
-    // drain protocol is exactly the write order the oracle's CASE
-    // replays — docs ending in 8 are batch 0, ending in 9 batch 1
+    // batch_id = arrival ordinal of TOKEN-BEARING verdicts: the
+    // monitor already suppresses rowless triggers, and a rows-but-
+    // zero-tokens batch (all-whitespace texts) is additionally
+    // skipped here because it contributes nothing to the token
+    // stream — the oracle's dense_rank over token-bearing ingest
+    // slices assigns ordinals by exactly the same rule, so the two
+    // sides agree even on degenerate corpora (round-11 review
+    // finding: an n_tokens=0 verdict row has no oracle twin and
+    // would shift every later ordinal)
     graft.streaming.FileDrip.drive(Seq(
       ingest.filter(col("doc_id") % 10 === 8),
       ingest.filter(col("doc_id") % 10 === 9))) { stream =>
       graft.streaming.Streams.streamingDriftMonitor(
         stream, ref, "q185_streaming_drift") { (_, verdict) =>
         verdict.collect().foreach { r =>
-          acc.add(Row(acc.size.toLong, r.getLong(0), r.getDouble(1)))
+          if (r.getLong(0) > 0L)
+            acc.add(Row(acc.size.toLong, r.getLong(0), r.getDouble(1)))
         }
       }
     }
@@ -585,7 +591,7 @@ object Scoring {
        |    (coalesce(c.c, 0) + 1.0)
        |      / ((SELECT count(*) FROM tok WHERE d < 8) + $DsirBuckets.0) AS q
        |  FROM range($DsirBuckets) r LEFT JOIN refc c ON r.range = c.b),
-       |bat AS (SELECT CASE WHEN d = 8 THEN 0 ELSE 1 END AS batch_id, b
+       |bat AS (SELECT dense_rank() OVER (ORDER BY d) - 1 AS batch_id, b
        |  FROM tok WHERE d >= 8),
        |bcnt AS (SELECT batch_id, b, count(*) AS c FROM bat GROUP BY 1, 2),
        |grid AS (SELECT g.batch_id, r.range AS b
