@@ -752,11 +752,99 @@ object Scoring {
       .orderBy(col("hybrid").desc, col("doc_id")).limit(10)
   }
 
+  // --------------------------------------------------------------- q189
+  /** Reciprocal-rank fusion (Cormack et al. 2009): the OTHER standard
+    * way to combine lexical and dense retrieval — fuse by RANK
+    * position (`Σ 1/(k + rank)`, k = 60) instead of q188's score
+    * blend. Production systems often prefer RRF exactly because it
+    * needs no score normalization; for the grading gate it has the
+    * added property that ranks are INTEGERS (dense_rank over the
+    * rounded per-system scores with doc_id tie-breaks), so the fused
+    * score is a sum of exact rationals — rounded once at the end, no
+    * cross-engine float-ordering hazard anywhere upstream.
+    *
+    * Scale shape: both rank lists are top-[[HybridCand]] candidate
+    * sets (the BM25 relation is candidates-only by construction; the
+    * cosine side ranks the embedding table against the broadcast
+    * query vector — one scan, TakeOrdered). The fusion is a
+    * full-outer join of two ≤50-row lists: driver-trivial, and the
+    * absent-from-one-list doc simply contributes one term — RRF's
+    * standard missing-rank semantics, no silent drops. */
+  val RrfK = 60
+
+  def q189RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val qv: Seq[Float] = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    // TakeOrdered top-K FIRST, then rank the tiny result — a global
+    // row_number window over the unlimited relation would funnel the
+    // whole table through one partition at scale
+    val lexRank = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val denseRank = emb
+      .withColumn("qv", typedLit(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(expr("graft_cosine(embedding, qv)"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(HybridCand)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("dense_rank"))
+    lexRank.join(denseRank, Seq("doc_id"), "full_outer")
+      // rrf computed BEFORE the ranks are re-aliased to their
+      // coalesced display forms: a sibling expression in one select
+      // can lateral-bind to the NEW alias (never null) and silently
+      // award missing ranks 1/(0+k) — the q55 alias-shadowing bug
+      // class. null rank + k stays null; coalesce supplies the
+      // missing-list 0 term, RRF's standard semantics.
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("lex_rank") + lit(RrfK)), lit(0.0)) +
+        coalesce(lit(1.0) / (col("dense_rank") + lit(RrfK)), lit(0.0)), 6))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).cast("int").as("dense_rank"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
+  val q189Sql: String = {
+    val dim = graft.pipeline.Similarity.Dim
+    s"""$bm25SqlCtes,
+       |lex AS (SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM bm) WHERE lex_rank <= $HybridCand),
+       |qv AS (SELECT embedding AS qe,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+       |  FROM embeddings WHERE vec_id = 0),
+       |dns AS (SELECT doc_id, dense_rank FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY
+       |        round(list_sum(list_transform(range($dim), k ->
+       |            CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding,
+       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6)
+       |        DESC, e.vec_id) AS dense_rank
+       |    FROM embeddings e CROSS JOIN qv v) WHERE dense_rank <= $HybridCand)
+       |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |  CAST(coalesce(l.lex_rank, 0) AS INT) AS lex_rank,
+       |  CAST(coalesce(d.dense_rank, 0) AS INT) AS dense_rank,
+       |  round(coalesce(1.0 / (l.lex_rank + $RrfK), 0)
+       |      + coalesce(1.0 / (d.dense_rank + $RrfK), 0), 6) AS rrf
+       |FROM lex l FULL OUTER JOIN dns d ON l.doc_id = d.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_source_drift" -> (q181SourceDrift _),
     "q185_streaming_drift" -> (q185StreamingDrift _),
     "q187_bm25" -> (q187Bm25 _),
     "q188_hybrid_rerank" -> (q188HybridRerank _),
+    "q189_rrf_fusion" -> (q189RrfFusion _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
@@ -771,6 +859,7 @@ object Scoring {
     "q185_streaming_drift" -> q185Sql,
     "q187_bm25" -> q187Sql,
     "q188_hybrid_rerank" -> q188Sql,
+    "q189_rrf_fusion" -> q189Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,
