@@ -62,9 +62,13 @@ object Bench {
     //   1. admission: a query only starts if elapsed + its predicted
     //      cost (prior-round sidecar time × the run's observed
     //      inflation) fits the budget;
-    //   2. watchdog: each query runs under a hard timeout of the
-    //      remaining budget — on expiry its job group is cancelled,
-    //      it reports -1, and everything else is skipped;
+    //   2. watchdog: each query runs under a hard timeout of
+    //      min(remaining budget, SpikeK × its predicted cost) — on a
+    //      spike-cap expiry only THAT query reports -1 and the walk
+    //      continues (r11: q84 spiked 37× its prediction, ran 57.9 s
+    //      against a remaining-budget-only deadline, and starved the
+    //      34 costliest queries); only a remaining-budget expiry
+    //      stops admission;
     //   3. the legacy elapsed-only check, as a belt-and-braces floor.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(_.toIntOption).getOrElse(240)
@@ -73,6 +77,28 @@ object Bench {
     // invisible driver-window time (→ rc 124 with no metric line)
     val benchStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
+    var deadlineBlown = false
+    // A timed-out run whose job group would not cancel inside the
+    // grace loop keeps executing in the shared local JVM and
+    // contends with — i.e. inflates — every measurement taken while
+    // it lives (r11 advice: a zombie WARM-UP contaminating the very
+    // ref numbers the warm-up exists to protect). Block until it
+    // settles or the budget dies trying: a truncated artifact beats
+    // a silently dirty one.
+    def settleZombie(leftover: Option[scala.concurrent.Future[Boolean]],
+        what: String): Unit = leftover.foreach { fut =>
+      val wait = math.max(1.0, budgetSec - elapsed())
+      System.err.println(
+        f"[bench] waiting up to $wait%.0f s for $what zombie to settle")
+      try {
+        scala.concurrent.Await.ready(fut, scala.concurrent.duration
+          .Duration(wait, java.util.concurrent.TimeUnit.SECONDS)); ()
+      } catch { case _: concurrent.TimeoutException =>
+        System.err.println(
+          s"[bench] $what zombie did not settle; deadline blown")
+        deadlineBlown = true
+      }
+    }
     val prior = readPriorSidecar(expectSf = sfDir)
     val allNames = SparkEntry.queries.keys.toSeq
     val ordered = orderForBudget(allNames, prior)
@@ -86,7 +112,11 @@ object Bench {
     runWithWatchdog(spark, "session warm-up",
       (s, d) => s.read.parquet(s"$d/nation.parquet")
         .groupBy("n_regionkey").count(),
-      sfDir, math.max(5.0, budgetSec * 0.1))
+      sfDir, math.max(5.0, budgetSec * 0.1)) match {
+      case WatchdogOutcome.TimedOut(leftover) =>
+        settleZombie(leftover, "session warm-up")
+      case _ => ()
+    }
     // warm the seven BASELINE analogues themselves (untimed): they
     // run FIRST in the measured walk, and a cold first position
     // otherwise charges them the JVM's early-JIT phase (measured
@@ -102,7 +132,12 @@ object Bench {
       .foreach { name =>
         val left = warmCap - elapsed()
         if (left > 1.0)
-          runWithWatchdog(spark, s"$name (warm-up)", byName(name), sfDir, left)
+          runWithWatchdog(spark, s"$name (warm-up)", byName(name),
+              sfDir, left) match {
+            case WatchdogOutcome.TimedOut(leftover) =>
+              settleZombie(leftover, s"$name warm-up")
+            case _ => ()
+          }
       }
     // a crashed or cancelled warm-up run must not leak its pinned
     // working sets into the measured refs it exists to protect —
@@ -120,10 +155,13 @@ object Bench {
       if (ratios.isEmpty) 1.0
       else math.min(20.0, math.max(0.25, median(ratios.toSeq)))
     val medianPrior = if (prior.isEmpty) 1.0 else median(prior.values.toSeq)
-    def predicted(name: String): Double =
-      prior.getOrElse(name, medianPrior) * inflation * runs
+    // per-RUN prediction feeds the spike-cap deadline; per-QUERY
+    // prediction (× runs) feeds admission, which reasons about total
+    // budget consumption
+    def predictedOne(name: String): Double =
+      prior.getOrElse(name, medianPrior) * inflation
+    def predicted(name: String): Double = predictedOne(name) * runs
     var skipped = List.empty[String]
-    var deadlineBlown = false
     val results = ordered.flatMap { name =>
       val fn = byName(name)
       val isRef = refQueryShorts.contains(shortKey(name))
@@ -141,13 +179,30 @@ object Bench {
         val times = (1 to runs).map { _ =>
           if (deadlineBlown) -1.0
           else {
+            // Two bounds (r11 verdict #1): the remaining budget AND
+            // SpikeK × this query's predicted per-run cost. An
+            // in-run interference spike (q84: 1.6 s predicted,
+            // 57.9 s actual in r11) now costs at most K× its
+            // prediction and is recorded -1 like any crash — the
+            // saved budget measures the tail it used to starve.
             val remaining = math.max(5.0, budgetSec - elapsed())
-            runWithWatchdog(spark, name, fn, sfDir, remaining) match {
-              case Some(t) => t
-              case None =>
-                System.err.println(
-                  "[bench] deadline blown; remaining queries will be skipped")
-                deadlineBlown = true; -1.0
+            val deadline = runDeadline(remaining, predictedOne(name))
+            runWithWatchdog(spark, name, fn, sfDir, deadline) match {
+              case WatchdogOutcome.Done(t) => t
+              case WatchdogOutcome.TimedOut(leftover) =>
+                settleZombie(leftover, name)
+                if (deadline < remaining) {
+                  // spike-cap kill: only THIS query failed; keep
+                  // walking unless the zombie wait blew the budget
+                  System.err.println(f"[bench] $name spiked past its " +
+                    f"$deadline%.1f s cap (${SpikeK}%.0f x predicted); " +
+                    "marked -1, walk continues")
+                  -1.0
+                } else {
+                  System.err.println(
+                    "[bench] deadline blown; remaining queries will be skipped")
+                  deadlineBlown = true; -1.0
+                }
             }
           }
         }
@@ -194,18 +249,45 @@ object Bench {
     spark.stop()
   }
 
+  /** Spike-cap multiplier: a query's per-run watchdog deadline is at
+    * most SpikeK × its predicted cost (and at least 5 s, and never
+    * more than the remaining budget). K=8 bounds a roaming
+    * interference spike to ~8× while leaving honest 2-4× cold-run /
+    * loaded-box inflation (the observed envelope) untouched. */
+  val SpikeK = 8.0
+
+  /** Per-run watchdog deadline (r11 verdict #1). `remainingSec` is
+    * the caller-floored remaining budget; the 5 s floor on the spike
+    * cap keeps sub-second predictions from being killed by startup
+    * jitter. BenchSpec pins this formula. */
+  def runDeadline(remainingSec: Double, predictedOneSec: Double): Double =
+    math.min(remainingSec, math.max(5.0, SpikeK * predictedOneSec))
+
+  /** Outcome of one watchdog-guarded execution. */
+  sealed trait WatchdogOutcome
+  object WatchdogOutcome {
+    /** Finished inside the deadline; sec = -1.0 for a crash (a
+      * crashed query must not masquerade as fast, but it also must
+      * not kill the whole artifact). */
+    final case class Done(sec: Double) extends WatchdogOutcome
+    /** Deadline fired. `leftover` carries the still-running future
+      * when the 10 s cancel grace loop failed to stop the job — the
+      * caller must settle it before measuring anything else (a
+      * zombie in the shared local JVM inflates every later number). */
+    final case class TimedOut(
+        leftover: Option[scala.concurrent.Future[Boolean]])
+      extends WatchdogOutcome
+  }
+
   /** One timed execution under a hard deadline. Runs the query on a
     * watchdog thread inside its own job group; if the deadline
     * passes, the group is cancelled (repeatedly, because superstep
-    * loops keep launching new jobs) and None is returned — the
-    * caller marks the query failed and stops admitting. A crash
-    * inside the deadline returns Some(-1) like before: a crashed
-    * query must not masquerade as fast, but it also must not kill
-    * the whole artifact. */
+    * loops keep launching new jobs) and TimedOut is returned with
+    * the leftover future when cancellation didn't land. */
   def runWithWatchdog(spark: org.apache.spark.sql.SparkSession,
       name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame,
-      sfDir: String, deadlineSec: Double): Option[Double] = {
+      sfDir: String, deadlineSec: Double): WatchdogOutcome = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -222,7 +304,7 @@ object Bench {
     }
     try {
       val ok = Await.result(fut, deadlineSec.seconds)
-      Some(if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      WatchdogOutcome.Done(if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     } catch { case _: concurrent.TimeoutException =>
       System.err.println(f"[bench] $name TIMED OUT after $deadlineSec%.0f s; " +
         "cancelling its job group")
@@ -233,7 +315,7 @@ object Bench {
         spark.sparkContext.cancelJobGroup(group)
         Thread.sleep(500); waited += 1
       }
-      None
+      WatchdogOutcome.TimedOut(if (fut.isCompleted) None else Some(fut))
     }
   }
 
@@ -316,9 +398,66 @@ object Bench {
       // normalize: min-of-2 hides the 2-4× cold first run
       val body = s"""{"sf": "$sfEsc", "runs": $runs, "queries": $qs}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body + "\n")
+      // r11 verdict #4: the cross-round diff runs AUTOMATICALLY after
+      // every successful full-sidecar write, so its report is
+      // committed per-round without a human remembering the tool
+      writeBenchDiff(path)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] full sidecar write failed: $e") }
   }
+
+  /** Runs tools/bench_diff.py (previous committed sidecar vs the
+    * fresh one) and persists its report as BENCH_DIFF.txt next to the
+    * sidecar. Best-effort and bounded: a missing git/python3 or a
+    * hung subprocess must never cost the bench window its metric
+    * line — the report records the failure instead. The exit code
+    * rides the report header; rc 1 = flagged like-for-like timing
+    * moves or NEW crashes (crashes flag regardless of like-for-like,
+    * per the r11 advice). */
+  def writeBenchDiff(fullPath: String): Unit =
+    try {
+      val report = new StringBuilder
+      val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
+      try {
+        runBounded(Seq("git", "show", s"HEAD:$fullPath"), 10) match {
+          case Some((0, body)) =>
+            java.nio.file.Files.writeString(prev, body)
+            runBounded(Seq("python3", "tools/bench_diff.py",
+                prev.toString, fullPath), 30) match {
+              case Some((rc, out)) =>
+                report ++= s"# tools/bench_diff.py HEAD:$fullPath vs fresh; " +
+                  s"exit $rc (1 = like-for-like timing flags or new crashes)\n"
+                report ++= out
+              case None =>
+                report ++= "# bench_diff.py unavailable or timed out\n"
+            }
+          case _ =>
+            report ++= s"# no committed $fullPath to diff against\n"
+        }
+      } finally java.nio.file.Files.deleteIfExists(prev)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DIFF.txt"), report.toString)
+      System.err.println("[bench] cross-round diff written to BENCH_DIFF.txt")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench diff skipped: $e") }
+
+  /** Run a subprocess with stderr folded into stdout, killed past
+    * `sec` seconds. The output is drained on a separate thread so a
+    * report larger than the pipe buffer cannot deadlock the wait. */
+  private def runBounded(cmd: Seq[String], sec: Long): Option[(Int, String)] =
+    try {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val out = scala.concurrent.Future {
+        new String(p.getInputStream.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      if (!p.waitFor(sec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); None
+      } else Some((p.exitValue(), scala.concurrent.Await.result(out,
+        scala.concurrent.duration.Duration(5,
+          java.util.concurrent.TimeUnit.SECONDS))))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 1-minute load average at bench start/end, embedded in the metric
     * line so a loaded-box round is distinguishable from a regression

@@ -308,6 +308,42 @@ object Iterative {
       .orderBy(col("k"))
   }
 
+  /** q22's MatMul restated as the reference's ACTUAL device shape
+    * (TestMatrixMultiplication.java:159-187 `TestMatrixMul.map`: each
+    * row of A maps to a FULL output row — one dot against every
+    * broadcast-matrix column, `matrix2` read from a broadcast
+    * variable in open()): one projection per A row emitting the 32
+    * per-B-row dots as top-level `graft_dot` aliases, B collected
+    * once into array literals (32×64 floats — bounded model state,
+    * the reference's broadcast set). SIXTH seam-covered reference
+    * workload class — the map side of workload #1, the only one of
+    * the seven whose inner loop the dot-kernel seam didn't already
+    * cover (q22 itself grades the join-shaped restatement with ONE
+    * dot per row pair; the device kernel batches all 32). With the
+    * seam flag off this runs whole-stage codegen over
+    * [[graft.plans.DotProduct]]; with it on, the batch kernel —
+    * DotKernelSpec dual-runs both bit-equal and checks each dot
+    * against graded q22 within the reference's 0.01 dual-run gate.
+    * Returns (dot batch, B vec_ids in alias order). */
+  private[graft] def matmulDotBatch(
+      spark: SparkSession, dir: String): (DataFrame, Array[Long]) = {
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val bRows = emb.filter(col("vec_id") >= 32 && col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+    val a = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val lifted = a.select(
+      Seq(col("i"), col("ea")) ++ bRows.zipWithIndex.map { case ((_, v), j) =>
+        typedLit(v).as(s"bw$j") }: _*)
+    val dotted = lifted.selectExpr(
+      Seq("i") ++ bRows.indices.map(j => s"graft_dot(ea, bw$j) AS d$j"): _*)
+    (dotted, bRows.map(_._1))
+  }
+
   /** q23's ASSIGN step (KMeans.java:118-129 SelectNearestCenter: a
     * map over points with the centroids broadcast, each point scored
     * against every centroid) restated as the device shape GPU kmeans

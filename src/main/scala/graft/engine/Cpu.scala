@@ -25,16 +25,36 @@ object Cpu {
     * plan's post-AQE partitioning anyway. `optimizedPlan.stats` costs
     * one logical-optimization pass that execution pays regardless.
     * Estimate below cores × maxPartitionBytes ⇒ the scan cannot yield
-    * cores splits ⇒ repartition; the known trade is a handful of huge
-    * NON-splittable files (gzip) passing the size gate while arriving
-    * as few splits — none of this engine's sources are gzip text.
+    * cores splits ⇒ repartition. Two known blind spots, both handled
+    * or accepted:
+    *  - RDD-backed plans (LogicalRDD: localCheckpoint results,
+    *    MemoryStream / foreachBatch micro-batches) have no size
+    *    statistics and report the `defaultSizeInBytes` sentinel
+    *    (Long.MaxValue by default), which would always pass the size
+    *    gate and silently drop the guaranteed parallelism. For those
+    *    the RDD already EXISTS inside the plan node, so its partition
+    *    count is free to read — no second physical plan is built —
+    *    and the gate falls back to partitions < cores.
+    *  - A handful of huge NON-splittable files (gzip) pass the size
+    *    gate while arriving as few splits — accepted; none of this
+    *    engine's sources are gzip text.
     */
   def spread(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val cores = sess.sparkContext.defaultParallelism
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(cores) * maxSplit) df.repartition(cores) else df
+    val plan = df.queryExecution.optimizedPlan
+    val est = plan.stats.sizeInBytes
+    if (est == sess.sessionState.conf.defaultSizeInBytes) {
+      // stats unknown (sentinel): gate on the embedded RDD's actual
+      // partition count instead; an unknown-stats plan with no
+      // LogicalRDD leaf keeps today's pass-through behavior
+      val parts = plan.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.getNumPartitions
+      }
+      if (parts.exists(_ < cores)) df.repartition(cores) else df
+    } else if (est < BigInt(cores) * maxSplit) df.repartition(cores) else df
   }
 
   /** Explode an EXPENSIVE computed array (per-gram digests, shingle

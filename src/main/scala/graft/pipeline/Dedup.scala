@@ -994,21 +994,19 @@ object Dedup {
     * was only a ScalaTest pin; this row makes the DuckDB gate
     * exercise a real StreamingQuery.
     *
-    * Driver-side pieces are grading harness, not operator: a
-    * MemoryStream source is driver-fed by definition, and the sink
-    * accumulates one bounded verdict row per ingest doc (production
-    * sinks write to a table). The probe itself — fingerprint, census
-    * anti-join, df-capped equi-join — runs distributed inside each
-    * micro-batch exactly as in q180. */
+    * The ingest rides [[graft.streaming.FileDrip]] — the same
+    * watched-directory file source q185/q186 use — so NO corpus text
+    * ever passes through the driver (the r11 MemoryStream form
+    * collect()ed the whole ingest split to feed it; the in-memory
+    * source itself keeps its coverage in DedupSpec's MemoryStream
+    * twin). Driver-side pieces are grading harness, not operator:
+    * the sink accumulates one bounded verdict row per ingest doc
+    * (production sinks write to a table). The probe itself —
+    * fingerprint, census anti-join, df-capped equi-join — runs
+    * distributed inside each micro-batch exactly as in q180. */
   def q184StreamingWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // explicit encoder, not spark.implicits: the TypeTag-based product
-    // encoder needs scala-reflect machinery that breaks under the
-    // driver's plain-java launch (Types$RefinedType MatchError)
-    implicit val enc: Encoder[(Long, String)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val sel = winnowCorpusCache.get(spark, dir)
     // the streaming posture probes the index ONCE PER TRIGGER: unlike
     // q180's one-shot (each leg read once), lazy legs here would
@@ -1021,18 +1019,15 @@ object Dedup {
       val ingest = graft.sources.Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 >= 8)
         .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      val (b1, b2) = ingest.partition(_._1 % 10 == 8)
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      val q = graft.streaming.Streams.streamingWinnowDedup(
-        ms.toDF().toDF("doc_id", "text"), index, "q184_streaming_winnow") { v =>
-        v.collect().foreach(acc.add)
+      graft.streaming.FileDrip.drive(Seq(
+        ingest.filter(col("doc_id") % 10 === 8),
+        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+        graft.streaming.Streams.streamingWinnowDedup(
+          stream, index, "q184_streaming_winnow") { v =>
+          v.collect().foreach(acc.add)
+        }
       }
-      try {
-        ms.addData(b1.toSeq); q.processAllAvailable()
-        ms.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("matched_old", LongType),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -739,6 +739,15 @@ object Scoring {
     val cand = bm25Scores(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand)
       .localCheckpoint(true)
+    hybridFrom(cand, emb, qv)
+  }
+
+  /** The q188 rerank from an already-materialized candidate relation
+    * — shared with q190's eval harness so ONE BM25 pass feeds every
+    * ranking it grades (three independent bm25Scores lineages inside
+    * one query would re-run the token shuffle three times). */
+  private def hybridFrom(cand: DataFrame, emb: DataFrame,
+      qv: Seq[Float]): DataFrame = {
     val mx = cand.agg(max(col("bm25")).as("mx"))
     cand.join(emb.select(col("vec_id").as("doc_id"),
         col("embedding")), Seq("doc_id"), "left_outer")
@@ -777,11 +786,19 @@ object Scoring {
     val emb = Tables.embeddings(spark, dir)
     val qv: Seq[Float] = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).collect().head.getSeq[Float](0)
+    rrfFrom(bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand), emb, qv)
+  }
+
+  /** The q189 fusion from an already-built top-[[HybridCand]] BM25
+    * candidate relation — shared with q190 (same reason as
+    * [[hybridFrom]]). */
+  private def rrfFrom(cand: DataFrame, emb: DataFrame,
+      qv: Seq[Float]): DataFrame = {
     // TakeOrdered top-K FIRST, then rank the tiny result — a global
     // row_number window over the unlimited relation would funnel the
     // whole table through one partition at scale
-    val lexRank = bm25Scores(spark, dir)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand)
+    val lexRank = cand
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
@@ -839,12 +856,159 @@ object Scoring {
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------------- q190
+  /** Retrieval evaluation metrics — nDCG@k, recall@k, precision@k of
+    * the three retrieval rankings (q187 BM25, q188 hybrid rerank,
+    * q189 RRF fusion) against a deterministic relevance rule: a
+    * document's grade is the number of DISTINCT [[Bm25Query]] terms
+    * it contains (0-3) — the token-overlap relevance any eval harness
+    * can compute without human labels, and what a RAG pipeline
+    * reports next to its rankings.
+    *
+    * Grading-stable by construction: relevance grades and ranks are
+    * INTEGERS, gains are exact ((1 << rel) − 1 ∈ {0,1,3,7}), each
+    * DCG term is rounded to 6 before summing (the ln-based log2
+    * denominator is the only float input, computed identically from
+    * integer ranks on both engines — the libm rule), and every final
+    * metric re-rounds once. Scale shape: ONE materialized BM25
+    * candidate relation feeds all three rankings (the shared
+    * [[hybridFrom]]/[[rrfFrom]] seams); the relevance relation
+    * filters to query terms BEFORE its one tiny shuffle; every list
+    * is ≤k rows before any window. */
+  val EvalK = 10
+
+  def q190RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val qv: Seq[Float] = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    // one BM25 pass; the checkpoint feeds the lex list, the hybrid
+    // rerank, and the RRF lex leg
+    val cand = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(HybridCand)
+      .localCheckpoint(true)
+    def top10(df: DataFrame, score: Column): DataFrame =
+      df.orderBy(score.desc, col("doc_id")).limit(EvalK)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(score.desc, col("doc_id"))))
+        .select(col("doc_id"), col("rn"))
+    val lists = Seq(
+      "bm25" -> top10(cand, col("bm25")),
+      "hybrid" -> top10(hybridFrom(cand, emb, qv), col("hybrid")),
+      "rrf" -> top10(rrfFrom(cand, emb, qv), col("rrf")))
+    // relevance: distinct query terms per doc — filtered to the 3
+    // query terms BEFORE the shuffle, so the agg input is tiny.
+    // Materialized once: it feeds the ideal ranking, the total-
+    // relevant scalar, and all three per-list joins.
+    val rel = graft.engine.Cpu.explodeComputed(
+        Tables.documents(spark, dir), Seq(col("doc_id")),
+        split(col("text"), " "), "t")
+      .filter(col("t").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("t")).cast("int").as("rel"))
+      .localCheckpoint(true)
+    // gain (1 << rel) − 1 ∈ {0,1,3,7}: the DataFrame shiftleft only
+    // takes a literal shift, so the column-shift goes through expr
+    val gain = expr("shiftleft(1, rel)") - lit(1)
+    def dcgTerm(rnCol: Column): Column =
+      round(gain.cast("double") / (log(rnCol + lit(1)) / log(lit(2.0))), 6)
+    val idcgRow = rel
+      .orderBy(col("rel").desc, col("doc_id")).limit(EvalK)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id"))))
+      .agg(sum(dcgTerm(col("rn"))).as("idcg"))
+    val totRow = rel.agg(count(lit(1)).cast("double").as("totrel"))
+    val evals = lists.map { case (sys, lst) =>
+      lst.join(rel, Seq("doc_id"), "left_outer")
+        .na.fill(0, Seq("rel"))
+        .agg(sum(dcgTerm(col("rn"))).as("dcg"),
+          sum(when(col("rel") > 0, 1).otherwise(0)).cast("double").as("nrel"))
+        .crossJoin(broadcast(idcgRow)).crossJoin(broadcast(totRow))
+        .select(lit(sys).as("system"),
+          when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+            .otherwise(lit(0.0)).as("ndcg10"),
+          when(col("totrel") > 0, round(col("nrel") / col("totrel"), 6))
+            .otherwise(lit(0.0)).as("recall10"),
+          round(col("nrel") / lit(EvalK.toDouble), 6).as("precision10"))
+    }
+    evals.reduce(_.unionByName(_)).orderBy(col("system"))
+  }
+
+  val q190Sql: String = {
+    val dim = graft.pipeline.Similarity.Dim
+    s"""$bm25SqlCtes,
+       |cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridCand),
+       |qv AS (SELECT embedding AS qe,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+       |  FROM embeddings WHERE vec_id = 0),
+       |hybs AS (SELECT c.doc_id,
+       |    round(0.5 * c.bm25 / (SELECT max(bm25) FROM cand)
+       |      + 0.5 * coalesce(round(list_sum(list_transform(range($dim), k ->
+       |          CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
+       |        / (sqrt(list_sum(list_transform(e.embedding,
+       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6),
+       |        0.0), 6) AS hybrid
+       |  FROM cand c CROSS JOIN qv v
+       |  LEFT JOIN embeddings e ON e.vec_id = c.doc_id),
+       |lexl AS (SELECT doc_id, rn FROM (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM cand)
+       |  WHERE rn <= $EvalK),
+       |hybl AS (SELECT doc_id, rn FROM (SELECT doc_id,
+       |    row_number() OVER (ORDER BY hybrid DESC, doc_id) AS rn FROM hybs)
+       |  WHERE rn <= $EvalK),
+       |lexr AS (SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM cand) WHERE lex_rank <= $HybridCand),
+       |dns AS (SELECT doc_id, dense_rank FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY
+       |        round(list_sum(list_transform(range($dim), k ->
+       |            CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding,
+       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6)
+       |        DESC, e.vec_id) AS dense_rank
+       |    FROM embeddings e CROSS JOIN qv v) WHERE dense_rank <= $HybridCand),
+       |rrfs AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    round(coalesce(1.0 / (l.lex_rank + $RrfK), 0)
+       |        + coalesce(1.0 / (d.dense_rank + $RrfK), 0), 6) AS rrf
+       |  FROM lexr l FULL OUTER JOIN dns d ON l.doc_id = d.doc_id),
+       |rrfl AS (SELECT doc_id, rn FROM (SELECT doc_id,
+       |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM rrfs)
+       |  WHERE rn <= $EvalK),
+       |rel AS (SELECT doc_id, CAST(count(DISTINCT t) AS INT) AS rel
+       |  FROM qtf GROUP BY doc_id),
+       |idcg AS (SELECT sum(round(CAST((1 << rel) - 1 AS DOUBLE)
+       |      / (ln(rn + 1) / ln(2)), 6)) AS idcg
+       |  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+       |        FROM rel) WHERE rn <= $EvalK),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS totrel FROM rel),
+       |lists AS (
+       |  SELECT 'bm25' AS system, doc_id, rn FROM lexl
+       |  UNION ALL SELECT 'hybrid', doc_id, rn FROM hybl
+       |  UNION ALL SELECT 'rrf', doc_id, rn FROM rrfl),
+       |ev AS (SELECT l.system,
+       |    sum(round(CAST((1 << coalesce(r.rel, 0)) - 1 AS DOUBLE)
+       |      / (ln(l.rn + 1) / ln(2)), 6)) AS dcg,
+       |    CAST(sum(CASE WHEN coalesce(r.rel, 0) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nrel
+       |  FROM lists l LEFT JOIN rel r ON l.doc_id = r.doc_id
+       |  GROUP BY l.system)
+       |SELECT e.system,
+       |  CASE WHEN i.idcg > 0 THEN round(e.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg10,
+       |  CASE WHEN t.totrel > 0 THEN round(e.nrel / t.totrel, 6) ELSE 0.0 END AS recall10,
+       |  round(e.nrel / $EvalK.0, 6) AS precision10
+       |FROM ev e CROSS JOIN idcg i CROSS JOIN tot t
+       |ORDER BY e.system""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_source_drift" -> (q181SourceDrift _),
     "q185_streaming_drift" -> (q185StreamingDrift _),
     "q187_bm25" -> (q187Bm25 _),
     "q188_hybrid_rerank" -> (q188HybridRerank _),
     "q189_rrf_fusion" -> (q189RrfFusion _),
+    "q190_retrieval_eval" -> (q190RetrievalEval _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
@@ -860,6 +1024,7 @@ object Scoring {
     "q187_bm25" -> q187Sql,
     "q188_hybrid_rerank" -> q188Sql,
     "q189_rrf_fusion" -> q189Sql,
+    "q190_retrieval_eval" -> q190Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,

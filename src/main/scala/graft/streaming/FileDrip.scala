@@ -4,13 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Deterministic driver for the FILE-SOURCE streaming posture the
-  * graded streaming rows (q185, q186) exercise: parquet batches drop
-  * into a watched directory one at a time, the stream drains after
-  * each drop, so every batch becomes exactly one trigger. One audited
-  * implementation of the write→drain→stop→cleanup protocol — the
-  * review finding behind this file was two verbatim copies of it
-  * drifting independently (q184's MemoryStream twin stays separate on
-  * purpose: it exercises the in-memory source instead).
+  * graded streaming rows (q184, q185, q186) exercise: parquet batches
+  * drop into a watched directory one at a time, the stream drains
+  * after each drop, so every batch becomes exactly one trigger. One
+  * audited implementation of the write→drain→stop→cleanup protocol —
+  * the review finding behind this file was two verbatim copies of it
+  * drifting independently. (The in-memory MemoryStream source keeps
+  * its own coverage in DedupSpec's streaming-winnow twin; the graded
+  * rows all use the file source so no corpus text passes through the
+  * driver.)
   *
   * Driver-side by design: this is the grading/ingest harness around a
   * distributed probe, not an operator. The per-trigger work runs in

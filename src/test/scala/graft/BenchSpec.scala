@@ -147,6 +147,26 @@ class BenchSpec extends AnyFunSuite {
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("per-run watchdog deadline: spike-capped at K x predicted, floored, bounded") {
+    // r11 verdict #1: q84 was admitted at a 1.6 s prediction, spiked
+    // to 57.9 s against a remaining-budget-only deadline (~100 s),
+    // and starved the 34 costliest queries. The deadline is now
+    // min(remaining, max(5, SpikeK x predictedOne)).
+    assert(Bench.SpikeK == 8.0)
+    // the r11 q84 scenario: 1.6 s predicted, ~100 s remaining — the
+    // spike now costs at most 12.8 s, not 57.9
+    assert(Bench.runDeadline(100.0, 1.6) == 12.8)
+    // tiny predictions are floored at 5 s (startup jitter must not
+    // kill sub-second queries)
+    assert(Bench.runDeadline(100.0, 0.1) == 5.0)
+    // the remaining budget is always the upper bound
+    assert(Bench.runDeadline(10.0, 5.0) == 10.0)
+    // a spike-cap deadline is strictly below remaining exactly when
+    // the cap binds — the walk-continues-vs-blown discriminator
+    assert(Bench.runDeadline(100.0, 1.6) < 100.0)
+    assert(!(Bench.runDeadline(10.0, 5.0) < 10.0))
+  }
+
   test("every reference benchmark maps to a registered query") {
     val shorts = SparkEntry.queries.keys.map(Bench.shortKey).toSet
     Bench.RefBenchmarks.foreach { case (name, q) =>

@@ -410,6 +410,42 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     assert(base == graded, s"dot-space assign $base vs graded q23 $graded")
   }
 
+  test("MatMul row-map routes through the dot-kernel seam (sixth kernel workload)") {
+    // the reference's TestMatrixMul.map (TestMatrixMultiplication
+    // .java:159-187) maps each A row to a FULL output row — one dot
+    // per broadcast-matrix column — the device batch shape; q22
+    // grades the join-shaped restatement with one dot per row pair,
+    // this covers the map side's 32-dots-per-row inner loop
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
+    def run(s: SparkSession): Seq[(Long, Long, Double)] = {
+      val (batch, bIds) = graft.analytics.Iterative.matmulDotBatch(s, sf)
+      batch.orderBy("i").collect().flatMap { r =>
+        bIds.indices.map(j => (r.getLong(0), bIds(j), r.getDouble(1 + j)))
+      }.toSeq
+    }
+    val (plain, _) = graft.analytics.Iterative.matmulDotBatch(spark, sf)
+    assert(!planString(plain).contains("DotKernelProject"),
+      "kernel exec must stay off by default")
+    val (swapped, _) = graft.analytics.Iterative.matmulDotBatch(kernel, sf)
+    assert(planString(swapped).contains("DotKernelProject"),
+      "enabled session must plan the kernel operator:\n" + planString(swapped))
+    val base = run(spark)
+    val kern = run(kernel)
+    assert(base.length == 32 * 32 && kern.length == base.length)
+    // same float fold on both paths: bit equality, not just tolerance
+    assert(base == kern, "codegen vs kernel mismatch")
+    // and against the graded q22 (same floats, rounded to 4) within
+    // the reference's cross-device dual-run gate
+    val graded = graft.analytics.Iterative.q22MatMul(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(graded.size == base.length)
+    base.foreach { case (i, j, v) =>
+      assert(math.abs(v - graded((i, j))) <= 0.01,
+        s"($i,$j): kernel $v vs graded ${graded((i, j))}")
+    }
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")

@@ -294,6 +294,51 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q190 retrieval eval metrics match a driver-side recomputation") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // relevance grade: distinct query terms present (0-3)
+    val rel = docs.map { case (id, text, _, _) =>
+      id -> Scoring.Bm25Query.count(tokens(text).contains(_))
+    }.filter(_._2 > 0).toMap
+    def dcg(ranked: Seq[Long]): Double =
+      ranked.zipWithIndex.map { case (id, i) =>
+        val gain = ((1 << rel.getOrElse(id, 0)) - 1).toDouble
+        r6(gain / (math.log(i + 2.0) / math.log(2.0)))
+      }.sum
+    val idcg = dcg(rel.toSeq.sortBy { case (id, g) => (-g, id) }
+      .take(Scoring.EvalK).map(_._1))
+    val totrel = rel.size.toDouble
+    // the three ranked lists from the graded rankings themselves
+    // (their own specs/oracles pin the scores; this spec pins the
+    // METRIC fold over them)
+    val lists = Map(
+      "bm25" -> Scoring.q187Bm25(spark, sf).collect()
+        .map(_.getLong(0)).take(Scoring.EvalK).toSeq,
+      "hybrid" -> Scoring.q188HybridRerank(spark, sf).collect()
+        .map(_.getLong(0)).take(Scoring.EvalK).toSeq,
+      "rrf" -> Scoring.q189RrfFusion(spark, sf).collect()
+        .map(_.getLong(0)).take(Scoring.EvalK).toSeq)
+    val got = Scoring.q190RetrievalEval(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("bm25", "hybrid", "rrf"))
+    lists.foreach { case (sys, ranked) =>
+      val (gn, gr, gp) = got(sys)
+      val nrel = ranked.count(rel.getOrElse(_, 0) > 0).toDouble
+      assert(math.abs(gn - (if (idcg > 0) r6(dcg(ranked) / idcg) else 0.0)) < 1.1e-6,
+        s"$sys ndcg: got $gn")
+      assert(math.abs(gr - (if (totrel > 0) r6(nrel / totrel) else 0.0)) < 1.1e-6,
+        s"$sys recall: got $gr")
+      assert(math.abs(gp - r6(nrel / Scoring.EvalK)) < 1.1e-6,
+        s"$sys precision: got $gp")
+      assert(gn >= 0.0 && gn <= 1.0 && gr >= 0.0 && gr <= 1.0)
+    }
+    // the fixture must actually exercise relevance (query terms DO
+    // appear in the corpus) or every metric degenerates to 0
+    assert(totrel > 0 && idcg > 0)
+  }
+
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
     val first = scala.collection.mutable.Map.empty[Long, Long]
     docs.foreach { case (id, text, _, _) =>

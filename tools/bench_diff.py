@@ -11,7 +11,9 @@ new/removed/crashed queries, and — the round-9/10 ambiguity this
 exists to kill — REFUSES to call anything a regression when the two
 artifacts were produced with different runs settings (min-of-2 hides
 the 2-4x cold first run of superstep queries) or at different sf dirs.
-Exit 1 when flagged moves exist, so a round script can surface it.
+Exit 1 when like-for-like timing moves are flagged, OR — regardless
+of like-for-like, because a crash is a correctness signal, not a
+timing ratio — when a previously-passing query newly crashes.
 """
 import json, sys
 
@@ -42,6 +44,10 @@ def main():
         print(f"[warn] sf dirs differ (old={old_sf}, new={new_sf}):"
               " cross-scale, not cross-round")
     flagged = []
+    # r11 advice: a NEW crash (old ok, new -1) is a correctness
+    # signal independent of runs/sf settings — the like-for-like
+    # suppression applies only to TIMING ratios, never to crashes
+    crashes = []
     for q in sorted(set(old) & set(new)):
         o, n = old[q], new[q]
         if o < 0 or n < 0:
@@ -50,7 +56,7 @@ def main():
                 # flagging it every round buries real moves
                 print(f"[still-crashed] {q}")
             elif n < 0:
-                flagged.append(q)
+                crashes.append(q)
                 print(f"[CRASH ] {q}: old={o:.3f} new=CRASHED")
             else:
                 print(f"[fixed ] {q}: was crashed, now {n:.3f}s")
@@ -71,9 +77,11 @@ def main():
     nt = sum(v for v in new.values() if v >= 0)
     print(f"\ntotals: old {ot:.1f}s ({len(old)} queries)"
           f" -> new {nt:.1f}s ({len(new)} queries);"
-          f" {len(flagged)} flagged"
+          f" {len(flagged)} timing flagged, {len(crashes)} new crashes"
           + ("" if like_for_like else " [NOT like-for-like — see warnings]"))
-    sys.exit(1 if flagged and like_for_like else 0)
+    # exit 1 on new crashes UNCONDITIONALLY; timing flags only count
+    # when the artifacts are like-for-like
+    sys.exit(1 if crashes or (flagged and like_for_like) else 0)
 
 
 if __name__ == "__main__":
