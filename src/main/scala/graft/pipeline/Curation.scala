@@ -45,17 +45,35 @@ object Curation {
   def piiPhones(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
 
+  /** q69's deterministic PII injection (an email on doc_id % 3 == 0,
+    * a phone on % 5 == 0) as a reusable expression over (doc_id,
+    * text) — the synthetic corpus carries no natural PII, so graded
+    * redaction surfaces (q69, q193's streaming ingest) inject it
+    * identically on both engines. [[injectPiiSql]] is the DuckDB
+    * twin. */
+  def injectPii(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    text,
+    when(docId % 3 === 0,
+      concat(lit(" contact user"), docId.cast("string"), lit("@example.com for details")))
+      .otherwise(lit("")),
+    when(docId % 5 === 0,
+      concat(lit(" call 555-"), lpad((docId % 10000).cast("string"), 4, "0"), lit(" now")))
+      .otherwise(lit("")))
+
+  /** SQL expression over columns `doc_id` and `text`, mirror of
+    * [[injectPii]]. ONE line on purpose: embedding sites run their
+    * own .stripMargin, which would eat the first `|` of a
+    * line-leading `||` operator (bit q193 on first run). */
+  val injectPiiSql: String =
+    "text || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||" +
+      " '@example.com for details' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||" +
+      " lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' ELSE '' END)"
+
   def q69PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val injected = concat(
-      col("text"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com for details")))
-        .otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
-        .otherwise(lit("")))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"), injectPii(col("doc_id"), col("text")).as("t"))
       .select(col("doc_id"),
         piiEmails(col("t")).as("n_emails"),
         piiPhones(col("t")).as("n_phones"),
@@ -66,11 +84,7 @@ object Curation {
   val q69Sql: String =
     s"""WITH inj AS (
        |  SELECT doc_id,
-       |    text
-       |      || (CASE WHEN doc_id % 3 = 0
-       |          THEN ' contact user' || doc_id || '@example.com for details' ELSE '' END)
-       |      || (CASE WHEN doc_id % 5 = 0
-       |          THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' ELSE '' END)
+       |    $injectPiiSql
        |      AS t
        |  FROM documents)
        |SELECT doc_id,

@@ -56,10 +56,12 @@ object Dedup {
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     shingleCache.get(spark, dir)
 
-  private def shingleHashesSql: String =
+  private def shingleHashesSqlFrom(rel: String): String =
     s"""SELECT doc_id, ${h60Sql("sh")} % $P AS hp
        |FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql("text")})) AS sh
-       |      FROM documents)""".stripMargin
+       |      FROM $rel)""".stripMargin
+
+  private def shingleHashesSql: String = shingleHashesSqlFrom("documents")
 
   // ---------------------------------------------------------------- q29
   /** MinHash + LSH near-dup pairs: 16 minhashes per doc (one shuffle:
@@ -167,17 +169,29 @@ object Dedup {
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
     * verified near-dup pairs; shared by the q29 listing and q62's
     * cluster resolution. */
-  private def pairsCteSql: String = {
+  /** CTE chain `sh → sig → bands → sizes` — every doc's shingle
+    * hashes, minhash signature, LSH band keys, and shingle-set size.
+    * Shared by [[pairsCteSql]] (which adds the MaxBucket cap) and
+    * q191's index-probe oracle (which, like [[dedupAgainst]], probes
+    * uncapped). */
+  private def minhashCteSqlFrom(rel: String): String = {
     val mins = (0 until MinhashK)
       .map(i => s"min((${hashA(i)}*hp + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
     val bandRows = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""sh AS ($shingleHashesSql),
+    s"""sh AS (${shingleHashesSqlFrom(rel)}),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private def minhashCteSql: String = minhashCteSqlFrom("documents")
+
+  private def pairsCteSql: String = {
+    s"""$minhashCteSql,
        |okb AS (SELECT band, key FROM bands GROUP BY band, key
        |        HAVING count(*) <= $MaxBucket),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -185,7 +199,6 @@ object Dedup {
        |          JOIN okb ON x.band = okb.band AND x.key = okb.key
        |          JOIN bands y
        |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
        |          FROM cands c
        |          JOIN sh sa ON c.doc_a = sa.doc_id
@@ -1038,9 +1051,187 @@ object Dedup {
     } finally index.unpersist()
   }
 
+  /** q78's streaming twin, graded END-TO-END — the round-11 q184
+    * conversion applied to the MinHash-LSH incremental probe: the
+    * ingest split (`doc_id % 10 >= 8`) rides
+    * [[graft.streaming.FileDrip]] in two micro-batches through an
+    * actual [[graft.streaming.Streams.streamingIncrementalDedup]]
+    * StreamingQuery against the persisted corpus [[DedupIndex]]; the
+    * foreachBatch sink's verdicts accumulate and grade against a
+    * DuckDB oracle. Per-doc verdicts depend only on (doc, frozen
+    * index), so the streamed result equals the one-shot
+    * [[dedupAgainst]] bit-for-bit regardless of batch boundaries.
+    * Until round 12 this posture was only a DedupSpec batch-twin pin.
+    *
+    * The oracle mirrors the INDEX-PROBE semantics exactly: unlike
+    * q78 (graded via q29's capped pairs), [[dedupAgainst]] probes the
+    * index bands UNCAPPED — a deployment applies the boilerplate cap
+    * when BUILDING the stored index, not per probe — so q191's SQL
+    * derives candidates without the MaxBucket filter and restricted
+    * to new×old, exactly what the probe computes. (On the driver
+    * corpora the cap is neutral — DedupSpec pins that — so q78 and
+    * q191 also agree with each other there.)
+    *
+    * Driver-side pieces are grading harness, not operator: the sink
+    * accumulates one bounded verdict row per ingest doc. The probe
+    * itself — batch shingles/minhash/bands, band equi-join, candidate
+    * Jaccard verification — runs distributed inside each micro-batch.
+    */
+  def q191StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val index = buildIndex(graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 < 8).select(col("doc_id"), col("text")))
+    try {
+      val ingest = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"))
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      graft.streaming.FileDrip.drive(Seq(
+        ingest.filter(col("doc_id") % 10 === 8),
+        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+        graft.streaming.Streams.streamingIncrementalDedup(
+          stream, index, "q191_streaming_dedup") { v =>
+          v.collect().foreach(acc.add)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("matched_old", LongType),
+        StructField("keep", IntegerType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+        .orderBy(col("doc_id"))
+    } finally index.unpersist()
+  }
+
+  val q191Sql: String =
+    s"""WITH $minhashCteSql,
+       |cands AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8),
+       |inter AS (SELECT c.nid, c.oid, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh sa ON c.nid = sa.doc_id
+       |  JOIN sh sb ON c.oid = sb.doc_id AND sa.hp = sb.hp
+       |  GROUP BY c.nid, c.oid),
+       |matched AS (SELECT i.nid, min(i.oid) AS matched_old
+       |  FROM inter i
+       |  JOIN sizes za ON i.nid = za.doc_id
+       |  JOIN sizes zb ON i.oid = zb.doc_id
+       |  WHERE round(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 4) >= 0.8
+       |  GROUP BY i.nid)
+       |SELECT d.doc_id, coalesce(m.matched_old, -1) AS matched_old,
+       |  CAST(m.matched_old IS NULL AS INT) AS keep
+       |FROM documents d LEFT JOIN matched m ON d.doc_id = m.nid
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The COMPOSED streaming ingest pipeline, graded END-TO-END — the
+    * full intake shape a training-data pipeline runs per micro-batch
+    * ([[graft.streaming.Streams.ingestPipeline]]): quality gate
+    * (frozen linear classifier, one narrow expression inside the
+    * stream) → PII redaction (narrow regex scrub) → near-dup verdict
+    * against the persisted corpus [[DedupIndex]]. One verdict row per
+    * SURVIVING ingest doc: (doc_id, quality_prob, redacted text,
+    * matched_old, keep). Until round 12 this composition was only a
+    * DedupSpec batch-twin pin.
+    *
+    * The synthetic corpus carries no natural PII, so the ingest split
+    * is fed through [[graft.pipeline.Curation.injectPii]] (q69's
+    * deterministic injection) — the in-stream redaction is then
+    * NON-vacuous and the dedup probe hashes the redacted text, which
+    * the oracle mirrors (inject → gate on injected text → redact →
+    * union with the raw old corpus → uncapped new×old band probe).
+    * Stage order matters and is pinned by the oracle: classify BEFORE
+    * redaction (the gate scores what arrived), dedup AFTER (the index
+    * must never see raw PII). */
+  val IngestMinProb = 0.5
+
+  def q193StreamingIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val index = buildIndex(graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 < 8).select(col("doc_id"), col("text")))
+    try {
+      val ingest = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"),
+          graft.pipeline.Curation.injectPii(col("doc_id"), col("text")).as("text"))
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      graft.streaming.FileDrip.drive(Seq(
+        ingest.filter(col("doc_id") % 10 === 8),
+        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+        graft.streaming.Streams.ingestPipeline(
+          stream, index, IngestMinProb, "q193_streaming_ingest") { v =>
+          v.select(col("doc_id"), col("quality_prob"), col("text"),
+              col("matched_old"), col("keep"))
+            .collect().foreach(acc.add)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("quality_prob", DoubleType),
+        StructField("text", StringType),
+        StructField("matched_old", LongType),
+        StructField("keep", IntegerType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+        .orderBy(col("doc_id"))
+    } finally index.unpersist()
+  }
+
+  val q193Sql: String = {
+    val clfB = graft.pipeline.Scoring.ClfBuckets
+    val emailRe = graft.pipeline.Curation.EmailRe
+    val phoneRe = graft.pipeline.Curation.PhoneRe
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    ${graft.pipeline.Curation.injectPiiSql}
+       |      AS t
+       |  FROM documents WHERE doc_id % 10 >= 8),
+       |ctok AS (SELECT doc_id, ${h60Sql("t")} % $clfB AS b
+       |  FROM (SELECT doc_id, unnest(str_split(t, ' ')) AS t FROM inj)
+       |  WHERE t <> ''),
+       |gate AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(sum(((b * 2654435761) % 1000003 % 2001 - 1000) / 1000.0)
+       |      / count(*) * -8.0)), 4) AS quality_prob
+       |  FROM ctok GROUP BY doc_id),
+       |ing AS (SELECT i.doc_id,
+       |    regexp_replace(regexp_replace(i.t, '$emailRe', '<EMAIL>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g') AS text,
+       |    g.quality_prob
+       |  FROM inj i JOIN gate g USING (doc_id)
+       |  WHERE g.quality_prob > $IngestMinProb),
+       |srcrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+       |  UNION ALL SELECT doc_id, text FROM ing),
+       |${minhashCteSqlFrom("srcrel")},
+       |cands AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8),
+       |inter AS (SELECT c.nid, c.oid, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh sa ON c.nid = sa.doc_id
+       |  JOIN sh sb ON c.oid = sb.doc_id AND sa.hp = sb.hp
+       |  GROUP BY c.nid, c.oid),
+       |matched AS (SELECT i.nid, min(i.oid) AS matched_old
+       |  FROM inter i
+       |  JOIN sizes za ON i.nid = za.doc_id
+       |  JOIN sizes zb ON i.oid = zb.doc_id
+       |  WHERE round(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 4) >= 0.8
+       |  GROUP BY i.nid)
+       |SELECT g.doc_id, g.quality_prob, g.text,
+       |  coalesce(m.matched_old, -1) AS matched_old,
+       |  CAST(m.matched_old IS NULL AS INT) AS keep
+       |FROM ing g LEFT JOIN matched m ON g.doc_id = m.nid
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_winnow_incremental" -> (q180WinnowIncremental _),
     "q184_streaming_winnow" -> (q184StreamingWinnow _),
+    "q191_streaming_dedup" -> (q191StreamingDedup _),
+    "q193_streaming_ingest" -> (q193StreamingIngest _),
     "q176_fuzzy_join" -> (q176FuzzyJoin _),
     "q178_winnow_pairs" -> (q178WinnowPairs _),
     "q111_dedup_spans" -> (q111DedupSpans _),
@@ -1059,6 +1250,8 @@ object Dedup {
     // the streamed twin grades against q180's oracle verbatim: the
     // frozen census makes verdicts batch-boundary-independent
     "q184_streaming_winnow" -> q180Sql,
+    "q191_streaming_dedup" -> q191Sql,
+    "q193_streaming_ingest" -> q193Sql,
     "q176_fuzzy_join" -> q176Sql,
     "q178_winnow_pairs" -> q178Sql,
     "q111_dedup_spans" -> q111Sql,

@@ -215,6 +215,49 @@ object Similarity {
     rankLshCandidates(index.ev, probes)
   }
 
+  /** q35's streaming twin, graded END-TO-END — the round-11 q184/
+    * round-12 q191 conversion applied to online ANN serving: the
+    * query vectors (`vec_id < NQueries`) ride
+    * [[graft.streaming.FileDrip]] in two micro-batches (even, then
+    * odd qids) through an actual
+    * [[graft.streaming.Streams.streamingAnnSearch]] StreamingQuery
+    * against the persisted [[AnnIndex]]; the foreachBatch sink's
+    * top-k rows accumulate and grade against q35's oracle verbatim —
+    * per-query results depend only on (query, frozen index), so the
+    * streamed result equals the one-shot q35 regardless of batch
+    * boundaries. Until round 12 this posture was only a PipelineSpec
+    * batch-twin pin. Driver-side pieces are grading harness: the
+    * sink holds ≤ NQueries × TopK rows. The probe itself — bucket
+    * hash, band equi-join against the persisted bucketed corpus,
+    * per-query top-k — runs distributed inside each micro-batch. */
+  def q192StreamingAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val index = buildAnnIndex(spark, dir)
+    try {
+      val queries = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+      graft.streaming.FileDrip.drive(Seq(
+        queries.filter(col("qid") % 2 === 0),
+        queries.filter(col("qid") % 2 === 1))) { stream =>
+        graft.streaming.Streams.streamingAnnSearch(
+          stream, index, "q192_streaming_ann") { v =>
+          v.collect().foreach(acc.add)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("qid", LongType),
+        StructField("rank", IntegerType),
+        StructField("vec_id", LongType),
+        StructField("cosine", DoubleType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
+        .orderBy(col("qid"), col("rank"))
+    } finally index.unpersist()
+  }
+
   /** CTE chain ending in `ev(vec_id, embedding, nrm, bucket)` —
     * shared by q35 (own-bucket probe) and q65 (multi-probe). */
   private def bucketedEvCteSql: String =
@@ -1292,6 +1335,7 @@ object Similarity {
     "q141_semdedup" -> (q141SemDedup _),
     "q34_ann_bruteforce" -> (q34AnnBruteForce _),
     "q35_ann_lsh" -> (q35AnnLsh _),
+    "q192_streaming_ann" -> (q192StreamingAnn _),
     "q52_filtered_ann" -> (q52FilteredAnn _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
     "q61_ann_ivf" -> (q61AnnIvf _),
@@ -1307,6 +1351,9 @@ object Similarity {
     "q141_semdedup" -> q141Sql,
     "q34_ann_bruteforce" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
+    // the streamed twin grades against q35's oracle verbatim: the
+    // frozen index makes per-query results batch-boundary-independent
+    "q192_streaming_ann" -> q35Sql,
     "q52_filtered_ann" -> q52Sql,
     "q55_quantize_int8" -> q55Sql,
     "q61_ann_ivf" -> q61Sql,
