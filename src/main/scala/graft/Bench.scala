@@ -186,7 +186,7 @@ object Bench {
             // prediction and is recorded -1 like any crash — the
             // saved budget measures the tail it used to starve.
             val remaining = math.max(5.0, budgetSec - elapsed())
-            val deadline = runDeadline(remaining, predictedOne(name))
+            val deadline = deadlineFor(remaining, prior.get(name), inflation)
             runWithWatchdog(spark, name, fn, sfDir, deadline) match {
               case WatchdogOutcome.Done(t) => t
               case WatchdogOutcome.TimedOut(leftover) =>
@@ -263,6 +263,20 @@ object Bench {
   def runDeadline(remainingSec: Double, predictedOneSec: Double): Double =
     math.min(remainingSec, math.max(5.0, SpikeK * predictedOneSec))
 
+  /** The spike cap applies ONLY when the query has its OWN prior
+    * measurement: a median-estimated NEW query that runs long is an
+    * estimate error, not a spike — killing it writes -1 to the
+    * sidecar, crashes are dropped from priors, and the query starves
+    * on every later round (bit q191/q193 on their first bench run).
+    * A new query gets the full remaining budget; from its next round
+    * it has a real prior and the cap engages. BenchSpec pins both
+    * branches. */
+  def deadlineFor(remainingSec: Double, ownPriorSec: Option[Double],
+      inflation: Double): Double = ownPriorSec match {
+    case Some(p) => runDeadline(remainingSec, p * inflation)
+    case None => remainingSec
+  }
+
   /** Outcome of one watchdog-guarded execution. */
   sealed trait WatchdogOutcome
   object WatchdogOutcome {
@@ -309,10 +323,16 @@ object Bench {
       System.err.println(f"[bench] $name TIMED OUT after $deadlineSec%.0f s; " +
         "cancelling its job group")
       // grace loop: cancel for up to 10 s — a driver-side loop may
-      // launch successor jobs after the first cancel lands
+      // launch successor jobs after the first cancel lands. Streaming
+      // (foreachBatch) jobs run on the stream's own micro-batch
+      // thread OUTSIDE our job group, so cancelJobGroup can't reach
+      // them — stop the streams themselves (the walk is sequential:
+      // every active stream belongs to the timed-out query).
       var waited = 0
       while (!fut.isCompleted && waited < 20) {
         spark.sparkContext.cancelJobGroup(group)
+        try spark.streams.active.foreach(_.stop())
+        catch { case scala.util.control.NonFatal(_) => () }
         Thread.sleep(500); waited += 1
       }
       WatchdogOutcome.TimedOut(if (fut.isCompleted) None else Some(fut))

@@ -165,6 +165,15 @@ class BenchSpec extends AnyFunSuite {
     // the cap binds — the walk-continues-vs-blown discriminator
     assert(Bench.runDeadline(100.0, 1.6) < 100.0)
     assert(!(Bench.runDeadline(10.0, 5.0) < 10.0))
+    // the cap engages ONLY for queries with their OWN prior: a
+    // median-estimated new query killed at 8x median writes -1,
+    // crashes are dropped from priors, and the query starves forever
+    // (bit q191/q193 on their first bench run)
+    assert(Bench.deadlineFor(100.0, Some(1.6), 1.0) == 12.8)
+    assert(Bench.deadlineFor(100.0, Some(1.6), 2.0) == 25.6,
+      "inflation scales the cap")
+    assert(Bench.deadlineFor(100.0, None, 1.0) == 100.0,
+      "no own prior -> full remaining budget, never the median cap")
   }
 
   test("every reference benchmark maps to a registered query") {
