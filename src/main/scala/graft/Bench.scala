@@ -427,19 +427,25 @@ object Bench {
   }
 
   /** Runs tools/bench_diff.py (previous committed sidecar vs the
-    * fresh one) and persists its report as BENCH_DIFF.txt next to the
-    * sidecar. Best-effort and bounded: a missing git/python3 or a
-    * hung subprocess must never cost the bench window its metric
-    * line — the report records the failure instead. The exit code
-    * rides the report header; rc 1 = flagged like-for-like timing
-    * moves or NEW crashes (crashes flag regardless of like-for-like,
-    * per the r11 advice). */
+    * fresh one) and persists its report — as BENCH_DIFF.txt for the
+    * default sidecar, as `<sidecar>.diff` for an alternate one (the
+    * sf1 rehearsal's BENCH_SF1.json), so the two runs' reports never
+    * clobber each other. Best-effort and bounded: a missing
+    * git/python3 or a hung subprocess must never cost the bench
+    * window its metric line — the report records the failure
+    * instead. The exit code rides the report header; rc 1 = flagged
+    * like-for-like timing moves or NEW crashes (crashes flag
+    * regardless of like-for-like, per the r11 advice). */
   def writeBenchDiff(fullPath: String): Unit =
     try {
       val report = new StringBuilder
       val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
       try {
-        runBounded(Seq("git", "show", s"HEAD:$fullPath"), 10) match {
+        // git's stdout captured ALONE: an rc-0 advisory on stderr
+        // (ownership/fsmonitor chatter in containers) merged into the
+        // body would corrupt the JSON handed to bench_diff.py
+        runBounded(Seq("git", "show", s"HEAD:$fullPath"), 10,
+            mergeErr = false) match {
           case Some((0, body)) =>
             java.nio.file.Files.writeString(prev, body)
             runBounded(Seq("python3", "tools/bench_diff.py",
@@ -455,18 +461,31 @@ object Bench {
             report ++= s"# no committed $fullPath to diff against\n"
         }
       } finally java.nio.file.Files.deleteIfExists(prev)
+      // the default sidecar owns BENCH_DIFF.txt; an alternate sidecar
+      // (e.g. the sf1 rehearsal's BENCH_SF1.json) writes its report
+      // alongside itself so the two runs' diffs never clobber
+      val diffPath = if (fullPath == "BENCH_FULL.json") "BENCH_DIFF.txt"
+        else fullPath + ".diff"
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_DIFF.txt"), report.toString)
-      System.err.println("[bench] cross-round diff written to BENCH_DIFF.txt")
+        java.nio.file.Paths.get(diffPath), report.toString)
+      System.err.println(s"[bench] cross-round diff written to $diffPath")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench diff skipped: $e") }
 
-  /** Run a subprocess with stderr folded into stdout, killed past
-    * `sec` seconds. The output is drained on a separate thread so a
-    * report larger than the pipe buffer cannot deadlock the wait. */
-  private def runBounded(cmd: Seq[String], sec: Long): Option[(Int, String)] =
+  /** Run a subprocess, killed past `sec` seconds. `mergeErr` folds
+    * stderr into stdout (wanted for the diff report, NOT for
+    * machine-read output like `git show`, where rc-0 stderr chatter
+    * would corrupt the body). The output is drained on a separate
+    * thread so a report larger than the pipe buffer cannot deadlock
+    * the wait. */
+  private def runBounded(cmd: Seq[String], sec: Long,
+      mergeErr: Boolean = true): Option[(Int, String)] =
     try {
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(mergeErr)
+      // unmerged stderr goes to OUR stderr (never buffered in a pipe
+      // nobody drains — a chatty child would block on a full pipe)
+      if (!mergeErr) pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
       import scala.concurrent.ExecutionContext.Implicits.global
       val out = scala.concurrent.Future {
         new String(p.getInputStream.readAllBytes,

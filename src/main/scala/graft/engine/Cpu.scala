@@ -29,12 +29,19 @@ object Cpu {
     * or accepted:
     *  - RDD-backed plans (LogicalRDD: localCheckpoint results,
     *    MemoryStream / foreachBatch micro-batches) have no size
-    *    statistics and report the `defaultSizeInBytes` sentinel
-    *    (Long.MaxValue by default), which would always pass the size
-    *    gate and silently drop the guaranteed parallelism. For those
-    *    the RDD already EXISTS inside the plan node, so its partition
-    *    count is free to read — no second physical plan is built —
-    *    and the gate falls back to partitions < cores.
+    *    statistics — the leaf reports the `defaultSizeInBytes`
+    *    sentinel (Long.MaxValue by default), which would always pass
+    *    the size gate and silently drop the guaranteed parallelism.
+    *    Sentinel EQUALITY at the root is not enough: any Project or
+    *    Filter above the leaf SCALES the estimate (column pruning
+    *    multiplies by an output/input row-size ratio), so
+    *    `batch.select(...)` over a micro-batch no longer equals the
+    *    sentinel while still being pure garbage — that shape ran
+    *    q193's per-trigger minhash SINGLE-partition for ~100 s at
+    *    sf1. So: whenever a LogicalRDD leaf exists ANYWHERE below,
+    *    ignore the size estimate entirely and gate on the RDD's
+    *    actual partition count (free to read — the RDD already
+    *    exists in the plan node; no second physical plan is built).
     *  - A handful of huge NON-splittable files (gzip) pass the size
     *    gate while arriving as few splits — accepted; none of this
     *    engine's sources are gzip text.
@@ -44,17 +51,16 @@ object Cpu {
     val cores = sess.sparkContext.defaultParallelism
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
     val plan = df.queryExecution.optimizedPlan
-    val est = plan.stats.sizeInBytes
-    if (est == sess.sessionState.conf.defaultSizeInBytes) {
-      // stats unknown (sentinel): gate on the embedded RDD's actual
-      // partition count instead; an unknown-stats plan with no
-      // LogicalRDD leaf keeps today's pass-through behavior
-      val parts = plan.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD =>
-          r.rdd.getNumPartitions
-      }
-      if (parts.exists(_ < cores)) df.repartition(cores) else df
-    } else if (est < BigInt(cores) * maxSplit) df.repartition(cores) else df
+    val rddParts = plan.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions
+    }
+    rddParts match {
+      case Some(p) => if (p < cores) df.repartition(cores) else df
+      case None =>
+        val est = plan.stats.sizeInBytes
+        if (est < BigInt(cores) * maxSplit) df.repartition(cores) else df
+    }
   }
 
   /** Explode an EXPENSIVE computed array (per-gram digests, shingle

@@ -66,6 +66,13 @@ object GraftSession {
       // for STORED array columns, which our plans explode rarely.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // StreamingQuery.stop() default (stopTimeout=0) JOINS the
+      // micro-batch thread FOREVER; a wedged stream would then hang
+      // whoever calls stop() — including the bench watchdog's grace
+      // loop, reproducing the very no-metric-line failure it
+      // prevents. 2 s bounds each stop attempt (stop() throws a
+      // TimeoutException, which callers treat as "not yet dead").
+      .config("spark.sql.streaming.stopTimeout", "2000")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -1017,9 +1017,17 @@ object Dedup {
     * (production sinks write to a table). The probe itself —
     * fingerprint, census anti-join, df-capped equi-join — runs
     * distributed inside each micro-batch exactly as in q180. */
+  /** (doc_id, matched_old, keep) — the verdict schema every dedup
+    * streaming row grades on. */
+  private val VerdictSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("matched_old",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("keep",
+      org.apache.spark.sql.types.IntegerType)))
+
   def q184StreamingWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val sel = winnowCorpusCache.get(spark, dir)
     // the streaming posture probes the index ONCE PER TRIGGER: unlike
     // q180's one-shot (each leg read once), lazy legs here would
@@ -1032,22 +1040,15 @@ object Dedup {
       val ingest = graft.sources.Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 >= 8)
         .select(col("doc_id"), col("text"))
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      graft.streaming.FileDrip.drive(Seq(
-        ingest.filter(col("doc_id") % 10 === 8),
-        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+      graft.streaming.FileDrip.driveAndCollect(Seq(
+          ingest.filter(col("doc_id") % 10 === 8),
+          ingest.filter(col("doc_id") % 10 === 9)),
+          VerdictSchema, Seq("doc_id")) { (stream, emit) =>
         graft.streaming.Streams.streamingWinnowDedup(
           stream, index, "q184_streaming_winnow") { v =>
-          v.collect().foreach(acc.add)
+          v.collect().foreach(emit)
         }
       }
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("matched_old", LongType),
-        StructField("keep", IntegerType)))
-      spark.createDataFrame(
-          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
-        .orderBy(col("doc_id"))
     } finally index.unpersist()
   }
 
@@ -1078,36 +1079,31 @@ object Dedup {
     * Jaccard verification — runs distributed inside each micro-batch.
     */
   def q191StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val index = buildIndex(graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 < 8).select(col("doc_id"), col("text")))
     try {
       val ingest = graft.sources.Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 >= 8)
         .select(col("doc_id"), col("text"))
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      graft.streaming.FileDrip.drive(Seq(
-        ingest.filter(col("doc_id") % 10 === 8),
-        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+      graft.streaming.FileDrip.driveAndCollect(Seq(
+          ingest.filter(col("doc_id") % 10 === 8),
+          ingest.filter(col("doc_id") % 10 === 9)),
+          VerdictSchema, Seq("doc_id")) { (stream, emit) =>
         graft.streaming.Streams.streamingIncrementalDedup(
           stream, index, "q191_streaming_dedup") { v =>
-          v.collect().foreach(acc.add)
+          v.collect().foreach(emit)
         }
       }
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("matched_old", LongType),
-        StructField("keep", IntegerType)))
-      spark.createDataFrame(
-          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
-        .orderBy(col("doc_id"))
     } finally index.unpersist()
   }
 
-  val q191Sql: String =
-    s"""WITH $minhashCteSql,
-       |cands AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+  /** The uncapped new×old probe CTE chain `cands → inter → matched`
+    * over [[minhashCteSqlFrom]]'s relations — [[dedupAgainst]]'s
+    * exact semantics, shared by q191's and q193's oracles so a
+    * threshold or rounding tweak can never silently diverge the two
+    * graded gates (r12 review finding). */
+  private def uncappedProbeCteSql: String =
+    s"""cands AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
        |  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
        |  WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8),
        |inter AS (SELECT c.nid, c.oid, count(*) AS inter
@@ -1120,7 +1116,11 @@ object Dedup {
        |  JOIN sizes za ON i.nid = za.doc_id
        |  JOIN sizes zb ON i.oid = zb.doc_id
        |  WHERE round(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 4) >= 0.8
-       |  GROUP BY i.nid)
+       |  GROUP BY i.nid)""".stripMargin
+
+  val q191Sql: String =
+    s"""WITH $minhashCteSql,
+       |$uncappedProbeCteSql
        |SELECT d.doc_id, coalesce(m.matched_old, -1) AS matched_old,
        |  CAST(m.matched_old IS NULL AS INT) AS keep
        |FROM documents d LEFT JOIN matched m ON d.doc_id = m.nid
@@ -1149,7 +1149,6 @@ object Dedup {
   val IngestMinProb = 0.5
 
   def q193StreamingIngest(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val index = buildIndex(graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 < 8).select(col("doc_id"), col("text")))
@@ -1158,26 +1157,23 @@ object Dedup {
         .filter(col("doc_id") % 10 >= 8)
         .select(col("doc_id"),
           graft.pipeline.Curation.injectPii(col("doc_id"), col("text")).as("text"))
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      graft.streaming.FileDrip.drive(Seq(
-        ingest.filter(col("doc_id") % 10 === 8),
-        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
-        graft.streaming.Streams.ingestPipeline(
-          stream, index, IngestMinProb, "q193_streaming_ingest") { v =>
-          v.select(col("doc_id"), col("quality_prob"), col("text"),
-              col("matched_old"), col("keep"))
-            .collect().foreach(acc.add)
-        }
-      }
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("quality_prob", DoubleType),
         StructField("text", StringType),
         StructField("matched_old", LongType),
         StructField("keep", IntegerType)))
-      spark.createDataFrame(
-          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
-        .orderBy(col("doc_id"))
+      graft.streaming.FileDrip.driveAndCollect(Seq(
+          ingest.filter(col("doc_id") % 10 === 8),
+          ingest.filter(col("doc_id") % 10 === 9)),
+          schema, Seq("doc_id")) { (stream, emit) =>
+        graft.streaming.Streams.ingestPipeline(
+          stream, index, IngestMinProb, "q193_streaming_ingest") { v =>
+          v.select(col("doc_id"), col("quality_prob"), col("text"),
+              col("matched_old"), col("keep"))
+            .collect().foreach(emit)
+        }
+      }
     } finally index.unpersist()
   }
 
@@ -1206,20 +1202,7 @@ object Dedup {
        |srcrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
        |  UNION ALL SELECT doc_id, text FROM ing),
        |${minhashCteSqlFrom("srcrel")},
-       |cands AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
-       |  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
-       |  WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8),
-       |inter AS (SELECT c.nid, c.oid, count(*) AS inter
-       |  FROM cands c
-       |  JOIN sh sa ON c.nid = sa.doc_id
-       |  JOIN sh sb ON c.oid = sb.doc_id AND sa.hp = sb.hp
-       |  GROUP BY c.nid, c.oid),
-       |matched AS (SELECT i.nid, min(i.oid) AS matched_old
-       |  FROM inter i
-       |  JOIN sizes za ON i.nid = za.doc_id
-       |  JOIN sizes zb ON i.oid = zb.doc_id
-       |  WHERE round(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 4) >= 0.8
-       |  GROUP BY i.nid)
+       |$uncappedProbeCteSql
        |SELECT g.doc_id, g.quality_prob, g.text,
        |  coalesce(m.matched_old, -1) AS matched_old,
        |  CAST(m.matched_old IS NULL AS INT) AS keep

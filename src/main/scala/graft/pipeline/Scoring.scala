@@ -687,26 +687,70 @@ object Scoring {
        |SELECT doc_id, bm25 FROM bm
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
-  val q188Sql: String = {
+  // Shared retrieval CTE strings — the oracle-side mirror of the
+  // Scala hybridFrom/rrfFrom seams, so each formula (blend weights,
+  // RRF constant, rounding) lives in exactly ONE string and q188/
+  // q189/q190 can never silently diverge (r12 review finding).
+
+  /** `cand`: the top-[[HybridCand]] BM25 candidates (needs `bm`). */
+  private def candCteSql: String =
+    s"cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridCand)"
+
+  /** `qv`: query vector 0 and its norm. */
+  private def qvCteSql: String =
+    """qv AS (SELECT embedding AS qe,
+      |    sqrt(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      |  FROM embeddings WHERE vec_id = 0)""".stripMargin
+
+  /** `hyb(doc_id, bm25, cosine, hybrid)`: the q188 rerank over
+    * `cand` + `qv`. */
+  private def hybCteSql: String = {
     val dim = graft.pipeline.Similarity.Dim
-    s"""$bm25SqlCtes,
-       |cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridCand),
-       |qv AS (SELECT embedding AS qe,
-       |    sqrt(list_sum(list_transform(embedding,
-       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
-       |  FROM embeddings WHERE vec_id = 0),
-       |scored AS (SELECT c.doc_id, c.bm25,
+    s"""scored AS (SELECT c.doc_id, c.bm25,
        |    coalesce(round(list_sum(list_transform(range($dim), k ->
        |        CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
        |      / (sqrt(list_sum(list_transform(e.embedding,
        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6),
        |      0.0) AS cosine
        |  FROM cand c CROSS JOIN qv v
-       |  LEFT JOIN embeddings e ON e.vec_id = c.doc_id)
-       |SELECT doc_id, bm25, cosine,
-       |  round(0.5 * bm25 / (SELECT max(bm25) FROM cand) + 0.5 * cosine, 6) AS hybrid
-       |FROM scored ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin
+       |  LEFT JOIN embeddings e ON e.vec_id = c.doc_id),
+       |hyb AS (SELECT doc_id, bm25, cosine,
+       |    round(0.5 * bm25 / (SELECT max(bm25) FROM cand) + 0.5 * cosine, 6) AS hybrid
+       |  FROM scored)""".stripMargin
   }
+
+  /** `lexr/dns/rrfs`: integer rank lists over `cand` + `qv` and the
+    * q189 RRF scores (nullable ranks — the final selects coalesce). */
+  private def rrfCteSql: String = {
+    val dim = graft.pipeline.Similarity.Dim
+    s"""lexr AS (SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM cand) WHERE lex_rank <= $HybridCand),
+       |dns AS (SELECT doc_id, dense_rank FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY
+       |        round(list_sum(list_transform(range($dim), k ->
+       |            CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding,
+       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6)
+       |        DESC, e.vec_id) AS dense_rank
+       |    FROM embeddings e CROSS JOIN qv v) WHERE dense_rank <= $HybridCand),
+       |rrfs AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    l.lex_rank, d.dense_rank,
+       |    round(coalesce(1.0 / (l.lex_rank + $RrfK), 0)
+       |        + coalesce(1.0 / (d.dense_rank + $RrfK), 0), 6) AS rrf
+       |  FROM lexr l FULL OUTER JOIN dns d ON l.doc_id = d.doc_id)""".stripMargin
+  }
+
+  val q188Sql: String =
+    s"""$bm25SqlCtes,
+       |$candCteSql,
+       |$qvCteSql,
+       |$hybCteSql
+       |SELECT doc_id, bm25, cosine, hybrid
+       |FROM hyb ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------- q188
   /** Hybrid retrieval: BM25 lexical candidates reranked by embedding
@@ -827,34 +871,16 @@ object Scoring {
       .orderBy(col("rrf").desc, col("doc_id")).limit(10)
   }
 
-  val q189Sql: String = {
-    val dim = graft.pipeline.Similarity.Dim
+  val q189Sql: String =
     s"""$bm25SqlCtes,
-       |lex AS (SELECT doc_id, lex_rank FROM (
-       |    SELECT doc_id,
-       |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-       |    FROM bm) WHERE lex_rank <= $HybridCand),
-       |qv AS (SELECT embedding AS qe,
-       |    sqrt(list_sum(list_transform(embedding,
-       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
-       |  FROM embeddings WHERE vec_id = 0),
-       |dns AS (SELECT doc_id, dense_rank FROM (
-       |    SELECT e.vec_id AS doc_id,
-       |      row_number() OVER (ORDER BY
-       |        round(list_sum(list_transform(range($dim), k ->
-       |            CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
-       |          / (sqrt(list_sum(list_transform(e.embedding,
-       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6)
-       |        DESC, e.vec_id) AS dense_rank
-       |    FROM embeddings e CROSS JOIN qv v) WHERE dense_rank <= $HybridCand)
-       |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
-       |  CAST(coalesce(l.lex_rank, 0) AS INT) AS lex_rank,
-       |  CAST(coalesce(d.dense_rank, 0) AS INT) AS dense_rank,
-       |  round(coalesce(1.0 / (l.lex_rank + $RrfK), 0)
-       |      + coalesce(1.0 / (d.dense_rank + $RrfK), 0), 6) AS rrf
-       |FROM lex l FULL OUTER JOIN dns d ON l.doc_id = d.doc_id
-       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-  }
+       |$candCteSql,
+       |$qvCteSql,
+       |$rrfCteSql
+       |SELECT doc_id,
+       |  CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank,
+       |  CAST(coalesce(dense_rank, 0) AS INT) AS dense_rank,
+       |  rrf
+       |FROM rrfs ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------- q190
   /** Retrieval evaluation metrics — nDCG@k, recall@k, precision@k of
@@ -935,45 +961,17 @@ object Scoring {
   }
 
   val q190Sql: String = {
-    val dim = graft.pipeline.Similarity.Dim
     s"""$bm25SqlCtes,
-       |cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridCand),
-       |qv AS (SELECT embedding AS qe,
-       |    sqrt(list_sum(list_transform(embedding,
-       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
-       |  FROM embeddings WHERE vec_id = 0),
-       |hybs AS (SELECT c.doc_id,
-       |    round(0.5 * c.bm25 / (SELECT max(bm25) FROM cand)
-       |      + 0.5 * coalesce(round(list_sum(list_transform(range($dim), k ->
-       |          CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
-       |        / (sqrt(list_sum(list_transform(e.embedding,
-       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6),
-       |        0.0), 6) AS hybrid
-       |  FROM cand c CROSS JOIN qv v
-       |  LEFT JOIN embeddings e ON e.vec_id = c.doc_id),
+       |$candCteSql,
+       |$qvCteSql,
+       |$hybCteSql,
+       |$rrfCteSql,
        |lexl AS (SELECT doc_id, rn FROM (SELECT doc_id,
        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM cand)
        |  WHERE rn <= $EvalK),
        |hybl AS (SELECT doc_id, rn FROM (SELECT doc_id,
-       |    row_number() OVER (ORDER BY hybrid DESC, doc_id) AS rn FROM hybs)
+       |    row_number() OVER (ORDER BY hybrid DESC, doc_id) AS rn FROM hyb)
        |  WHERE rn <= $EvalK),
-       |lexr AS (SELECT doc_id, lex_rank FROM (
-       |    SELECT doc_id,
-       |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-       |    FROM cand) WHERE lex_rank <= $HybridCand),
-       |dns AS (SELECT doc_id, dense_rank FROM (
-       |    SELECT e.vec_id AS doc_id,
-       |      row_number() OVER (ORDER BY
-       |        round(list_sum(list_transform(range($dim), k ->
-       |            CAST(e.embedding[k+1] AS DOUBLE) * CAST(v.qe[k+1] AS DOUBLE)))
-       |          / (sqrt(list_sum(list_transform(e.embedding,
-       |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * v.qn), 6)
-       |        DESC, e.vec_id) AS dense_rank
-       |    FROM embeddings e CROSS JOIN qv v) WHERE dense_rank <= $HybridCand),
-       |rrfs AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
-       |    round(coalesce(1.0 / (l.lex_rank + $RrfK), 0)
-       |        + coalesce(1.0 / (d.dense_rank + $RrfK), 0), 6) AS rrf
-       |  FROM lexr l FULL OUTER JOIN dns d ON l.doc_id = d.doc_id),
        |rrfl AS (SELECT doc_id, rn FROM (SELECT doc_id,
        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM rrfs)
        |  WHERE rn <= $EvalK),

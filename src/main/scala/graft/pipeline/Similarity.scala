@@ -231,30 +231,26 @@ object Similarity {
     * hash, band equi-join against the persisted bucketed corpus,
     * per-query top-k — runs distributed inside each micro-batch. */
   def q192StreamingAnn(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val index = buildAnnIndex(spark, dir)
     try {
       val queries = Tables.embeddings(spark, dir)
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding"))
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      graft.streaming.FileDrip.drive(Seq(
-        queries.filter(col("qid") % 2 === 0),
-        queries.filter(col("qid") % 2 === 1))) { stream =>
-        graft.streaming.Streams.streamingAnnSearch(
-          stream, index, "q192_streaming_ann") { v =>
-          v.collect().foreach(acc.add)
-        }
-      }
       val schema = StructType(Seq(
         StructField("qid", LongType),
         StructField("rank", IntegerType),
         StructField("vec_id", LongType),
         StructField("cosine", DoubleType)))
-      spark.createDataFrame(
-          java.util.Arrays.asList(acc.toArray(Array.empty[Row]): _*), schema)
-        .orderBy(col("qid"), col("rank"))
+      graft.streaming.FileDrip.driveAndCollect(Seq(
+          queries.filter(col("qid") % 2 === 0),
+          queries.filter(col("qid") % 2 === 1)),
+          schema, Seq("qid", "rank")) { (stream, emit) =>
+        graft.streaming.Streams.streamingAnnSearch(
+          stream, index, "q192_streaming_ann") { v =>
+          v.collect().foreach(emit)
+        }
+      }
     } finally index.unpersist()
   }
 
