@@ -1555,7 +1555,46 @@ object Relational {
       |  AND s_suppkey IN (SELECT l_suppkey FROM q WHERE qty * 10 > q96 * 22)
       |ORDER BY s_name, s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- q196
+  /** The SALTED skew join, graded for result-equivalence: the same
+    * lineitem⋈orders aggregate computed through
+    * [[graft.operators.Partitioning.saltedJoin]] (salt the big side,
+    * replicate the small side per salt, join on (key, salt)) must
+    * equal a plain equi-join — the oracle IS the plain join, so the
+    * DuckDB gate proves the skew-mitigation technique is
+    * semantics-preserving on real tables, not just on the spec's
+    * synthetic frame. Salting is the manual fallback for skew beyond
+    * AQE's sort-merge split (it also fixes skewed shuffled-hash and
+    * aggregate-feeding joins); the graded plan pays the replicated
+    * small side (8 salts × orders-subset) to spread any hot orderkey
+    * over 8 reducers. */
+  def q196SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_quantity"))
+    val small = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.Partitioning.saltedJoin(big, small, "okey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"),
+        sum(col("l_quantity")).cast("double").as("qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q196Sql: String =
+    """SELECT o.o_orderpriority,
+      |  count(*) AS n_items,
+      |  round(sum(l.l_extendedprice), 2) AS revenue,
+      |  CAST(sum(l.l_quantity) AS DOUBLE) AS qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_salted_join" -> (q196SaltedJoin _),
     "q121_market_share" -> (q121MarketShare _),
     "q122_volume_shipping" -> (q122VolumeShipping _),
     "q130_top_supplier" -> (q130TopSupplier _),
@@ -1607,6 +1646,7 @@ object Relational {
     "q64_large_orders" -> (q64LargeOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q196_salted_join" -> q196Sql,
     "q121_market_share" -> q121Sql,
     "q122_volume_shipping" -> q122Sql,
     "q130_top_supplier" -> q130Sql,

@@ -339,6 +339,90 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     assert(totrel > 0 && idcg > 0)
   }
 
+  test("q194/q195 multi-query BM25 + eval metrics match a driver-side recomputation") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver-side BM25 shared stats (whole corpus, as in the q187 twin)
+    val byDoc = docs.map { case (id, text, _, _) => id -> tokens(text) }
+      .filter(_._2.nonEmpty)
+    val nDocs = byDoc.size.toDouble
+    val avgdl = byDoc.map(_._2.size).sum.toDouble / nDocs
+    def bm25For(terms: Seq[String]): Map[Long, Double] = {
+      val dfm = terms.map(t => t -> byDoc.count(_._2.contains(t)).toDouble).toMap
+      byDoc.map { case (id, ts) =>
+        val dl = ts.size.toDouble
+        id -> terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0 || dfm(t) == 0) 0.0
+          else math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+            (tf * (Scoring.Bm25K1 + 1.0)) /
+            (tf + Scoring.Bm25K1 * (1.0 - Scoring.Bm25B +
+              Scoring.Bm25B * dl / avgdl))
+        }.sum
+      }.filter(_._2 > 0).toMap
+    }
+    def rankOf(scores: Map[Long, Double]): Seq[Long] =
+      scores.toSeq.sortBy { case (id, s) => (-r6(s), id) }.map(_._1)
+    // q194: top-5 per query equals the per-query fold
+    val got194 = Scoring.q194Bm25Multi(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    Scoring.EvalQuerySets.foreach { case (qid, terms) =>
+      val want = rankOf(bm25For(terms)).take(Scoring.MultiTopK)
+      val gotQ = got194.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(gotQ == want, s"qid $qid: got $gotQ want $want")
+    }
+    // q195: per-query nDCG/MRR/AP over the same top-10 lists
+    val got195 = Scoring.q195MultiqueryEval(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Scoring.EvalQuerySets.foreach { case (qid, terms) =>
+      val rel = docs.map { case (id, text, _, _) =>
+        id -> terms.count(tokens(text).contains(_)) }.filter(_._2 > 0).toMap
+      val ranked = rankOf(bm25For(terms)).take(Scoring.EvalK)
+      def dcg(ids: Seq[Long]): Double = ids.zipWithIndex.map { case (id, i) =>
+        r6((((1 << rel.getOrElse(id, 0)) - 1).toDouble) /
+          (math.log(i + 2.0) / math.log(2.0)))
+      }.sum
+      val idcg = dcg(rel.toSeq.sortBy { case (id, g) => (-g, id) }
+        .take(Scoring.EvalK).map(_._1))
+      val relFlags = ranked.map(rel.getOrElse(_, 0) > 0)
+      val mrr = relFlags.zipWithIndex.collectFirst {
+        case (true, i) => 1.0 / (i + 1) }.getOrElse(0.0)
+      val ap = {
+        var cum = 0; var s = 0.0
+        relFlags.zipWithIndex.foreach { case (f, i) =>
+          if (f) { cum += 1; s += cum.toDouble / (i + 1) } }
+        s / math.min(rel.size, Scoring.EvalK)
+      }
+      val (gn, gm, ga) = got195(qid)
+      assert(math.abs(gn - (if (idcg > 0) r6(dcg(ranked) / idcg) else 0.0)) < 1.1e-6,
+        s"qid $qid ndcg: $gn")
+      assert(math.abs(gm - r6(mrr)) < 1.1e-6, s"qid $qid mrr: $gm vs $mrr")
+      assert(math.abs(ga - r6(ap)) < 1.1e-6, s"qid $qid ap: $ga vs $ap")
+      assert(rel.nonEmpty && idcg > 0, s"qid $qid fixture must have relevance")
+    }
+  }
+
+  test("q197 index upsert REPLACES a re-ingested doc's postings (anti-join path)") {
+    // the graded corpus has unique doc_ids, so the DuckDB gate alone
+    // never exercises replacement — feed a modified duplicate here
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    val index0 = Scoring.tfdOf(df(1L -> "alpha beta alpha", 2L -> "gamma"))
+    val batch = Scoring.tfdOf(df(1L -> "delta", 3L -> "beta beta"))
+    val got = Scoring.upsertPostings(index0, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val scratch = Scoring.tfdOf(df(1L -> "delta", 2L -> "gamma", 3L -> "beta beta"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == scratch, s"upsert $got vs from-scratch $scratch")
+    // doc 1's OLD postings (alpha, beta) must be gone, not merged
+    assert(!got.exists { case (id, t, _) => id == 1L && t != "delta" })
+  }
+
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
     val first = scala.collection.mutable.Map.empty[Long, Long]
     docs.foreach { case (id, text, _, _) =>
