@@ -632,54 +632,91 @@ object Scoring {
   // LATER val interpolates its zero default (bit this round: LIMIT 0)
   val HybridCand = 50
 
-  /** Every candidate's rounded BM25 for [[Bm25Query]] — the shared
-    * relation behind graded q187 (top-20) and q188 (hybrid rerank). */
-  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.engine.Cpu.explodeComputed(
-        Tables.documents(spark, dir), Seq(col("doc_id")),
-        split(col("text"), " "), "t")
-      .filter(col("t") =!= "")
-    val tfd = toks.groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
+  /** The compressed corpus posting relation (doc, term, tf), built
+    * and checkpointed ONCE per query invocation — every BM25 surface
+    * (q187 single-query, q194/q195 multi-query) derives from it, and
+    * q195's relevance relation reads it instead of re-tokenizing the
+    * corpus (r12 review #2). */
+  private[graft] def corpusTfd(spark: SparkSession, dir: String): DataFrame =
+    tfdOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .localCheckpoint(true)
+
+  /** Broadcast (qid, t) query→term relation — explicit schema, not
+    * spark.implicits (the TypeTag product encoder breaks under the
+    * driver's plain-java launch). */
+  private def queryTermsDf(spark: SparkSession,
+      sets: Seq[(Int, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = sets.flatMap { case (q, ts) => ts.map(t => Row(q, t)) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("qid", IntegerType),
+        StructField("t", StringType))))
+  }
+
+  /** ONE BM25 scoring chain for any query set (r12 review: the
+    * single- and multi-query paths previously duplicated the whole
+    * pipeline): rounded score per (qid, doc) over a prebuilt posting
+    * relation, the query mapping a broadcast relation — added
+    * queries cost zero extra corpus scans. */
+  private def bm25From(tfd: DataFrame, terms: Seq[String],
+      qterms: DataFrame): DataFrame = {
     val stats = tfd.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     val qtf = tfd
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("t").isin(Bm25Query: _*))
+      .filter(col("t").isin(terms: _*))
     val dfp = qtf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     qtf.join(broadcast(dfp), Seq("t")).crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("t"))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("s", col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
         (col("tf") + lit(Bm25K1) *
           (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id")).agg(round(sum(col("s")), 6).as("bm25"))
+      .groupBy(col("qid"), col("doc_id")).agg(round(sum(col("s")), 6).as("bm25"))
   }
+
+  /** Every candidate's rounded BM25 for [[Bm25Query]] — the shared
+    * relation behind graded q187 (top-20) and q188 (hybrid rerank).
+    * The single query rides the multi-query chain as qid 0. */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    bm25From(corpusTfd(spark, dir), Bm25Query,
+        queryTermsDf(spark, Seq(0 -> Bm25Query)))
+      .select(col("doc_id"), col("bm25"))
 
   def q187Bm25(spark: SparkSession, dir: String): DataFrame =
     bm25Scores(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
 
-  /** Shared CTE prefix: every candidate's rounded BM25 as `bm`. */
-  private def bm25SqlCtes: String = {
-    val qvals = Bm25Query.map(t => s"('$t')").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, t
+  /** ONE oracle-side BM25 CTE body for any (qid, t) VALUES list,
+    * ending in `bmq(qid, doc_id, bm25)` — the formula lives in
+    * exactly one string (r12 review: the single- and multi-query
+    * oracles previously restated it). */
+  private def bm25SqlCtesFor(mqVals: String): String =
+    s"""tok AS (SELECT doc_id, t
        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
        |  WHERE t <> ''),
        |tfd AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dls AS (SELECT doc_id, sum(tf) AS dl FROM tfd GROUP BY 1),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
-       |q(t) AS (VALUES $qvals),
+       |mq(qid, t) AS (VALUES $mqVals),
        |qtf AS (SELECT f.doc_id, f.t, f.tf, d.dl
-       |  FROM tfd f JOIN q USING (t) JOIN dls d USING (doc_id)),
+       |  FROM tfd f JOIN (SELECT DISTINCT t FROM mq) u USING (t)
+       |  JOIN dls d USING (doc_id)),
        |dfp AS (SELECT t, count(*) AS df FROM qtf GROUP BY t),
-       |bm AS (SELECT c.doc_id, round(sum(
+       |bmq AS (SELECT m.qid, c.doc_id, round(sum(
        |    ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
        |    * (c.tf * ${Bm25K1 + 1.0})
        |    / (c.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * c.dl / s.avgdl))), 6) AS bm25
-       |  FROM qtf c JOIN dfp p USING (t) CROSS JOIN stats s
-       |  GROUP BY c.doc_id)""".stripMargin
+       |  FROM qtf c JOIN dfp p USING (t) JOIN mq m USING (t) CROSS JOIN stats s
+       |  GROUP BY m.qid, c.doc_id)""".stripMargin
+
+  /** Shared CTE prefix for the single-query rows: `bm(doc_id, bm25)`. */
+  private def bm25SqlCtes: String = {
+    val vals = Bm25Query.map(t => s"(0, '$t')").mkString(", ")
+    s"""WITH ${bm25SqlCtesFor(vals)},
+       |bm AS (SELECT doc_id, bm25 FROM bmq)""".stripMargin
   }
 
   val q187Sql: String =
@@ -1019,77 +1056,43 @@ object Scoring {
     2 -> Seq("sort", "merge", "window"),
     3 -> Seq("scan", "table", "column"))
 
-  /** Broadcast (qid, t) relation — explicit schema, not
-    * spark.implicits (the TypeTag product encoder breaks under the
-    * driver's plain-java launch). */
-  private def queryTermsDf(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val rows = EvalQuerySets.flatMap { case (q, ts) => ts.map(t => Row(q, t)) }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-      StructType(Seq(StructField("qid", IntegerType),
-        StructField("t", StringType))))
-  }
-
-  /** Every (qid, doc, rounded bm25) for [[EvalQuerySets]]. */
-  private[graft] def bm25MultiScores(spark: SparkSession, dir: String): DataFrame = {
-    val union = EvalQuerySets.flatMap(_._2).distinct
-    val toks = graft.engine.Cpu.explodeComputed(
-        Tables.documents(spark, dir), Seq(col("doc_id")),
-        split(col("text"), " "), "t")
-      .filter(col("t") =!= "")
-    val tfd = toks.groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val stats = tfd.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qtf = tfd
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("t").isin(union: _*))
-    val dfp = qtf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    qtf.join(broadcast(dfp), Seq("t")).crossJoin(broadcast(stats))
-      .join(broadcast(queryTermsDf(spark)), Seq("t"))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("s", col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
-        (col("tf") + lit(Bm25K1) *
-          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      .groupBy(col("qid"), col("doc_id")).agg(round(sum(col("s")), 6).as("bm25"))
-  }
+  /** Every (qid, doc, rounded bm25) for [[EvalQuerySets]] over a
+    * prebuilt posting relation. */
+  private[graft] def bm25MultiScores(spark: SparkSession,
+      tfd: DataFrame): DataFrame =
+    bm25From(tfd, EvalQuerySets.flatMap(_._2).distinct,
+      queryTermsDf(spark, EvalQuerySets))
 
   val MultiTopK = 5
 
   def q194Bm25Multi(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("bm25").desc, col("doc_id"))
-    bm25MultiScores(spark, dir)
+    bm25MultiScores(spark, corpusTfd(spark, dir))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= MultiTopK)
       .select(col("qid"), col("rank"), col("doc_id"), col("bm25"))
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** (qid, doc_id, rel): distinct query terms of qid present in doc. */
-  private def multiRel(spark: SparkSession, dir: String): DataFrame = {
-    val union = EvalQuerySets.flatMap(_._2).distinct
-    graft.engine.Cpu.explodeComputed(
-        Tables.documents(spark, dir), Seq(col("doc_id")),
-        split(col("text"), " "), "t")
-      .filter(col("t").isin(union: _*))
-      .join(broadcast(queryTermsDf(spark)), Seq("t"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(countDistinct(col("t")).cast("int").as("rel"))
-  }
-
   def q195MultiqueryEval(spark: SparkSession, dir: String): DataFrame = {
+    val tfd = corpusTfd(spark, dir)
+    val union = EvalQuerySets.flatMap(_._2).distinct
+    val qterms = queryTermsDf(spark, EvalQuerySets)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("bm25").desc, col("doc_id"))
-    val top = bm25MultiScores(spark, dir)
+    val top = bm25MultiScores(spark, tfd)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= EvalK)
       .select(col("qid"), col("doc_id"), col("rn"))
-    // read three times (ideal ranking, totals, per-list join)
-    val rel = multiRel(spark, dir).localCheckpoint(true)
+    // relevance from the SAME posting relation (tfd rows are already
+    // distinct per (doc, t) — no second corpus tokenize pass); read
+    // three times (ideal ranking, totals, per-list join)
+    val rel = tfd.filter(col("t").isin(union: _*))
+      .join(broadcast(qterms), Seq("t"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("rel"))
+      .localCheckpoint(true)
     val gain = expr("shiftleft(1, rel)") - lit(1)
     def dcgTerm(rn: Column): Column =
       round(gain.cast("double") / (log(rn + lit(1)) / log(lit(2.0))), 6)
@@ -1111,40 +1114,30 @@ object Scoring {
         .as("mrrraw"),
       sum(when(col("rel") > 0, col("cumrel").cast("double") / col("rn"))
         .otherwise(lit(0.0))).as("apnum"))
-    ev.join(idcg, Seq("qid")).join(tot, Seq("qid"))
+    // qid SPINE: a query whose terms match no document must REPORT
+    // zero metrics, not vanish from the eval output (r12 review —
+    // NULLs from the left joins fall through when()'s non-true
+    // branch to the 0.0 default)
+    val spine = qterms.select(col("qid")).distinct()
+    spine.join(ev, Seq("qid"), "left_outer")
+      .join(idcg, Seq("qid"), "left_outer")
+      .join(tot, Seq("qid"), "left_outer")
       .select(col("qid"),
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
           .otherwise(lit(0.0)).as("ndcg10"),
-        round(col("mrrraw"), 6).as("mrr10"),
+        coalesce(round(col("mrrraw"), 6), lit(0.0)).as("mrr10"),
         when(least(col("totrel"), lit(EvalK.toDouble)) > 0,
           round(col("apnum") / least(col("totrel"), lit(EvalK.toDouble)), 6))
           .otherwise(lit(0.0)).as("ap10"))
       .orderBy(col("qid"))
   }
 
-  /** CTE chain `tok→tfd→dls→stats→mq→qtf→dfp→bmq` ending in
-    * `bmq(qid, doc_id, bm25)` — the multi-query mirror of
-    * [[bm25SqlCtes]]. */
+  /** Multi-query CTE chain ending in `bmq(qid, doc_id, bm25)` — same
+    * single-sourced body as [[bm25SqlCtes]]. */
   private def bm25MultiSqlCtes: String = {
     val mqVals = EvalQuerySets
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, t
-       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
-       |  WHERE t <> ''),
-       |tfd AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |dls AS (SELECT doc_id, sum(tf) AS dl FROM tfd GROUP BY 1),
-       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
-       |mq(qid, t) AS (VALUES $mqVals),
-       |qtf AS (SELECT f.doc_id, f.t, f.tf, d.dl
-       |  FROM tfd f JOIN (SELECT DISTINCT t FROM mq) u USING (t)
-       |  JOIN dls d USING (doc_id)),
-       |dfp AS (SELECT t, count(*) AS df FROM qtf GROUP BY t),
-       |bmq AS (SELECT m.qid, c.doc_id, round(sum(
-       |    ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
-       |    * (c.tf * ${Bm25K1 + 1.0})
-       |    / (c.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * c.dl / s.avgdl))), 6) AS bm25
-       |  FROM qtf c JOIN dfp p USING (t) JOIN mq m USING (t) CROSS JOIN stats s
-       |  GROUP BY m.qid, c.doc_id)""".stripMargin
+    "WITH " + bm25SqlCtesFor(mqVals)
   }
 
   val q194Sql: String =
@@ -1157,7 +1150,7 @@ object Scoring {
 
   val q195Sql: String =
     s"""$bm25MultiSqlCtes,
-       |rel AS (SELECT m.qid, q.doc_id, CAST(count(DISTINCT q.t) AS INT) AS rel
+       |rel AS (SELECT m.qid, q.doc_id, CAST(count(*) AS INT) AS rel
        |  FROM qtf q JOIN mq m USING (t) GROUP BY m.qid, q.doc_id),
        |top AS (SELECT qid, doc_id, rn FROM (
        |    SELECT qid, doc_id,
@@ -1180,13 +1173,16 @@ object Scoring {
        |    max(CASE WHEN rel > 0 THEN 1.0 / rn ELSE 0.0 END) AS mrrraw,
        |    sum(CASE WHEN rel > 0 THEN CAST(cumrel AS DOUBLE) / rn ELSE 0.0 END) AS apnum
        |  FROM jc GROUP BY qid)
-       |SELECT e.qid,
+       |SELECT q.qid,
        |  CASE WHEN i.idcg > 0 THEN round(e.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg10,
-       |  round(e.mrrraw, 6) AS mrr10,
+       |  coalesce(round(e.mrrraw, 6), 0.0) AS mrr10,
        |  CASE WHEN least(t.totrel, ${EvalK}.0) > 0
        |    THEN round(e.apnum / least(t.totrel, ${EvalK}.0), 6) ELSE 0.0 END AS ap10
-       |FROM ev e JOIN idcg i USING (qid) JOIN tot t USING (qid)
-       |ORDER BY e.qid""".stripMargin
+       |FROM (SELECT DISTINCT qid FROM mq) q
+       |LEFT JOIN ev e USING (qid)
+       |LEFT JOIN idcg i USING (qid)
+       |LEFT JOIN tot t USING (qid)
+       |ORDER BY q.qid""".stripMargin
 
   // --------------------------------------------------------------- q197
   /** Streaming INVERTED-INDEX MAINTENANCE, graded end-to-end — the
@@ -1212,12 +1208,17 @@ object Scoring {
       .agg(count(lit(1)).as("tf"))
 
   /** One index upsert: a re-ingested doc_id REPLACES its old postings
-    * (anti-join), append-only batches reduce to a union. ScoringSpec
-    * pins the replacement semantics (the graded corpus has unique
-    * ids, so the gate alone never exercises the anti-join). */
+    * (anti-join), append-only batches reduce to a union. The
+    * anti-join keys come from the RAW batch ids, NOT the tokenized
+    * postings (r12 review #1: a re-ingested doc whose new text has
+    * zero tokens yields no posting rows, and keying on postings
+    * would leave its STALE postings alive — breaking the
+    * maintained-equals-rebuilt invariant the graded row proves).
+    * ScoringSpec pins both replacement cases; the graded corpus has
+    * unique ids, so the gate alone never exercises the anti-join. */
   private[graft] def upsertPostings(index: DataFrame,
-      batchTfd: DataFrame): DataFrame =
-    index.join(batchTfd.select(col("doc_id")).distinct(),
+      batchIds: DataFrame, batchTfd: DataFrame): DataFrame =
+    index.join(batchIds.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .unionByName(batchTfd)
 
@@ -1232,11 +1233,17 @@ object Scoring {
       graft.streaming.Streams.toForeachBatch(stream,
           "q197_index_maintenance") { (batch, _) =>
         val batchTfd = tfdOf(batch).localCheckpoint(true)
+        val batchIds = batch.select(col("doc_id")).distinct()
+          .localCheckpoint(true)
         val prev = index
-        index = upsertPostings(prev, batchTfd).localCheckpoint(true)
-        // the superseded state has no readers once the merge is
-        // materialized — release its blocks before the next trigger
+        index = upsertPostings(prev, batchIds, batchTfd).localCheckpoint(true)
+        // the superseded state AND this trigger's inputs have no
+        // readers once the merge is materialized — release their
+        // blocks before the next trigger (leaked per-trigger blocks
+        // compound across a bench loop)
         prev.unpersist(blocking = false)
+        batchTfd.unpersist(blocking = false)
+        batchIds.unpersist(blocking = false)
       }
     }
     val out = index.groupBy(col("t"))

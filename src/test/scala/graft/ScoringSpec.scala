@@ -413,14 +413,22 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     def df(rows: (Long, String)*) = spark.createDataFrame(
       java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
     val index0 = Scoring.tfdOf(df(1L -> "alpha beta alpha", 2L -> "gamma"))
-    val batch = Scoring.tfdOf(df(1L -> "delta", 3L -> "beta beta"))
-    val got = Scoring.upsertPostings(index0, batch)
+    val batchDocs = df(1L -> "delta", 3L -> "beta beta")
+    val got = Scoring.upsertPostings(index0, batchDocs, Scoring.tfdOf(batchDocs))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     val scratch = Scoring.tfdOf(df(1L -> "delta", 2L -> "gamma", 3L -> "beta beta"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == scratch, s"upsert $got vs from-scratch $scratch")
     // doc 1's OLD postings (alpha, beta) must be gone, not merged
     assert(!got.exists { case (id, t, _) => id == 1L && t != "delta" })
+    // a re-ingested doc whose NEW text has zero tokens must also lose
+    // its stale postings (r12 review: keying the anti-join on the
+    // tokenized postings instead of the raw batch ids missed this)
+    val emptied = df(1L -> "")
+    val got2 = Scoring.upsertPostings(index0, emptied, Scoring.tfdOf(emptied))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 == Set((2L, "gamma", 1L)),
+      s"emptied doc 1 must vanish from the index, got $got2")
   }
 
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
