@@ -177,7 +177,17 @@ object Bench {
         // doubled the worst-case overrun), and once the deadline is
         // blown the remaining runs of this query are abandoned too
         val times = (1 to runs).map { _ =>
-          if (deadlineBlown) -1.0
+          // a SIGTERM (driver window kill, operator Ctrl-C) runs
+          // Spark's shutdown hook CONCURRENTLY with this walk: every
+          // later query then crashes in milliseconds with "stopped
+          // SparkContext" and the artifact fills with bogus -1 rows
+          // (observed live in r12). Detect the dying JVM and stop
+          // measuring instead.
+          if (spark.sparkContext.isStopped) {
+            if (!deadlineBlown) System.err.println(
+              "[bench] SparkContext stopped underneath the walk; aborting")
+            deadlineBlown = true; -1.0
+          } else if (deadlineBlown) -1.0
           else {
             // Two bounds (r11 verdict #1): the remaining budget AND
             // SpikeK × this query's predicted per-run cost. An
@@ -245,7 +255,12 @@ object Bench {
     // so every cross-round comparison stays complete. FULL runs only:
     // a SPARK_GRAFT_BENCH_ONLY subset rerun must not clobber the
     // complete artifact with its handful of rows.
-    if (only.isEmpty) writeFull(results, sfDir, skipped.size, runs)
+    // a run whose context died mid-walk must never overwrite the
+    // sidecar: its -1 rows are shutdown artifacts, and crashed rows
+    // are dropped from priors — poisoning every later round's
+    // admission (observed in r12: a SIGTERM'd run wrote 25 bogus -1s)
+    if (only.isEmpty && !spark.sparkContext.isStopped)
+      writeFull(results, sfDir, skipped.size, runs)
     spark.stop()
   }
 
