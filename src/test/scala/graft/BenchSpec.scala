@@ -66,7 +66,7 @@ class BenchSpec extends AnyFunSuite {
     assert(!withCrash.contains("skipped"))
   }
 
-  test("budget walk order: ref workloads first, then cheapest-first by prior") {
+  test("budget walk order: refs, then the expensive head, then cheapest-first") {
     val names = Seq("q22_matmul", "q23_kmeans", "q25_dft", "q24_logreg",
       "q21_iot", "q26_pi", "q27_vadd",
       "q125_hits", "q01_cheap", "q50_mid", "q99_new")
@@ -78,17 +78,29 @@ class BenchSpec extends AnyFunSuite {
     // budget-truncated run can never ship an empty "ref" sub-map again
     assert(order.take(7) == Seq("q22_matmul", "q23_kmeans", "q25_dft",
       "q24_logreg", "q21_iot", "q26_pi", "q27_vadd"), order.take(7))
-    // the rest ascend by prior cost — the 98 s superstep query is LAST,
-    // not first as in round 10's alphabetical walk
-    assert(order.drop(7) == Seq("q01_cheap", "q99_new", "q50_mid", "q125_hits"),
+    // with few names everything with a prior is "the expensive head"
+    // (descending), then the no-prior query; the r10/r11 failure mode
+    // (the priciest family never measured) is structurally gone
+    assert(order.drop(7) == Seq("q125_hits", "q50_mid", "q01_cheap", "q99_new"),
       order.drop(7))
-    // q99_new has no prior: it slots at the median estimate (0.45 here),
-    // between the cheap and mid queries — neither starved nor privileged
+    // a realistic mix: the head takes the ExpensiveHead priciest, the
+    // remainder ascends by cost with no-prior queries at the median
+    val many = names ++ (1 to 12).map(i => f"q6$i%02d_mid")
+    val priorMany = prior ++ (1 to 12).map(i => f"q6$i%02d_mid" -> (2.0 + i))
+    val om = Bench.orderForBudget(many, priorMany)
+    val head = om.slice(7, 7 + Bench.ExpensiveHead)
+    assert(head.head == "q125_hits", s"priciest first in the head: $head")
+    assert(head.size == Bench.ExpensiveHead)
+    val restCosts = om.drop(7 + Bench.ExpensiveHead)
+      .filter(priorMany.contains).map(priorMany)
+    assert(restCosts == restCosts.sorted, "tail ascends by prior cost")
+    // a no-prior query can never occupy the expensive head
+    assert(!head.contains("q99_new"))
     // with no prior at all, order degrades to name order after the refs
     val bare = Bench.orderForBudget(names, Map.empty)
     assert(bare.drop(7) == Seq("q01_cheap", "q125_hits", "q50_mid", "q99_new"))
     // every name survives the reorder exactly once
-    assert(order.sorted == names.sorted)
+    assert(order.sorted == names.sorted && om.sorted == many.sorted)
   }
 
   test("prior sidecar parse tolerates crashes and junk, keyed by full name") {
