@@ -225,7 +225,25 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // char histogram: Cpu.spread exchange (the 256-wide expansion ran
     // on ONE file split at sf1 — 8.5 s -> 1.9 s) + two keyed aggs
     // (map-side combined) + output sort
-    "q179_char_entropy" -> PlanCounts(1, 0, 4, 0))
+    "q179_char_entropy" -> PlanCounts(1, 0, 4, 0),
+    // BM25 family: the corpus posting build (the only documents scan)
+    // materializes EAGERLY into corpusTfd's localCheckpoint before the
+    // audited plan exists, so the audited census shows ZERO file scans
+    // — any documents scan appearing here means a leg stopped reading
+    // the shared checkpoint (the q195 review regression class).
+    // Shuffles: dl window + df agg + (qid,doc) score agg + TakeOrdered;
+    // broadcasts: dfp + stats + query-terms relation.
+    "q187_bm25" -> PlanCounts(0, 0, 4, 3),
+    // 2 scans are the EMBEDDINGS legs (hybrid rerank + dense ranks);
+    // the 11 broadcasts are all model-sized (per-list idcg/tot
+    // scalars, mx normalizer, dfp/stats/qterms)
+    "q190_retrieval_eval" -> PlanCounts(2, 0, 3, 11),
+    "q194_bm25_multiquery" -> PlanCounts(0, 0, 6, 3),
+    "q195_multiquery_eval" -> PlanCounts(0, 0, 9, 6),
+    // lineitem + orders scans; agg + sort shuffles; the ONE broadcast
+    // is the salt-replicated small side (shuffle-keyed on a cluster)
+    // — the big side must never broadcast
+    "q196_salted_join" -> PlanCounts(2, 0, 2, 1))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
