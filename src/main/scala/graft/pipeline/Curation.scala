@@ -476,7 +476,84 @@ object Curation {
        |FROM rk WHERE rk <= $PriorityK
        |ORDER BY source, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q198
+  /** Z-ORDER (Morton) layout clustering — the multi-dimension
+    * locality layout a 100 TB lake applies so files are prunable on
+    * BOTH of two co-queried columns (Delta/Iceberg's OPTIMIZE ZORDER
+    * pattern; public algorithm: bit interleaving of quantized
+    * dimensions): each dimension reduced to [[ZBits]] bits, bits
+    * interleaved into one z-value, data range-partitioned and sorted
+    * on it. A min/max-pruned scan filtered on EITHER dimension then
+    * touches only the files whose z-range intersects — the property
+    * a single-column sort gives one dimension at the other's expense.
+    *
+    * Graded surface: the z-value arithmetic itself (pure integer bit
+    * ops, hash-stable on both engines) summarized per top-6-bit
+    * z-bucket — each bucket fixes the top 3 bits of BOTH dimensions,
+    * which is the pruning guarantee; CurationSpec pins
+    * interleave/deinterleave round-trip and the per-bucket
+    * both-dimension locality property. [[zorderLayout]] applies the
+    * layout (repartitionByRange + sortWithinPartitions — the exact
+    * write shape); the graded query audits the values, not the
+    * physical write, which specs assert instead. */
+  val ZBits = 16
+
+  /** Morton interleave of two [[ZBits]]-bit dimensions (x even bits,
+    * y odd bits) — one codegen'd integer expression, no UDF. */
+  def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Apply the z-order layout: range-partition on the z-value and
+    * sort within partitions — each output file then covers one tight
+    * z-range, i.e. a bounded box in BOTH dimensions. */
+  def zorderLayout(df: DataFrame, x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, partitions: Int): DataFrame =
+    df.withColumn("zval", zValue(x, y))
+      .repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions(col("zval"))
+
+  def q198ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // order-PRESERVING 16-bit quantization (a modulo would wrap and
+    // destroy the nearby-values-nearby-z property pruning relies on):
+    // price halved and clamped into [0, 65535], quantity (1-50)
+    // stretched across the full range — integer arithmetic, exact on
+    // both engines at every sf
+    // Column `/` is DOUBLE division: floor() recovers the integer
+    // quotient (operands ≤ 2^22, exact in double; DuckDB's // is
+    // floor for non-negative operands)
+    val li = Tables.lineitem(spark, dir).select(
+      least(floor(floor(col("l_extendedprice")) / 2), lit(65535L))
+        .cast("long").as("x"),
+      floor((col("l_quantity").cast("long") - 1) * 65535 / 49)
+        .cast("long").as("y"))
+    li.select(zValue(col("x"), col("y")).as("zval"))
+      .withColumn("zbucket", shiftright(col("zval"), 2 * ZBits - 6))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zval")).as("zmin"), max(col("zval")).as("zmax"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q198Sql: String = {
+    val inter = (0 until ZBits).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT
+       |    least(CAST(floor(l_extendedprice) AS BIGINT) // 2, 65535) AS x,
+       |    (CAST(l_quantity AS BIGINT) - 1) * 65535 // 49 AS y
+       |  FROM lineitem),
+       |z AS (SELECT $inter AS zval FROM d)
+       |SELECT zval >> ${2 * ZBits - 6} AS zbucket,
+       |  count(*) AS n, min(zval) AS zmin, max(zval) AS zmax
+       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
     "q69_pii_redact" -> (q69PiiRedact _),
@@ -490,6 +567,7 @@ object Curation {
     "q77_group_sample" -> (q77GroupSample _))
 
   def oracles: Map[String, String] = Map(
+    "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,
     "q69_pii_redact" -> q69Sql,

@@ -253,4 +253,65 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("z-order value round-trips and each z-bucket bounds BOTH dimensions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until Curation.ZBits).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    // interleave(x, y) must deinterleave back for edge and random-ish
+    // coordinates — the invertibility that makes z-pruning exact
+    val pts = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L),
+      (12345L, 54321L), (65535L, 0L), (40000L, 1L))
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType)))
+    val zs = spark.createDataFrame(
+        java.util.Arrays.asList(pts.map(p => Row(p._1, p._2)): _*), schema)
+      .select(col("x"), col("y"),
+        Curation.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    zs.foreach { case (x, y, z) =>
+      assert(deinterleave(z) == (x, y), s"($x,$y) -> $z")
+    }
+    // the graded bucketing (top 6 z-bits) fixes the top 3 bits of
+    // BOTH dimensions — the two-sided pruning guarantee a single-
+    // column sort cannot give. Check on the real graded relation.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select(
+      least(floor(floor(col("l_extendedprice")) / 2), lit(65535L))
+        .cast("long").as("x"),
+      floor((col("l_quantity").cast("long") - 1) * 65535 / 49)
+        .cast("long").as("y"))
+    val rows = li.select(col("x"), col("y"),
+        Curation.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._3 >> (2 * Curation.ZBits - 6)).foreach {
+      case (bucket, members) =>
+        assert(members.map(_._1 >> 13).distinct.size == 1,
+          s"bucket $bucket spans multiple x blocks")
+        assert(members.map(_._2 >> 13).distinct.size == 1,
+          s"bucket $bucket spans multiple y blocks")
+    }
+    // and the layout applicator places equal z-values together with
+    // ascending ranges across partitions (range partition + sort)
+    val laid = Curation.zorderLayout(li, col("x"), col("y"), 4)
+    val perPart = laid.select(col("zval"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val zs = it.map(_.getLong(0)).toArray
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((i, zs.head, zs.last, zs.sameElements(zs.sorted)))
+      }.collect().sortBy(_._1)
+    assert(perPart.forall(_._4), "zval must be sorted within partitions")
+    perPart.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(hi1 <= lo2, "partition z-ranges must not overlap")
+      case _ => ()
+    }
+  }
 }
