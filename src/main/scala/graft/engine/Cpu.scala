@@ -51,11 +51,18 @@ object Cpu {
     val cores = sess.sparkContext.defaultParallelism
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
     val plan = df.queryExecution.optimizedPlan
-    val rddParts = plan.collectFirst {
+    // ALL LogicalRDD leaves, gated on the MINIMUM partition count: a
+    // plan mixing an RDD leaf with file-scan leaves (checkpoint
+    // joined to a scan) must not be sized by whichever leaf a
+    // pre-order collectFirst happened to hit — one single-partition
+    // leaf anywhere is enough to pin the whole zipped stage (r12
+    // advice; previously latent because every call site was
+    // single-source).
+    val rddParts = plan.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.getNumPartitions
     }
-    rddParts match {
+    rddParts.minOption match {
       case Some(p) => if (p < cores) df.repartition(cores) else df
       case None =>
         val est = plan.stats.sizeInBytes

@@ -1126,7 +1126,12 @@ object Scoring {
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
           .otherwise(lit(0.0)).as("ndcg10"),
         coalesce(round(col("mrrraw"), 6), lit(0.0)).as("mrr10"),
-        when(least(col("totrel"), lit(EvalK.toDouble)) > 0,
+        // guard on coalesce(totrel, 0): a qid whose terms match no
+        // document has totrel NULL after the spine left join, and
+        // least() IGNORES NULLs — least(NULL, 10) = 10 would pass the
+        // guard and emit ap10 = NULL instead of the documented 0.0
+        // (r12 advice)
+        when(coalesce(col("totrel"), lit(0.0)) > 0,
           round(col("apnum") / least(col("totrel"), lit(EvalK.toDouble)), 6))
           .otherwise(lit(0.0)).as("ap10"))
       .orderBy(col("qid"))
@@ -1176,7 +1181,7 @@ object Scoring {
        |SELECT q.qid,
        |  CASE WHEN i.idcg > 0 THEN round(e.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg10,
        |  coalesce(round(e.mrrraw, 6), 0.0) AS mrr10,
-       |  CASE WHEN least(t.totrel, ${EvalK}.0) > 0
+       |  CASE WHEN coalesce(t.totrel, 0.0) > 0
        |    THEN round(e.apnum / least(t.totrel, ${EvalK}.0), 6) ELSE 0.0 END AS ap10
        |FROM (SELECT DISTINCT qid FROM mq) q
        |LEFT JOIN ev e USING (qid)

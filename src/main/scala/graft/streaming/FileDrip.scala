@@ -38,7 +38,16 @@ object FileDrip {
           b.coalesce(1).write.mode("append").parquet(dir.toString)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        // stop() can throw TimeoutException under the session-wide
+        // spark.sql.streaming.stopTimeout; a throw here would mask
+        // the try block's real failure (and "not dead yet" is fine —
+        // the grading collect has already drained). Same posture as
+        // the bench grace loop.
+        try q.stop()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[filedrip] stop() did not settle: $e") }
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.walk(dir)

@@ -103,6 +103,83 @@ class BenchSpec extends AnyFunSuite {
     assert(order.sorted == names.sorted && om.sorted == many.sorted)
   }
 
+  test("staleness rotation: driver-measured rows yield to stale ones (r12 #1)") {
+    val refs = Seq("q22_matmul", "q23_kmeans", "q25_dft", "q24_logreg",
+      "q21_iot", "q26_pi", "q27_vadd")
+    // 40 non-ref rows with priors 1..40: the expensive pool is the
+    // top ExpensivePool=30 (indices 10..39), the pre-rotation head
+    // would be the top 10 (indices 30..39)
+    val rest = (1 to 40).map(i => f"q2$i%02d_x")
+    val prior = (refs.map(_ -> 0.3) ++
+      rest.zipWithIndex.map { case (n, i) => n -> (i + 1.0) }).toMap
+    // a loaded previous round measured exactly refs + the 10 priciest
+    // (what r12 actually did: 17/198)
+    val measured = rest.takeRight(10).map(n => Bench.shortKey(n) -> 12).toMap
+    val order = Bench.orderForBudget(refs ++ rest, prior,
+      Bench.DriverHistory(measured, Set.empty))
+    assert(order.take(7) == refs, "refs always lead")
+    val head = order.slice(7, 7 + Bench.ExpensiveHead)
+    // the head rotates: NEXT-priciest never-measured pool rows (ranks
+    // 21-30), priciest first — disjoint from last round's head
+    assert(head == rest.slice(20, 30).reverse, head)
+    assert(head.toSet.intersect(measured.keySet.map(s => rest.find(
+      n => Bench.shortKey(n) == s).get)).isEmpty,
+      "r13's head must be disjoint from r12's measured head")
+    // the tail walks stale rows first (cheapest-first within a
+    // staleness class); last round's measured rows walk LAST
+    assert(order.drop(7 + Bench.ExpensiveHead) ==
+      rest.slice(0, 20) ++ rest.slice(30, 40), order.drop(17))
+    // nothing lost or duplicated
+    assert(order.sorted == (refs ++ rest).sorted)
+    // and with NO measurement history the order is the legacy
+    // cost-based walk (priciest head, cheapest-first tail)
+    val legacy = Bench.orderForBudget(refs ++ rest, prior)
+    assert(legacy.slice(7, 7 + Bench.ExpensiveHead) ==
+      rest.takeRight(10).reverse)
+    // crashed-last rows LEAD the head regardless of staleness — the
+    // r12 q41/q119 scenario: their -1 rows needed a manual
+    // exoneration run; now the next artifact answers automatically
+    val crashed = Set(Bench.shortKey(rest(2)), Bench.shortKey(rest(35)))
+    val oc = Bench.orderForBudget(refs ++ rest, prior,
+      Bench.DriverHistory(measured, crashed))
+    // priciest crashed row first, then the other; then stale pool rows
+    assert(oc.slice(7, 9) == Seq(rest(35), rest(2)), oc.slice(7, 9))
+    assert(oc.slice(9, 7 + Bench.ExpensiveHead).forall(n =>
+      !crashed.contains(Bench.shortKey(n))))
+    assert(oc.sorted == (refs ++ rest).sorted)
+  }
+
+  test("readDriverMeasured: both artifact vintages, -1 stays stale, later wins") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_rounds")
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    try {
+      // r01 vintage: full names inside the escaped tail string
+      put("BENCH_r01.json",
+        """{"n":1,"tail":"{\"queries\":{\"q01_alpha\":0.5,\"q41_pagerank\":2.0}}"}""")
+      // r12 vintage: short keys; q41 crashed (-1); stderr line and
+      // ref sub-map must NOT count as measurements
+      put("BENCH_r12.json",
+        """{"n":12,"tail":"[error] [bench] q99_zzz 9.9\n{\"queries\":{\"q41\":-1.00,\"q62\":29.0},\"ref\":{\"matmul\":0.38}}"}""")
+      put("not_a_bench.json", """{"queries":{"q77":1.0}}""")
+      val h = Bench.readDriverHistory(dir.toString)
+      // q41: measured r01, ATTEMPTED (crashed) r12 → lastMeasured
+      // stays 1 AND it is flagged crashed-last, so the rotation
+      // retries it first (the r12 q41/q119 scenario)
+      assert(h.lastMeasured == Map("q01" -> 1, "q41" -> 1, "q62" -> 12), h)
+      assert(h.crashedLast == Set("q41"), h.crashedLast)
+      // missing directory → empty, no throw
+      val none = Bench.readDriverHistory("/nonexistent/nope")
+      assert(none.lastMeasured.isEmpty && none.crashedLast.isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("prior sidecar parse tolerates crashes and junk, keyed by full name") {
     val f = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(f,
