@@ -50,6 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.VecSum(exprs.head)
           .toAggregateExpression(isDistinct = false)
       }))
+    // graft_rmin/rmax/rsum/ravg(x): scalar double reductions, same
+    // kernel-agg seam as graft_vecsum (the reference's prebuilt
+    // simple-double-reduce-* device kernels) — see
+    // graft.plans.ScalarReduce
+    graft.plans.ScalarReduce.All.foreach { op =>
+      val name = s"graft_r${op.name}"
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.plans.ScalarReduce].getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+          graft.plans.ScalarReduce(exprs.head, op)
+            .toAggregateExpression(isDistinct = false)
+        }))
+    }
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)
     // phase-6 accelerator seam (SURVEY §7): swap graft_dot-bearing
     // projections for the batch kernel operator. Opt-in via

@@ -1223,9 +1223,19 @@ object Scoring {
     * unique ids, so the gate alone never exercises the anti-join. */
   private[graft] def upsertPostings(index: DataFrame,
       batchIds: DataFrame, batchTfd: DataFrame): DataFrame =
-    index.join(batchIds.select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      .unionByName(batchTfd)
+    upsertByKey(index, batchIds, batchTfd, "doc_id")
+
+  /** The generic replace-by-key index upsert both maintainers share
+    * (q197 lexical postings on doc_id, q199 dense IVF assignments on
+    * vec_id): anti-join the batch's RAW keys out of the stored state,
+    * then union the batch's derived rows. Keying on raw ids — never
+    * on the derived rows — is what keeps a re-ingested unit whose
+    * derivation is EMPTY (zero-token doc) from leaving stale state
+    * alive. */
+  private[graft] def upsertByKey(index: DataFrame, batchKeys: DataFrame,
+      batchRows: DataFrame, key: String): DataFrame =
+    index.join(batchKeys.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(batchRows)
 
   def q197StreamingIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -476,10 +476,40 @@ object Similarity {
     (cents, probes)
   }
 
-  def q61AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** [[coarseRouting]] for an ARBITRARY leading-prefix query set (the
+    * q200 multi-query batch — the query set need not fit inside the
+    * centroid prefix): same frozen centroids, same desc-cosine/asc-id
+    * probe ranking, one extra bounded collect for the query block
+    * (nQueries × 16 dots — driver-sized model state like every
+    * routing table here). */
+  private def multiRouting(spark: SparkSession, dir: String, nQueries: Int)
+      : (Array[Vec], Array[(Vec, Array[Int])]) = {
+    val (cents, _) = coarseRouting(spark, dir)
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.id)
+    assert(qs.length == nQueries,
+      s"expected $nQueries query rows with vec_id 0..${nQueries - 1}, got ${qs.length}")
+    val probes = qs.map { q =>
+      val ranked = cents.indices
+        .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
+        .sortBy { case (s, j) => (-s, j) }
+        .take(NProbe).map(_._2)
+      (q, ranked.toArray)
+    }
+    (cents, probes)
+  }
+
+  /** The fused IVF probe scan q61 and q200 share: ONE narrow catalog
+    * pass — cell assignment inside the scoring kernel against the
+    * broadcast (centroids, probe-table) block — then the per-query
+    * rank window. Candidate volume ≈ nQueries × NProbe/NCells of the
+    * catalog; the only shuffle is the rank window's qid exchange. */
+  private def ivfProbeScan(spark: SparkSession, dir: String,
+      cents: Array[Vec], probes: Array[(Vec, Array[Int])]): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val (cents, probes) = coarseRouting(spark, dir)
     val bc = spark.sparkContext.broadcast((cents, probes))
     val scored = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -503,7 +533,35 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val q61Sql: String =
+  def q61AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, probes) = coarseRouting(spark, dir)
+    ivfProbeScan(spark, dir, cents, probes)
+  }
+
+  // ---------------------------------------------------------------- q200
+  /** Multi-query dense retrieval BATCH — q194's dense twin (r12
+    * verdict #8): a SET of [[MultiQ]] query vectors served against
+    * the IVF index in ONE catalog pass. The broadcast block carries
+    * the whole query matrix + per-query probe tables; each catalog
+    * vector is cell-assigned once and scored against every query
+    * probing its cell — per-query candidate volume stays
+    * NProbe/NCells of the catalog, and the batch amortizes the scan
+    * across all queries (zero extra passes per query — the same
+    * single-pass economics q194 proves for BM25 serving). Oracle:
+    * the q61 routing SQL generalized to the batch query set, so the
+    * gate proves batch ≡ per-query IVF; PipelineSpec pins the
+    * brute-force recall floor at the corpus's documented ANN
+    * envelope. */
+  val MultiQ = 32
+
+  def q200MultiQueryIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, probes) = multiRouting(spark, dir, MultiQ)
+    ivfProbeScan(spark, dir, cents, probes)
+  }
+
+  /** q61's IVF SQL with the query-set bound factored out (q61 = the
+    * [[NQueries]] prefix, q200 = the [[MultiQ]] batch). */
+  private def ivfSqlFor(qBound: Int): String =
     s"""WITH ev AS (SELECT vec_id, embedding,
        |  sqrt(list_sum(list_transform(embedding,
        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -519,7 +577,7 @@ object Similarity {
        |  FROM ev e CROSS JOIN cents c),
        |assigned AS (SELECT vec_id, cell FROM cellscore WHERE rk = 1),
        |probes AS (SELECT vec_id AS qid, cell FROM cellscore
-       |  WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |  WHERE vec_id < $qBound AND rk <= $NProbe),
        |scored AS (
        |  SELECT p.qid, c.vec_id,
        |    round(list_sum(list_transform(range($Dim),
@@ -535,6 +593,106 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  val q61Sql: String = ivfSqlFor(NQueries)
+
+  val q200Sql: String = ivfSqlFor(MultiQ)
+
+  // ---------------------------------------------------------------- q199
+  /** Streaming IVF index MAINTENANCE, graded end-to-end — the dense
+    * twin of q197's lexical-postings maintainer, completing the
+    * retrieval family's symmetry (lexical index maintenance existed,
+    * dense didn't — r12 verdict #3). The stored state is the
+    * persisted IVF index `(vec_id, cell, embedding)` — cell
+    * assignment under the FROZEN coarse quantizer precomputed, so
+    * probes prune whole cells without touching the source table.
+    * Each FileDrip trigger cell-assigns ONLY its batch (one narrow
+    * mapPartitions against the broadcast centroids — no shuffle, no
+    * index rescan) and upserts it through the same replace-by-key
+    * rule as q197 ([[Scoring.upsertByKey]] on the RAW batch vec_ids:
+    * a re-ingested vector REPLACES its old assignment). The graded
+    * output probes the FINAL maintained index via the q61 cell-probe
+    * path, and the oracle is q61's SQL — which builds the index FROM
+    * SCRATCH over the full catalog — so the gate proves
+    * maintained ≡ rebuilt THROUGH the serving surface, the invariant
+    * every incremental indexer must keep. Frozen centroids are the
+    * production posture: re-training the quantizer is an offline
+    * rebuild, not a maintenance upsert. SimilaritySpec pins the
+    * replacement edges (re-ingested vector with a DIFFERENT
+    * embedding moves cells; empty batch is the identity). */
+  private def assignCells(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Vec]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) => (id, argmaxCell(mkVec(id, e), cs), e) }
+      }.toDF("vec_id", "cell", "embedding")
+  }
+
+  /** q61's probe, decoupled from assignment: exact-score the stored
+    * rows whose PRECOMPUTED cell is probed by each query, rank, keep
+    * [[TopK]]. Identical math to [[q61AnnIvf]]'s fused kernel — the
+    * only difference is that `cell` comes from the index instead of
+    * being recomputed, which is the point of persisting one. */
+  private def probeIvfIndex(index: DataFrame,
+      probes: Array[(Vec, Array[Int])]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(probes)
+    val scored = index.select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .mapPartitions { it =>
+        val ps = bq.value
+        it.flatMap { case (id, cell, e) =>
+          val c = mkVec(id, e)
+          ps.iterator
+            .filter { case (q, probe) => q.id != id && probe.contains(cell) }
+            .map { case (q, _) =>
+              (q.id, c.id, round4(dotJvm(c.v, q.v) / (c.norm * q.norm)))
+            }
+        }
+      }.toDF("qid", "vec_id", "cosine")
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def q199StreamingIvfMaintenance(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val (cents, probes) = coarseRouting(spark, dir)
+    val bc = spark.sparkContext.broadcast(cents)
+    // stored index: 80% of the catalog pre-indexed; the rest arrives
+    // in two micro-batches (ids ending 8, then 9)
+    var index = assignCells(emb.filter(col("vec_id") % 10 < 8), bc)
+      .localCheckpoint(true)
+    val ingest = emb.filter(col("vec_id") % 10 >= 8)
+    graft.streaming.FileDrip.drive(Seq(
+        ingest.filter(col("vec_id") % 10 === 8),
+        ingest.filter(col("vec_id") % 10 === 9))) { stream =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q199_ivf_maintenance") { (batch, _) =>
+        val batchAsg = assignCells(batch, bc).localCheckpoint(true)
+        val batchIds = batch.select(col("vec_id")).distinct()
+          .localCheckpoint(true)
+        val prev = index
+        index = Scoring.upsertByKey(prev, batchIds, batchAsg, "vec_id")
+          .localCheckpoint(true)
+        // superseded state + trigger inputs have no readers once the
+        // merge is materialized — release before the next trigger
+        prev.unpersist(blocking = false)
+        batchAsg.unpersist(blocking = false)
+        batchIds.unpersist(blocking = false)
+      }
+    }
+    val out = probeIvfIndex(index, probes)
+    graft.engine.Localize(out)(index.unpersist(blocking = false))
+  }
 
   // ---------------------------------------------------------------- q55
   /** Symmetric int8 quantization of embeddings (per-vector max-abs
@@ -1335,6 +1493,8 @@ object Similarity {
     "q52_filtered_ann" -> (q52FilteredAnn _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
     "q61_ann_ivf" -> (q61AnnIvf _),
+    "q199_ivf_maintenance" -> (q199StreamingIvfMaintenance _),
+    "q200_multiquery_ivf" -> (q200MultiQueryIvf _),
     "q65_ann_lsh_multiprobe" -> (q65AnnLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
@@ -1353,5 +1513,12 @@ object Similarity {
     "q52_filtered_ann" -> q52Sql,
     "q55_quantize_int8" -> q55Sql,
     "q61_ann_ivf" -> q61Sql,
+    // maintained ≡ rebuilt, graded through the serving surface: the
+    // incrementally maintained index must answer probes exactly like
+    // q61's from-scratch build over the full catalog
+    "q199_ivf_maintenance" -> q61Sql,
+    // batch ≡ per-query IVF: the one-pass multi-query batch must
+    // return exactly what per-query routing would
+    "q200_multiquery_ivf" -> q200Sql,
     "q65_ann_lsh_multiprobe" -> q65Sql)
 }

@@ -191,6 +191,23 @@ object Functions {
         },
         "built-in")
     }
+    // graft_rmin/rmax/rsum/ravg(x): scalar double reductions through
+    // the kernel-agg seam (the reference's prebuilt
+    // simple-double-reduce-{min,max,sum,avg}.cl workload class) — see
+    // graft.plans.ScalarReduce
+    ScalarReduce.All.foreach { op =>
+      val name = s"graft_r${op.name}"
+      if (!spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name,
+          (exprs: Seq[Expression]) => {
+            require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+            ScalarReduce(exprs.head, op).toAggregateExpression(isDistinct = false)
+          },
+          "built-in")
+      }
+    }
     // Sketch aggregates on the SQL surface: `graft_hh(col)` —
     // Misra-Gries heavy hitters (k=32) as map<item, est_count> — and
     // `graft_cm(col)` — the Count-Min table (d=4, w=256) as

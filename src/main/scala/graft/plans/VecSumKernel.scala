@@ -14,6 +14,73 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
+/** The family of `TypedImperativeAggregate[Array[Double]]` functions
+  * the kernel seam can swap to a batch partial stage: one unary
+  * input expression, an `Array[Double]` accumulator whose length 0
+  * means "nothing consumed", and an element-wise fold that is ALSO
+  * the partial-merge (the per-row extracted vector and a partial
+  * buffer have the same shape). Implemented by [[VecSum]] (vector
+  * sum — KMeans centroid/LogReg gradient accumulate) and
+  * [[ScalarReduce]] (double min/max/sum/avg — the reference's
+  * `simple-double-reduce-{min,max,sum,avg}.cl` prebuilt kernels,
+  * `AllReduceDriver.java:1400-1424`, selected by UDF class name at
+  * `AllReduceDriver.java:1417-1431`). Serialization is shared:
+  * little-endian packed doubles. */
+trait KernelAgg extends TypedImperativeAggregate[Array[Double]]
+    with UnaryLike[Expression] {
+  def child: Expression
+
+  /** One row's evaluated input as a primitive vector (never called
+    * with null — update() short-circuits null inputs first). */
+  def toVec(value: Any): Array[Double]
+
+  /** Element-wise fold of one extracted vector OR one partial buffer
+    * into the accumulator; returns the (possibly re-allocated)
+    * buffer. Must treat a length-0 argument as "nothing". */
+  def fold(acc: Array[Double], v: Array[Double]): Array[Double]
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf else fold(buf, toVec(v))
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] =
+    fold(buf, other)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
+    out
+  }
+}
+
+object KernelAgg {
+  /** The stand-in device kernel: one contiguous sweep over a batch of
+    * rows whose accumulator slots were resolved host-side — the shape
+    * of the reference's per-work-group reduction (slot resolution =
+    * the sort/bucket step a real device impl does before its
+    * segmented reduce). `slots(i)(f)` is row i's accumulator for
+    * function f; re-allocated in place on growth. */
+  def accumulateBatch(fn: KernelAgg, slots: Array[Array[Array[Double]]],
+      f: Int, vecs: Array[Array[Double]], n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      val v = vecs(i)
+      if (v != null) slots(i)(f) = fn.fold(slots(i)(f), v)
+      i += 1
+    }
+  }
+}
+
 /** Element-wise vector sum over an `array<float>` or `array<double>`
   * column — the KMeans centroid-accumulate shape (reference TornadoVM
   * `ChainedAllReduceDriver.java:852`: the per-cluster centroid
@@ -38,7 +105,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 case class VecSum(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+    extends KernelAgg {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -51,32 +118,14 @@ case class VecSum(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_vecsum"
 
-  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+  override def toVec(value: Any): Array[Double] =
+    VecSum.toDoubles(value.asInstanceOf[ArrayData], child.dataType)
 
-  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
-    val v = child.eval(input)
-    if (v == null) buf
-    else VecSum.accumulate(buf, VecSum.toDoubles(v.asInstanceOf[ArrayData],
-      child.dataType))
-  }
-
-  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] =
-    VecSum.accumulate(buf, other)
+  override def fold(acc: Array[Double], v: Array[Double]): Array[Double] =
+    VecSum.accumulate(acc, v)
 
   override def eval(buf: Array[Double]): Any =
     if (buf.isEmpty) null else new GenericArrayData(buf)
-
-  override def serialize(buf: Array[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * buf.length).order(ByteOrder.LITTLE_ENDIAN)
-    bb.asDoubleBuffer().put(buf)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Double] = {
-    val out = new Array[Double](bytes.length / 8)
-    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
-    out
-  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VecSum =
     copy(mutableAggBufferOffset = newOffset)
@@ -125,26 +174,91 @@ object VecSum {
     }
   }
 
-  /** The stand-in device kernel: one contiguous sweep over a batch of
-    * rows whose accumulator slots were resolved host-side —
-    * the shape of the reference's per-work-group centroid reduction
-    * (slot resolution = the sort/bucket step a real device impl does
-    * before its segmented reduce). `slots(i)(f)` is row i's
-    * accumulator for function f; re-allocated in place on growth. */
-  def accumulateBatch(slots: Array[Array[Array[Double]]], f: Int,
-      vecs: Array[Array[Double]], n: Int): Unit = {
-    var i = 0
-    while (i < n) {
-      val v = vecs(i)
-      if (v != null) slots(i)(f) = accumulate(slots(i)(f), v)
-      i += 1
-    }
+}
+
+/** Scalar double reduction — min/max/sum/avg — as the same
+  * typed-imperative kernel-agg shape as [[VecSum]]: the reference
+  * precompiles exactly these four as device kernels
+  * (`simple-double-reduce-{min,max,sum,avg}.cl`) and selects one by
+  * the UDF's class name (`AllReduceDriver.java:1400-1431`,
+  * `ReduceMin/ReduceMax/ReduceSum/ReduceAvg`) — the IoT pipeline's
+  * global-reduce stage. Buffer: `[m]` for min/max/sum, `[sum, count]`
+  * for avg — in every case the per-row extracted vector has the same
+  * shape, so ONE element-wise fold serves row-update, batch sweep and
+  * partial merge (avg folds `[x, 1]` by addition; the division
+  * happens once in eval). Exposed to SQL as
+  * `graft_rmin/graft_rmax/graft_rsum/graft_ravg` via
+  * [[Functions.register]] / [[graft.engine.GraftExtensions]]; the
+  * seam ([[VecSumKernelRule]]) swaps their partial stage exactly as
+  * it does VecSum's. Strict DoubleType input — callers cast, so the
+  * SQL surface can't silently widen decimals through a double fold. */
+case class ScalarReduce(child: Expression, op: ScalarReduce.Op,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KernelAgg {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects double, got ${t.simpleString}")
   }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"graft_r${op.name}"
+
+  override def toVec(value: Any): Array[Double] = {
+    val d = value.asInstanceOf[Double]
+    if (op eq ScalarReduce.Avg) Array(d, 1.0) else Array(d)
+  }
+
+  override def fold(acc: Array[Double], v: Array[Double]): Array[Double] =
+    if (v.isEmpty) acc
+    else if (acc.isEmpty) v.clone()
+    else {
+      VecSum.checkDim(acc.length, v.length)
+      var i = 0
+      while (i < v.length) { acc(i) = op.combine(acc(i), v(i)); i += 1 }
+      acc
+    }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null
+    else if (op eq ScalarReduce.Avg) buf(0) / buf(1)
+    else buf(0)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ScalarReduce =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ScalarReduce =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ScalarReduce =
+    copy(child = newChild)
+}
+
+object ScalarReduce {
+  /** The element-wise combiner. For Avg the buffer is [sum, count] and
+    * BOTH components combine by +, so `combine` ignores the index. */
+  sealed abstract class Op(val name: String) extends Serializable {
+    def combine(a: Double, b: Double): Double
+  }
+  case object Min extends Op("min") {
+    def combine(a: Double, b: Double): Double = math.min(a, b)
+  }
+  case object Max extends Op("max") {
+    def combine(a: Double, b: Double): Double = math.max(a, b)
+  }
+  case object Sum extends Op("sum") {
+    def combine(a: Double, b: Double): Double = a + b
+  }
+  case object Avg extends Op("avg") {
+    def combine(a: Double, b: Double): Double = a + b
+  }
+  val All: Seq[Op] = Seq(Min, Max, Sum, Avg)
 }
 
 /** Physical stand-in for a device-side partial aggregation: replaces
-  * the PARTIAL [[ObjectHashAggregateExec]] of a pure-[[VecSum]]
-  * aggregate with a per-partition batch kernel — rows are drained in
+  * the PARTIAL [[ObjectHashAggregateExec]] of a pure-[[KernelAgg]]
+  * aggregate ([[VecSum]] and/or [[ScalarReduce]], freely mixed)
+  * with a per-partition batch kernel — rows are drained in
   * [[DotKernel.BatchSize]] batches, each row's accumulator slot is
   * resolved against the partition's group map, then one contiguous
   * primitive sweep per function accumulates the batch (the
@@ -163,7 +277,7 @@ case class VecSumKernelExec(
     val childOutput = child.output
     val gEx = groupingExpressions
     val fnExprs = aggregateExpressions
-      .map(_.aggregateFunction.asInstanceOf[VecSum])
+      .map(_.aggregateFunction.asInstanceOf[KernelAgg])
     val outAttrs = output
     val maxGroups = conf.getConfString(VecSumKernelExec.MaxGroupsKey,
       VecSumKernelExec.MaxGroups.toString).toInt
@@ -222,15 +336,13 @@ case class VecSumKernelExec(
         // contiguous sweep per function
         var f = 0
         while (f < nF) {
-          val dt = fns(f).child.dataType
           var j = 0
           while (j < n) {
             val v = bound(f).eval(rows(j))
-            vecs(j) = if (v == null) null
-              else VecSum.toDoubles(v.asInstanceOf[ArrayData], dt)
+            vecs(j) = if (v == null) null else fns(f).toVec(v)
             j += 1
           }
-          VecSum.accumulateBatch(slots, f, vecs, n)
+          KernelAgg.accumulateBatch(fns(f), slots, f, vecs, n)
           f += 1
         }
         if (groups.size() >= maxGroups) flush()
@@ -256,7 +368,7 @@ object VecSumKernelExec {
 /** Post-columnar-transition rule (the same seam as
   * [[DotKernelProjectRule]], second kernel class): swap the partial
   * ObjectHashAggregateExec for [[VecSumKernelExec]] when every
-  * aggregate is a plain Partial-mode [[VecSum]] (no DISTINCT, no
+  * aggregate is a plain Partial-mode [[KernelAgg]] (no DISTINCT, no
   * FILTER) and the result expressions are the pass-through
   * grouping ++ buffer attributes partial aggregates always emit.
   * Opt-in via `spark.graft.kernelAgg.enabled`; the FINAL stage and
@@ -269,7 +381,7 @@ object VecSumKernelRule extends Rule[SparkPlan] {
     agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(ae =>
         ae.mode == Partial && !ae.isDistinct && ae.filter.isEmpty &&
-          ae.aggregateFunction.isInstanceOf[VecSum]) &&
+          ae.aggregateFunction.isInstanceOf[KernelAgg]) &&
       agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
       agg.resultExpressions.length ==
         agg.groupingExpressions.length + agg.aggregateExpressions.length &&

