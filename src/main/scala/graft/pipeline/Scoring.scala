@@ -1237,6 +1237,111 @@ object Scoring {
     index.join(batchKeys.select(col(key)).distinct(), Seq(key), "left_anti")
       .unionByName(batchRows)
 
+  // --------------------------------------------------------------- q202
+  /** HARD-NEGATIVE MINING for contrastive retrieval training (the
+    * DPR/E5 recipe, Karpukhin et al. 2020 §3.2: negatives that are
+    * dense-SIMILAR to the query but lexically IRRELEVANT are the
+    * ones that teach the embedding model anything): for each eval
+    * query, take the [[DenseCand]] nearest doc vectors to the
+    * query's embedding (the q188/q189 doc↔vec_id convention; query
+    * vector = the qid's own catalog vector), anti-join out every
+    * FULL-overlap positive — a doc matching ALL the query's terms,
+    * the top grade of the q190/q195 relevance rule, computed from
+    * the same `qtf × mq` relation so "positive" can't drift between
+    * the eval and mining surfaces — and keep the [[HardK]] hardest
+    * survivors per query (highest cosine = hardest negative).
+    * Partial-overlap docs deliberately STAY eligible: on this corpus
+    * ~97% of docs share at least one term with any query, and the
+    * weakly-related-but-dense-similar band is precisely the hard-
+    * negative zone the recipe exists to mine (an any-overlap
+    * disqualifier empties the pool — measured at sf0.01).
+    * Plan shape: the relevance side is one filtered token pass (the
+    * posting relation filtered to query terms BEFORE its shuffle);
+    * the dense side is one catalog pass against the broadcast query
+    * block with a per-query rank window — the brute probe at graded
+    * SF, with q61/q200's IVF routing as the documented scale path.
+    * The mined output is exactly what a training-pair writer ships:
+    * (qid, rank, doc_id, cosine). */
+  val DenseCand = 20
+  val HardK = 5
+
+  def q202HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.Functions.register(spark)
+    val tfd = corpusTfd(spark, dir)
+    val union = EvalQuerySets.flatMap(_._2).distinct
+    val qterms = queryTermsDf(spark, EvalQuerySets)
+    // only a FULL-overlap positive (every query term present)
+    // disqualifies a doc from being a negative
+    val qsizes = EvalQuerySets
+      .map { case (q, ts) => (q, ts.distinct.size) }
+      .toDF("qid", "nterms")
+    val rel = tfd.filter(col("t").isin(union: _*))
+      .join(broadcast(qterms), Seq("t"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("nmatch"))
+      .join(broadcast(qsizes), Seq("qid"))
+      .filter(col("nmatch") === col("nterms"))
+      .select(col("qid"), col("doc_id"))
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val qids = EvalQuerySets.map(_._1.toLong)
+    val qvecs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qe"))
+    val scored = emb
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qvecs))
+      .filter(col("doc_id") =!= col("qid").cast("long"))
+      .select(col("qid"), col("doc_id"),
+        round(expr("graft_cosine(embedding, qe)"), 6).as("cosine"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val cand = scored.withColumn("drank", row_number().over(wd))
+      .filter(col("drank") <= DenseCand)
+    val negs = cand.join(rel, Seq("qid", "doc_id"), "left_anti")
+    val wn = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    negs.withColumn("rank", row_number().over(wn))
+      .filter(col("rank") <= HardK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q202Sql: String = {
+    val qidList = EvalQuerySets.map(_._1).mkString(", ")
+    val sizeVals = EvalQuerySets
+      .map { case (q, ts) => s"($q, ${ts.distinct.size})" }.mkString(", ")
+    s"""$bm25MultiSqlCtes,
+       |qsz AS (SELECT * FROM (VALUES $sizeVals) AS v(qid, nterms)),
+       |rel AS (SELECT m.qid, q.doc_id FROM qtf q JOIN mq m USING (t)
+       |  JOIN qsz ON qsz.qid = m.qid
+       |  GROUP BY m.qid, q.doc_id, qsz.nterms
+       |  HAVING count(*) = qsz.nterms),
+       |ev AS (SELECT vec_id AS doc_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT CAST(doc_id AS INT) AS qid, embedding AS qe, nrm AS qn
+       |  FROM ev WHERE doc_id IN ($qidList)),
+       |scored AS (
+       |  SELECT q.qid, e.doc_id,
+       |    round(list_sum(list_transform(range(${graft.pipeline.Similarity.Dim}),
+       |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(q.qe[k+1] AS DOUBLE)))
+       |      / (e.nrm * q.qn), 6) AS cosine
+       |  FROM ev e CROSS JOIN qv q WHERE e.doc_id <> q.qid),
+       |cand AS (SELECT qid, doc_id, cosine FROM (
+       |    SELECT qid, doc_id, cosine,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS drank
+       |    FROM scored) WHERE drank <= $DenseCand),
+       |negs AS (SELECT c.* FROM cand c LEFT JOIN rel r
+       |    ON r.qid = c.qid AND r.doc_id = c.doc_id
+       |  WHERE r.doc_id IS NULL)
+       |SELECT qid, rank, doc_id, cosine FROM (
+       |  SELECT qid, doc_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank
+       |  FROM negs)
+       |WHERE rank <= $HardK ORDER BY qid, rank""".stripMargin
+  }
+
   def q197StreamingIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // the stored index: corpus postings, materialized once
@@ -1284,6 +1389,7 @@ object Scoring {
     "q194_bm25_multiquery" -> (q194Bm25Multi _),
     "q195_multiquery_eval" -> (q195MultiqueryEval _),
     "q197_index_maintenance" -> (q197StreamingIndexMaintenance _),
+    "q202_hard_negatives" -> (q202HardNegatives _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
@@ -1305,6 +1411,7 @@ object Scoring {
     // maintained index ≡ index rebuilt from scratch — the oracle IS
     // the from-scratch build
     "q197_index_maintenance" -> q197Sql,
+    "q202_hard_negatives" -> q202Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,

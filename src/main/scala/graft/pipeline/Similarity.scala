@@ -598,6 +598,99 @@ object Similarity {
 
   val q200Sql: String = ivfSqlFor(MultiQ)
 
+  // ---------------------------------------------------------------- q201
+  /** Late-interaction (ColBERT-style) MaxSim retrieval — the modern
+    * multi-vector scoring the single-vector family (q34/q35/q61)
+    * can't express: a document is a SET of token vectors, and
+    * score(q, d) = Σ over query tokens of the MAX cosine against any
+    * document token (Khattab & Zaharia, SIGIR 2020). The synthetic
+    * multi-vector corpus groups the embedding catalog into
+    * [[MaxSimTok]]-token documents (`doc = vec_id / MaxSimTok`,
+    * token = `vec_id % MaxSimTok`); queries are the first [[MaxSimQ]]
+    * documents. ONE narrow catalog pass scores every stored token
+    * vector against the broadcast query-token block (the kernel), so
+    * the only shuffle is the (qid, doc) fold — per-token maxes as
+    * MAX(CASE) columns and a FIXED ascending-token sum, which keeps
+    * the fold order engine-identical (a bare SUM over an unordered
+    * group would not be). At 100 TB the catalog is stored doc-major
+    * (one row per doc, array of token vectors) and the same kernel
+    * computes MaxSim per row with zero shuffle before top-k — this
+    * graded token-major form exists because the synthetic catalog is
+    * token-major; the fold is identical. */
+  val MaxSimTok = 4
+  val MaxSimQ = 4
+  val MaxSimK = 5
+
+  def q201MaxSim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qtoks: Array[(Long, Int, Vec)] =
+      emb.filter(col("vec_id") < MaxSimQ * MaxSimTok)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => mkVec(r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_.id)
+        .map(v => (v.id / MaxSimTok, (v.id % MaxSimTok).toInt, v))
+    assert(qtoks.length == MaxSimQ * MaxSimTok,
+      s"query block needs the leading ${MaxSimQ * MaxSimTok} vectors")
+    val bq = spark.sparkContext.broadcast(qtoks)
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (id, e) =>
+          val c = mkVec(id, e)
+          val doc = id / MaxSimTok
+          qs.iterator.filter(_._1 != doc).map { case (q, t, qv) =>
+            (q, doc, t, dotJvm(c.v, qv.v) / (c.norm * qv.norm))
+          }
+        }
+      }.toDF("qid", "doc_id", "qt", "cos")
+    val maxes = (0 until MaxSimTok)
+      .map(t => max(when(col("qt") === t, col("cos"))).as(s"m$t"))
+    val ms = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col("qid"), col("doc_id"),
+        // ascending-token reduce = the oracle's literal m0+m1+m2+m3
+        round((0 until MaxSimTok).map(t => col(s"m$t")).reduce(_ + _), 4)
+          .as("maxsim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("maxsim"), col("doc_id"))
+    ms.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MaxSimK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("maxsim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q201Sql: String = {
+    val dot = s"""list_sum(list_transform(range($Dim),
+                 |      k -> CAST(d.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))""".stripMargin
+    val pivots = (0 until MaxSimTok)
+      .map(t => s"max(CASE WHEN qt = $t THEN m END) AS m$t").mkString(",\n  |    ")
+      .stripMargin
+    val sum = (0 until MaxSimTok).map(t => s"m$t").mkString(" + ")
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |tok AS (SELECT vec_id // $MaxSimTok AS doc, CAST(vec_id % $MaxSimTok AS INT) AS t,
+       |    embedding, nrm FROM ev),
+       |px AS (
+       |  SELECT q.doc AS qid, q.t AS qt, d.doc AS doc_id,
+       |    max($dot / (d.nrm * q.nrm)) AS m
+       |  FROM tok d JOIN tok q ON d.doc <> q.doc
+       |  WHERE q.doc < $MaxSimQ
+       |  GROUP BY 1, 2, 3),
+       |pv AS (SELECT qid, doc_id,
+       |    ${pivots}
+       |  FROM px GROUP BY 1, 2),
+       |ms AS (SELECT qid, doc_id, round($sum, 4) AS maxsim FROM pv),
+       |ranked AS (SELECT qid, doc_id, maxsim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, doc_id) AS rank
+       |  FROM ms)
+       |SELECT qid, rank, doc_id, maxsim FROM ranked
+       |WHERE rank <= $MaxSimK ORDER BY qid, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q199
   /** Streaming IVF index MAINTENANCE, graded end-to-end — the dense
     * twin of q197's lexical-postings maintainer, completing the
@@ -1495,6 +1588,7 @@ object Similarity {
     "q61_ann_ivf" -> (q61AnnIvf _),
     "q199_ivf_maintenance" -> (q199StreamingIvfMaintenance _),
     "q200_multiquery_ivf" -> (q200MultiQueryIvf _),
+    "q201_maxsim" -> (q201MaxSim _),
     "q65_ann_lsh_multiprobe" -> (q65AnnLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
@@ -1520,5 +1614,6 @@ object Similarity {
     // batch ≡ per-query IVF: the one-pass multi-query batch must
     // return exactly what per-query routing would
     "q200_multiquery_ivf" -> q200Sql,
+    "q201_maxsim" -> q201Sql,
     "q65_ann_lsh_multiprobe" -> q65Sql)
 }

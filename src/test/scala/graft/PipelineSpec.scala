@@ -136,6 +136,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"maintained(${maintained.size}) != rebuilt(${rebuilt.size})")
   }
 
+  test("q201 MaxSim equals a driver-side late-interaction recomputation") {
+    // brute recompute with spec-local math, same ascending folds: for
+    // each (query doc, candidate doc) sum over query tokens of the
+    // max cosine against any candidate token
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def norm(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b))
+    val byDoc = vecs.groupBy(_._1 / Similarity.MaxSimTok)
+      .map { case (d, vs) => d -> vs.sortBy(_._1).map(_._2) }
+    val expect = (0L until Similarity.MaxSimQ.toLong).flatMap { q =>
+      val qts = byDoc(q)
+      byDoc.keys.toSeq.filter(_ != q).map { d =>
+        val ms = qts.map(qt => byDoc(d).map(dt => cos(dt, qt)).max).sum
+        (q, d,
+          BigDecimal(ms).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (_, d, m) => (-m, d) }.take(Similarity.MaxSimK)
+        .zipWithIndex.map { case ((qq, d, m), i) => (qq, i + 1, d, m) }
+    }
+    val got = Similarity.q201MaxSim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect, s"got ${got.take(3)}... expect ${expect.take(3)}...")
+  }
+
   test("q200 multi-query IVF batch: full per-query top-k, recall floor vs brute force") {
     val got = Similarity.q200MultiQueryIvf(spark, sf).collect()
     // every query in the batch answers with a full contiguous top-k

@@ -243,7 +243,21 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // lineitem + orders scans; agg + sort shuffles; the ONE broadcast
     // is the salt-replicated small side (shuffle-keyed on a cluster)
     // — the big side must never broadcast
-    "q196_salted_join" -> PlanCounts(2, 0, 2, 1))
+    "q196_salted_join" -> PlanCounts(2, 0, 2, 1),
+    // ONE catalog scan serves the whole 32-query batch (the point of
+    // q200); query matrix + probe tables ride a sparkContext
+    // broadcast inside the kernel, invisible to the plan census.
+    // Shuffles: qid rank window + output sort.
+    "q200_multiquery_ivf" -> PlanCounts(1, 0, 2, 0),
+    // one token-catalog scan; (qid, doc) max/sum fold + rank window +
+    // output sort
+    "q201_maxsim" -> PlanCounts(1, 0, 3, 0),
+    // 2 scans are the EMBEDDINGS legs (dense scoring + the broadcast
+    // query-vector block); the documents tokenize hides inside
+    // corpusTfd's eager checkpoint like the whole BM25 family.
+    // Shuffles: rel agg + dense window + anti join + negs window +
+    // output sort; broadcasts: qterms + qsizes + qvecs (all tiny).
+    "q202_hard_negatives" -> PlanCounts(2, 0, 5, 3))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>

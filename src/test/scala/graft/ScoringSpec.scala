@@ -461,6 +461,43 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     assert(got2 == snap(index0), got2)
   }
 
+  test("q202 hard negatives: dense top candidates minus full-overlap positives, hardest first") {
+    import org.apache.spark.sql.functions.col
+    val got = Scoring.q202HardNegatives(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "mined pool must not be empty (the any-overlap bug)")
+    // driver-side relevance: full-overlap positives per query
+    val full = Scoring.EvalQuerySets.map { case (qid, ts) =>
+      qid -> docs.filter { case (_, text, _, _) =>
+        val tk = tokens(text).toSet
+        ts.forall(tk.contains)
+      }.map(_._1).toSet
+    }.toMap
+    // driver-side dense candidates: cosine of each catalog vector to
+    // the query's own vector, top DenseCand
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def norm(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    def cosr(a: Array[Double], b: Array[Double]) = BigDecimal(
+      a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Scoring.EvalQuerySets.foreach { case (qid, _) =>
+      val qv = vecs(qid.toLong)
+      val top = vecs.toSeq.filter(_._1 != qid.toLong)
+        .map { case (d, e) => (d, cosr(e, qv)) }
+        .sortBy { case (d, c) => (-c, d) }.take(Scoring.DenseCand)
+      val expect = top.filterNot { case (d, _) => full(qid).contains(d) }
+        .take(Scoring.HardK)
+        .zipWithIndex.map { case ((d, c), i) => (qid, i + 1, d, c) }
+      val mined = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(mined == expect, s"qid $qid: $mined vs $expect")
+      // and no mined negative is ever a full-overlap positive
+      assert(mined.forall { case (_, _, d, _) => !full(qid).contains(d) })
+    }
+  }
+
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
     val first = scala.collection.mutable.Map.empty[Long, Long]
     docs.foreach { case (id, text, _, _) =>
