@@ -153,6 +153,16 @@ object Dedup {
     val sig = minhashSigOf(sh)
     val cands = bucketCandidates(bandKeysOf(sig), maxBucket)
     val sizes = sig.select(col("doc_id"), col("sz"))
+    verifyJaccard(cands, sh, sizes).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact-Jaccard verification of a `(doc_a, doc_b)` candidate
+    * relation against the shingle-hash relation: intersection via the
+    * hp equi-join, union from the per-doc set sizes, keep ≥ 0.8.
+    * Shared by q29's all-pairs listing and q203's star edges — the
+    * threshold and rounding live in exactly one place. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.hp") === col("sb.hp"))
@@ -163,7 +173,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("za.sz") + col("zb.sz") - col("inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
@@ -190,16 +199,12 @@ object Dedup {
 
   private def minhashCteSql: String = minhashCteSqlFrom("documents")
 
-  private def pairsCteSql: String = {
-    s"""$minhashCteSql,
-       |okb AS (SELECT band, key FROM bands GROUP BY band, key
-       |        HAVING count(*) <= $MaxBucket),
-       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM bands x
-       |          JOIN okb ON x.band = okb.band AND x.key = okb.key
-       |          JOIN bands y
-       |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+  /** `inter` + `pairs` CTEs: exact-Jaccard verification of whatever
+    * `cands(doc_a, doc_b)` CTE precedes them — the SQL twin of
+    * [[verifyJaccard]], shared by the all-pairs (q29/q62) and star
+    * (q203) chains. */
+  private def verifySqlFromCands: String =
+    s"""inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
        |          FROM cands c
        |          JOIN sh sa ON c.doc_a = sa.doc_id
        |          JOIN sh sb ON c.doc_b = sb.doc_id AND sa.hp = sb.hp
@@ -210,7 +215,30 @@ object Dedup {
        |  JOIN sizes za ON doc_a = za.doc_id
        |  JOIN sizes zb ON doc_b = zb.doc_id
        |  WHERE round(inter / CAST(za.sz + zb.sz - inter AS DOUBLE), 4) >= 0.8)""".stripMargin
+
+  private def pairsCteSql: String = {
+    s"""$minhashCteSql,
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key
+       |        HAVING count(*) <= $MaxBucket),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x
+       |          JOIN okb ON x.band = okb.band AND x.key = okb.key
+       |          JOIN bands y
+       |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |$verifySqlFromCands""".stripMargin
   }
+
+  /** Uncapped star-edge chain: bucket min → spanning candidates →
+    * the shared verification CTEs. */
+  private def starPairsCteSql: String =
+    s"""$minhashCteSql,
+       |bmin AS (SELECT band, key, min(doc_id) AS doc_a
+       |         FROM bands GROUP BY band, key),
+       |cands AS (SELECT DISTINCT b.doc_a, y.doc_id AS doc_b
+       |          FROM bmin b
+       |          JOIN bands y ON b.band = y.band AND b.key = y.key
+       |          WHERE y.doc_id <> b.doc_a),
+       |$verifySqlFromCands""".stripMargin
 
   val q29Sql: String =
     s"""WITH $pairsCteSql
@@ -440,6 +468,14 @@ object Dedup {
     // which every superstep would otherwise recompute
     val pairs = q29MinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
+    resolveClusters(pairs, steps)
+  }
+
+  /** Min-label connected components over a MATERIALIZED verified-pair
+    * relation → (doc_id, rep_id, keep). Shared by q62 (all-pairs
+    * graph) and q203 (star graph) so the resolution semantics cannot
+    * drift between them. */
+  private def resolveClusters(pairs: DataFrame, steps: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val init = edges.select(col("src").as("node")).distinct()
@@ -456,22 +492,86 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val q62Sql: String = {
-    val steps = (1 to ClusterSteps).map { i =>
+  // ---------------------------------------------------------------- q203
+  /** STAR-expansion cluster resolution — the linear-output form of
+    * q62 for corpora whose duplicate clusters are DEEP (SCALE.md
+    * round-13: the sf10 rehearsal's replica corpus carries 100-member
+    * clusters, and the all-pairs answer q62 inherits from q29 grows
+    * as C(n,2) per cluster — 110× output for 10× input). Each LSH
+    * bucket contributes only its (bucket-min, member) SPANNING edges
+    * — O(n) per bucket instead of C(n,2) — each edge still
+    * exact-Jaccard-verified, then the same min-label component
+    * resolution as q62. Buckets run UNCAPPED: the two hazards the
+    * q29 [[MaxBucket]] cap guards (a per-bucket `collect_list`
+    * buffer; quadratic pair output) do not exist here — the bucket
+    * min is a streaming window partial and the output is linear, so
+    * boilerplate mega-buckets cost linear verification instead of
+    * being dropped.
+    *
+    * SEMANTICS (pinned by the oracle, which builds the same star
+    * graph in SQL): clusters are components of the VERIFIED star
+    * graph. When near-dup similarity is not transitive inside a
+    * bucket — the bucket-min fails verification against some member
+    * that IS near-dup to a third — the star graph can split a
+    * cluster the all-pairs graph joins. For duplicate-dominated
+    * corpora (the regime this operator exists for) replicas verify
+    * against each other symmetrically and the components coincide;
+    * DedupSpec pins star edges ⊆ q29's verified pairs and the same
+    * keep-invariants on test data.
+    */
+  private[graft] def starCandidates(bands: DataFrame): DataFrame = {
+    // window-min, NOT a groupBy+self-join: the join-back form
+    // recomputes the whole signature lineage twice (the q29
+    // bucketCandidates lesson), and NOT collect_list: the star form's
+    // point is that no bucket ever materializes its membership in one
+    // aggregation buffer
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("key"))
+    bands.withColumn("doc_a", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  def q203ClusterStar(spark: SparkSession, dir: String): DataFrame =
+    q203ClusterStar(spark, dir, ClusterSteps)
+
+  def q203ClusterStar(spark: SparkSession, dir: String, steps: Int): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val sig = minhashSigOf(sh)
+    val cands = starCandidates(bandKeysOf(sig))
+    val sizes = sig.select(col("doc_id"), col("sz"))
+    val pairs = verifyJaccard(cands, sh, sizes)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    resolveClusters(pairs, steps)
+  }
+
+  /** `e → l0 → … → lN` min-label CTE chain over a preceding `pairs`
+    * CTE, plus the final projection — the SQL twin of
+    * [[resolveClusters]], shared by q62 and q203. */
+  private def clusterResolveSql(steps: Int): String = {
+    val chain = (1 to steps).map { i =>
       s"""n$i AS (SELECT e.dst AS node, min(l.label) AS nl
          |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst),
          |l$i AS (SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
          |  FROM l${i - 1} l LEFT JOIN n$i n ON l.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $pairsCteSql,
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    s"""e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-       |$steps
+       |$chain
        |SELECT node AS doc_id, label AS rep_id,
        |  CAST(node = label AS INT) AS keep
-       |FROM l$ClusterSteps ORDER BY doc_id""".stripMargin
+       |FROM l$steps ORDER BY doc_id""".stripMargin
   }
+
+  val q62Sql: String =
+    s"""WITH $pairsCteSql,
+       |${clusterResolveSql(ClusterSteps)}""".stripMargin
+
+  val q203Sql: String =
+    s"""WITH $starPairsCteSql,
+       |${clusterResolveSql(ClusterSteps)}""".stripMargin
 
   // ---------------------------------------------------------------- q63
   /** Train/test contamination check — the decontamination pass every
@@ -1226,6 +1326,7 @@ object Dedup {
     "q32_ngram_jaccard" -> (q32NgramJaccard _),
     "q33_embedding_cosine" -> (q33EmbeddingCosine _),
     "q62_dedup_clusters" -> (q62DedupClusters _),
+    "q203_cluster_star" -> ((s: SparkSession, d: String) => q203ClusterStar(s, d)),
     "q63_contamination" -> (q63Contamination _))
 
   def oracles: Map[String, String] = Map(
@@ -1246,5 +1347,6 @@ object Dedup {
     "q32_ngram_jaccard" -> q32Sql,
     "q33_embedding_cosine" -> q33Sql,
     "q62_dedup_clusters" -> q62Sql,
+    "q203_cluster_star" -> q203Sql,
     "q63_contamination" -> q63Sql)
 }

