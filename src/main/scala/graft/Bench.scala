@@ -447,7 +447,9 @@ object Bench {
     * simply walk earlier next round. Missing dir / no artifacts →
     * empty history → pure cost order, as before. */
   def readDriverHistory(dir: String = "."): DriverHistory = try {
-    val fileRx = """BENCH_r(\d+)\.json""".r
+    // anchored: a backup like BENCH_r12.json.bak must not be parsed
+    // as a second round-12 artifact with stale contents (r13 review)
+    val fileRx = """^BENCH_r(\d+)\.json$""".r
     val entry = """\\?"(q\d+)(?:_\w+)?\\?":\s*(-?\d+(?:\.\d+)?)""".r
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))

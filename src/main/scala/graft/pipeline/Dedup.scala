@@ -533,32 +533,57 @@ object Dedup {
       .distinct()
   }
 
-  def q203ClusterStar(spark: SparkSession, dir: String): DataFrame =
-    q203ClusterStar(spark, dir, ClusterSteps)
+  /** q203's superstep count: 2 × [[ClusterSteps]]. A star graph
+    * replaces each bucket clique with a hub — two members one hop
+    * apart in q62's all-pairs graph sit two hops apart through the
+    * bucket-min — so a chained-bucket cluster's diameter can DOUBLE,
+    * and a fixed unroll sized for the clique graph would silently
+    * under-merge exactly the deep clusters this operator targets
+    * (both engines run the same unroll, so the gate would stay green
+    * on wrong clusters — r13 review). Label state is ids only, so
+    * the extra steps cost little. */
+  val StarSteps = 2 * ClusterSteps
 
-  def q203ClusterStar(spark: SparkSession, dir: String, steps: Int): DataFrame = {
+  /** The verified star-edge relation (uncapped spanning candidates →
+    * exact Jaccard ≥ 0.8) — the q203 pair graph, exposed to DedupSpec
+    * so the star ⊆ q29-verified-pairs claim is PINNED, not asserted
+    * in prose. */
+  private[graft] def starVerifiedPairs(spark: SparkSession, dir: String)
+      : DataFrame = {
     val sh = shingleHashes(spark, dir)
     val sig = minhashSigOf(sh)
     val cands = starCandidates(bandKeysOf(sig))
     val sizes = sig.select(col("doc_id"), col("sz"))
-    val pairs = verifyJaccard(cands, sh, sizes)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    resolveClusters(pairs, steps)
+    verifyJaccard(cands, sh, sizes).select(col("doc_a"), col("doc_b"))
   }
+
+  def q203ClusterStar(spark: SparkSession, dir: String): DataFrame =
+    q203ClusterStar(spark, dir, StarSteps)
+
+  def q203ClusterStar(spark: SparkSession, dir: String, steps: Int): DataFrame =
+    resolveClusters(starVerifiedPairs(spark, dir).localCheckpoint(true), steps)
 
   /** `e → l0 → … → lN` min-label CTE chain over a preceding `pairs`
     * CTE, plus the final projection — the SQL twin of
     * [[resolveClusters]], shared by q62 and q203. */
   private def clusterResolveSql(steps: Int): String = {
+    // AS MATERIALIZED on e/l0/l$i: each step references its
+    // predecessor TWICE (the neighbor-min join and the carry), so
+    // DuckDB's default CTE inlining re-derives the whole upstream
+    // tree 2^steps times — at q203's deeper unroll that re-opened
+    // the source parquet past the fd limit (observed at 10 steps;
+    // q62's 5 only survived by being 32 re-reads). Materializing
+    // pins each label state to one evaluation, like the Spark side's
+    // per-step localCheckpoint.
     val chain = (1 to steps).map { i =>
       s"""n$i AS (SELECT e.dst AS node, min(l.label) AS nl
          |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst),
-         |l$i AS (SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
+         |l$i AS MATERIALIZED (SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
          |  FROM l${i - 1} l LEFT JOIN n$i n ON l.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    s"""e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
        |$chain
        |SELECT node AS doc_id, label AS rep_id,
        |  CAST(node = label AS INT) AS keep
@@ -571,7 +596,7 @@ object Dedup {
 
   val q203Sql: String =
     s"""WITH $starPairsCteSql,
-       |${clusterResolveSql(ClusterSteps)}""".stripMargin
+       |${clusterResolveSql(StarSteps)}""".stripMargin
 
   // ---------------------------------------------------------------- q63
   /** Train/test contamination check — the decontamination pass every

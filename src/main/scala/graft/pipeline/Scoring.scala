@@ -1266,16 +1266,23 @@ object Scoring {
   val HardK = 5
 
   def q202HardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     graft.plans.Functions.register(spark)
     val tfd = corpusTfd(spark, dir)
     val union = EvalQuerySets.flatMap(_._2).distinct
     val qterms = queryTermsDf(spark, EvalQuerySets)
     // only a FULL-overlap positive (every query term present)
-    // disqualifies a doc from being a negative
-    val qsizes = EvalQuerySets
-      .map { case (q, ts) => (q, ts.distinct.size) }
-      .toDF("qid", "nterms")
+    // disqualifies a doc from being a negative. Explicit-schema
+    // createDataFrame, NOT spark.implicits.toDF: the TypeTag product
+    // encoder breaks under the driver's plain-java launch — the same
+    // hazard queryTermsDf documents (r13 review)
+    val qsizes = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.Arrays.asList(EvalQuerySets
+          .map { case (q, ts) => Row(q, ts.distinct.size) }: _*),
+        StructType(Seq(StructField("qid", IntegerType),
+          StructField("nterms", IntegerType))))
+    }
     val rel = tfd.filter(col("t").isin(union: _*))
       .join(broadcast(qterms), Seq("t"))
       .groupBy(col("qid"), col("doc_id"))
@@ -1293,14 +1300,14 @@ object Scoring {
       .filter(col("doc_id") =!= col("qid").cast("long"))
       .select(col("qid"), col("doc_id"),
         round(expr("graft_cosine(embedding, qe)"), 6).as("cosine"))
-    val wd = Window.partitionBy(col("qid"))
+    // ONE window spec ranks both the candidate cut and the final
+    // negatives — the tie-break can never drift between them
+    val byCos = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("doc_id"))
-    val cand = scored.withColumn("drank", row_number().over(wd))
+    val cand = scored.withColumn("drank", row_number().over(byCos))
       .filter(col("drank") <= DenseCand)
     val negs = cand.join(rel, Seq("qid", "doc_id"), "left_anti")
-    val wn = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("doc_id"))
-    negs.withColumn("rank", row_number().over(wn))
+    negs.withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= HardK)
       .select(col("qid"), col("rank"), col("doc_id"), col("cosine"))
       .orderBy(col("qid"), col("rank"))

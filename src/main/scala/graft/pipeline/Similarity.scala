@@ -466,15 +466,18 @@ object Similarity {
       "centroid vec_ids must be exactly 0..NCells-1 (dense, in order)")
     assert(NQueries <= NCells,
       "query set must be a leading prefix of the centroids")
-    val probes: Array[(Vec, Array[Int])] = cents.take(NQueries).map { q =>
-      val ranked = cents.indices
-        .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
-        .sortBy { case (s, j) => (-s, j) }
-        .take(NProbe).map(_._2)
-      (q, ranked.toArray)
-    }
-    (cents, probes)
+    (cents, cents.take(NQueries).map(q => (q, probesFor(q, cents))))
   }
+
+  /** One query's [[NProbe]] closest cells (desc cosine, asc cell id)
+    * — the ranking shared by q61's prefix routing and q200's batch
+    * routing, so a tie-break change can never desynchronize them
+    * (their prefix equality is a graded invariant). */
+  private def probesFor(q: Vec, cents: Array[Vec]): Array[Int] =
+    cents.indices
+      .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
+      .sortBy { case (s, j) => (-s, j) }
+      .take(NProbe).map(_._2).toArray
 
   /** [[coarseRouting]] for an ARBITRARY leading-prefix query set (the
     * q200 multi-query batch — the query set need not fit inside the
@@ -491,14 +494,7 @@ object Similarity {
       .sortBy(_.id)
     assert(qs.length == nQueries,
       s"expected $nQueries query rows with vec_id 0..${nQueries - 1}, got ${qs.length}")
-    val probes = qs.map { q =>
-      val ranked = cents.indices
-        .map(j => (dotJvm(q.v, cents(j).v) / (q.norm * cents(j).norm), j))
-        .sortBy { case (s, j) => (-s, j) }
-        .take(NProbe).map(_._2)
-      (q, ranked.toArray)
-    }
-    (cents, probes)
+    (cents, qs.map(q => (q, probesFor(q, cents))))
   }
 
   /** The fused IVF probe scan q61 and q200 share: ONE narrow catalog

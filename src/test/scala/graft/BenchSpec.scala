@@ -162,6 +162,9 @@ class BenchSpec extends AnyFunSuite {
       put("BENCH_r12.json",
         """{"n":12,"tail":"[error] [bench] q99_zzz 9.9\n{\"queries\":{\"q41\":-1.00,\"q62\":29.0},\"ref\":{\"matmul\":0.38}}"}""")
       put("not_a_bench.json", """{"queries":{"q77":1.0}}""")
+      // an editor/merge backup must NOT be parsed as a second
+      // round-12 artifact (anchored filename match — r13 review)
+      put("BENCH_r12.json.bak", """{"tail":"{\"queries\":{\"q88\":1.0}}"}""")
       val h = Bench.readDriverHistory(dir.toString)
       // q41: measured r01, ATTEMPTED (crashed) r12 → lastMeasured
       // stays 1 AND it is flagged crashed-last, so the rotation

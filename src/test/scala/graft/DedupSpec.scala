@@ -152,19 +152,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val allPairs = Dedup.q62DedupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(star.toSet == allPairs, "star vs all-pairs clusters diverged on testdata")
-    // convergence witness, as for q62
-    val plusOne = Dedup.q203ClusterStar(spark, sf, Dedup.ClusterSteps + 1)
+    // convergence witness, as for q62 (at the star unroll depth —
+    // StarSteps doubles ClusterSteps because hub paths double hops)
+    val plusOne = Dedup.q203ClusterStar(spark, sf, Dedup.StarSteps + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(plusOne == star.toSet)
-    // the star candidate relation is spanning, not quadratic: every
-    // VERIFIED star edge is one of q29's verified pairs (cap never
-    // binds here), and per verified component only a spanning subset
-    // survives — strictly fewer edges than all-pairs once any
-    // cluster exceeds 2 members
+    // star edges ⊆ q29's verified pairs, ACTUALLY pinned (r13
+    // review: the doc claimed this but no assertion held it): every
+    // verified star edge must appear in the all-pairs verified set
+    // (the cap never binds on testdata), and there must be strictly
+    // fewer star edges than all-pairs once any cluster exceeds 2
+    val starEdges = Dedup.starVerifiedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starEdges.nonEmpty && starEdges.subsetOf(pairs),
+      s"unverified/non-q29 star edges: ${starEdges -- pairs}")
     val comps = star.groupBy(_._2).values.map(_.map(_._1).toSet).toSeq
-    val quadratic = comps.map(c => c.size.toLong * (c.size - 1) / 2).sum
-    assert(pairs.size <= quadratic,
-      "fixture sanity: all-pairs count is bounded by the component closure")
+    if (comps.exists(_.size > 2))
+      assert(starEdges.size < pairs.size,
+        "star must span with fewer edges than the all-pairs listing")
   }
 
   test("incremental dedup drops exactly the batch docs near-dup-linked to the corpus") {
