@@ -552,7 +552,61 @@ object Curation {
        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
   }
 
+  // --------------------------------------------------------------- q204
+  /** SNAPSHOT DIFF — the crawl-delta audit every recurring ingest
+    * runs before reprocessing: given two snapshots of the corpus,
+    * report per source how many documents were ADDED, REMOVED,
+    * CHANGED (same id, different content) and UNCHANGED. The two
+    * snapshots are derived deterministically from the one graded
+    * corpus (old drops the trailing id decile, new drops the
+    * leading one, and every `id % 7 == 3` doc is "re-crawled" with
+    * upper-cased text), so both engines diff identical inputs.
+    *
+    * Plan shape is the 100 TB one: each snapshot projects to
+    * (doc_id, source, md5(text)) BEFORE the shuffle — content never
+    * rides the exchange, only a 32-char digest — then ONE full-outer
+    * join on doc_id and a partial-aggregated count per source. At
+    * scale both sides are partition-pruned parquet reads of two
+    * snapshot dates; the join is the only shuffle and AQE splits
+    * skewed sources. md5 is the engine-portable digest the h60
+    * convention already relies on. */
+  def q204SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val olds = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h")).as("o")
+    val news = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 7 === 3, upper(col("text")))
+          .otherwise(col("text"))).as("h")).as("n")
+    olds.join(news, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("o.source"), col("n.source")).as("source"))
+      .agg(
+        sum(when(col("o.h").isNull, 1).otherwise(0)).as("added"),
+        sum(when(col("n.h").isNull, 1).otherwise(0)).as("removed"),
+        sum(when(col("o.h").isNotNull && col("n.h").isNotNull &&
+          col("o.h") =!= col("n.h"), 1).otherwise(0)).as("changed"),
+        sum(when(col("o.h") === col("n.h"), 1).otherwise(0)).as("unchanged"))
+      .orderBy(col("source"))
+  }
+
+  val q204Sql: String =
+    """WITH olds AS (SELECT doc_id, source, md5(text) AS h
+      |  FROM documents WHERE doc_id % 10 <> 9),
+      |news AS (SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT coalesce(o.source, n.source) AS source,
+      |  CAST(sum(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      |  CAST(sum(CASE WHEN n.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      |  CAST(sum(CASE WHEN o.h IS NOT NULL AND n.h IS NOT NULL AND o.h <> n.h
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+      |  CAST(sum(CASE WHEN o.h = n.h THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+      |FROM olds o FULL OUTER JOIN news n USING (doc_id)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_snapshot_diff" -> (q204SnapshotDiff _),
     "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
@@ -567,6 +621,7 @@ object Curation {
     "q77_group_sample" -> (q77GroupSample _))
 
   def oracles: Map[String, String] = Map(
+    "q204_snapshot_diff" -> q204Sql,
     "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,

@@ -315,6 +315,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q204 snapshot diff matches a driver-side recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def newText(id: Long, t: String) = if (id % 7 == 3) t.toUpperCase else t
+    val olds = docs.filter(_._1 % 10 != 9).map { case (id, s, t) => id -> (s, t) }.toMap
+    val news = docs.filter(_._1 % 10 != 0)
+      .map { case (id, s, t) => id -> (s, newText(id, t)) }.toMap
+    val expect = (olds.keySet ++ news.keySet).toSeq.map { id =>
+      val src = olds.get(id).map(_._1).orElse(news.get(id).map(_._1)).get
+      val verdict = (olds.get(id), news.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some((_, a)), Some((_, b))) => if (a == b) "unchanged" else "changed"
+        case _ => fail("unreachable")
+      }
+      (src, verdict)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Curation.q204SnapshotDiff(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      Seq("added", "removed", "changed", "unchanged").zipWithIndex.foreach {
+        case (v, i) =>
+          assert(r.getLong(i + 1) == expect.getOrElse((src, v), 0L),
+            s"$src $v: got ${r.getLong(i + 1)}")
+      }
+    }
+    // every snapshot has edits AND overlap so all four verdicts are
+    // actually exercised by the fixture
+    Seq("added", "removed", "changed", "unchanged").foreach { v =>
+      assert(expect.keys.exists(_._2 == v), s"fixture never produces '$v'")
+    }
+  }
+
   test("z-order parquet files prune on EITHER dimension; x-sorted files only on x") {
     // r12 verdict #6: close the loop from z-values to I/O. WRITE the
     // zorderLayout output as real parquet files and assert the
