@@ -257,7 +257,14 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // corpusTfd's eager checkpoint like the whole BM25 family.
     // Shuffles: rel agg + dense window + anti join + negs window +
     // output sort; broadcasts: qterms + qsizes + qvecs (all tiny).
-    "q202_hard_negatives" -> PlanCounts(2, 0, 5, 3))
+    "q202_hard_negatives" -> PlanCounts(2, 0, 5, 3),
+    // the two snapshot legs each scan documents once (different id
+    // filters — no exchange reuse possible) projected to 32-char
+    // digests BEFORE the shuffle; shuffles: both full-outer join
+    // sides + the per-source agg + output sort; ZERO broadcasts (at
+    // graded SF AQE could broadcast a side, but the audited no-AQE
+    // plan is the honest cluster shape where both snapshots are big)
+    "q204_snapshot_diff" -> PlanCounts(2, 0, 4, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
