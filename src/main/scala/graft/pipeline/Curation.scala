@@ -605,8 +605,88 @@ object Curation {
       |FROM olds o FULL OUTER JOIN news n USING (doc_id)
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** STREAMING snapshot diff — q204's CDC twin, graded end-to-end:
+    * the NEW snapshot arrives in micro-batches and every document is
+    * classified ON ARRIVAL against the stored old-snapshot digest
+    * index (`added` if its id is unknown, `changed` if the digest
+    * moved, `unchanged` otherwise) — the per-trigger join touches
+    * only the batch's ids, never rescans either snapshot. `removed`
+    * is the one verdict that NEEDS end-of-stream (absence can't be
+    * observed per trigger): after the last batch the old index is
+    * anti-joined against the accumulated seen-ids. Per-doc verdicts
+    * depend only on (old index, that doc), so the streamed
+    * classification is batch-boundary independent and the oracle is
+    * the per-doc form of q204's diff computed from scratch — the
+    * gate proves streamed ≡ batch, the q191/q197/q199 invariant
+    * applied to CDC. Same deterministic snapshot derivation as q204
+    * (trailing/leading deciles dropped, `id % 7 == 3` re-crawled
+    * upper-cased). The grading sink holds one verdict row per new
+    * doc (FileDrip contract); a production sink writes a table. */
+  def q205StreamingSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val olds = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint(true)
+    val news = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("verdict", StringType)))
+    // seen-ids accumulate across triggers (the q197/q199 state shape)
+    var seen = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType)))).localCheckpoint(true)
+    val streamed = graft.streaming.FileDrip.driveAndCollect(Seq(
+        news.filter(col("doc_id") % 2 === 0),
+        news.filter(col("doc_id") % 2 === 1)),
+        schema, Seq("doc_id")) { (stream, emit) =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q205_streaming_diff") { (batch, _) =>
+        val bh = batch.select(col("doc_id"), md5(col("text")).as("nh"))
+          .localCheckpoint(true)
+        val verdicts = bh.join(olds.withColumnRenamed("h", "oh"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            when(col("oh").isNull, "added")
+              .when(col("oh") =!= col("nh"), "changed")
+              .otherwise("unchanged").as("verdict"))
+        verdicts.collect().foreach(emit)
+        val prev = seen
+        seen = prev.unionByName(bh.select(col("doc_id"))).localCheckpoint(true)
+        prev.unpersist(blocking = false)
+        bh.unpersist(blocking = false)
+      }
+    }
+    val removed = olds.join(seen, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("verdict"))
+    val out = streamed.unionByName(
+        graft.engine.Localize(removed)(seen.unpersist(blocking = false)))
+      .orderBy(col("doc_id"))
+    olds.unpersist(blocking = false)
+    out
+  }
+
+  val q205Sql: String =
+    """WITH olds AS (SELECT doc_id, md5(text) AS h
+      |  FROM documents WHERE doc_id % 10 <> 9),
+      |news AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT doc_id,
+      |  CASE WHEN o.h IS NULL THEN 'added'
+      |       WHEN n.h IS NULL THEN 'removed'
+      |       WHEN o.h <> n.h THEN 'changed'
+      |       ELSE 'unchanged' END AS verdict
+      |FROM olds o FULL OUTER JOIN news n USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_snapshot_diff" -> (q204SnapshotDiff _),
+    "q205_streaming_diff" -> (q205StreamingSnapshotDiff _),
     "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
@@ -622,6 +702,9 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "q204_snapshot_diff" -> q204Sql,
+    // streamed ≡ batch: the per-trigger classification must equal the
+    // from-scratch per-doc diff
+    "q205_streaming_diff" -> q205Sql,
     "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,

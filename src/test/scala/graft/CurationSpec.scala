@@ -350,6 +350,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q205 streaming diff equals the per-doc batch diff (driver recompute)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val olds = docs.filter(_._1 % 10 != 9).toMap
+    val news = docs.filter(_._1 % 10 != 0)
+      .map { case (id, t) => id -> (if (id % 7 == 3) t.toUpperCase else t) }.toMap
+    val expect = (olds.keySet ++ news.keySet).toSeq.sorted.map { id =>
+      id -> ((olds.get(id), news.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+        case _ => fail("unreachable")
+      })
+    }
+    val got = Curation.q205StreamingSnapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == expect, s"first deltas: ${got.zip(expect).filter(p => p._1 != p._2).take(3)}")
+    // every verdict class is actually exercised, including the
+    // end-of-stream-only 'removed'
+    Seq("added", "removed", "changed", "unchanged").foreach { v =>
+      assert(got.exists(_._2 == v), s"fixture never produces '$v'")
+    }
+  }
+
   test("z-order parquet files prune on EITHER dimension; x-sorted files only on x") {
     // r12 verdict #6: close the loop from z-values to I/O. WRITE the
     // zorderLayout output as real parquet files and assert the
