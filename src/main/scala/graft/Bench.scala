@@ -457,6 +457,13 @@ object Bench {
       fileRx.findFirstMatchIn(p.getFileName.toString)
         .map(_.group(1).toInt -> p)
     }.toSeq finally files.close()
+    // cwd-trap guard (r13 advice): "no artifacts" and "launched from
+    // the wrong directory" are indistinguishable downstream — the
+    // rotation silently degrades to cost order either way — so name
+    // the resolved directory and what was found in it up front.
+    System.err.println("[bench] driver history: " +
+      s"${rounds.size} BENCH_r*.json artifact(s) under " +
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize())
     val measured = scala.collection.mutable.Map.empty[String, Int]
     val crashed = scala.collection.mutable.Set.empty[String]
     rounds.sortBy(_._1).foreach { case (round, p) =>   // ascending: later wins

@@ -240,8 +240,14 @@ object ScalarReduce {
   sealed abstract class Op(val name: String) extends Serializable {
     def combine(a: Double, b: Double): Double
   }
+  // NaN follows Spark's stock ordering, where NaN sorts GREATEST:
+  // min skips NaN (unless every input is NaN — the buffer seeds from
+  // the first value, so all-NaN still yields NaN), max returns NaN if
+  // any input is NaN (math.max already propagates it). math.min would
+  // instead propagate NaN, diverging from stock min({1.0, NaN}) = 1.0.
   case object Min extends Op("min") {
-    def combine(a: Double, b: Double): Double = math.min(a, b)
+    def combine(a: Double, b: Double): Double =
+      if (b.isNaN) a else if (a.isNaN) b else math.min(a, b)
   }
   case object Max extends Op("max") {
     def combine(a: Double, b: Double): Double = math.max(a, b)

@@ -558,6 +558,50 @@ class DotKernelSpec extends AnyFunSuite with SparkSpec {
     assert(base(2) == ((2L, 5.0, 5.0, 5.0, 5.0)))
   }
 
+  test("scalar kernel-aggs match stock NaN ordering (NaN sorts greatest)") {
+    // r13 advice: math.min propagates NaN but stock min/max use the
+    // SQL ordering where NaN is GREATEST — min({1.0, NaN}) = 1.0,
+    // max({1.0, NaN}) = NaN, and an all-NaN group yields NaN for
+    // both. Pin graft_rmin/rmax against stock min()/max() on mixed
+    // and all-NaN groups, seam off and on.
+    val kernel = spark.newSession()
+    kernel.conf.set(graft.plans.VecSumKernelRule.EnabledKey, "true")
+    def rows(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq[(Long, Double)](
+        (0L, 1.0), (0L, Double.NaN), (0L, 3.0),  // mixed
+        (1L, Double.NaN), (1L, Double.NaN),      // all NaN
+        (2L, -2.0), (2L, 7.0))                   // no NaN
+        .toDF("k", "v")
+    }
+    def viaKernelAggs(s: SparkSession): Array[(Long, Double, Double)] = {
+      graft.plans.Functions.register(s)
+      rows(s).groupBy(col("k"))
+        .agg(expr("graft_rmin(v)").as("mn"), expr("graft_rmax(v)").as("mx"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    }
+    val stock = rows(spark).groupBy(col("k"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def sameTriples(a: Array[(Long, Double, Double)],
+        b: Array[(Long, Double, Double)]): Unit = {
+      assert(a.length == b.length)
+      a.zip(b).foreach { case ((k1, m1, x1), (k2, m2, x2)) =>
+        assert(k1 == k2)
+        // == is false for NaN; compare via the long bits instead
+        assert(java.lang.Double.compare(m1, m2) == 0, s"k=$k1 min: $m1 vs $m2")
+        assert(java.lang.Double.compare(x1, x2) == 0, s"k=$k1 max: $x1 vs $x2")
+      }
+    }
+    sameTriples(stock, viaKernelAggs(spark))
+    sameTriples(stock, viaKernelAggs(kernel))
+    // and the contract itself, stated concretely
+    assert(stock(0)._2 == 1.0 && stock(0)._3.isNaN)
+    assert(stock(1)._2.isNaN && stock(1)._3.isNaN)
+  }
+
   test("nested dot products keep the codegen path") {
     val kernel = spark.newSession()
     kernel.conf.set(graft.plans.DotKernelProjectRule.EnabledKey, "true")
