@@ -569,16 +569,24 @@ object Curation {
     * scale both sides are partition-pruned parquet reads of two
     * snapshot dates; the join is the only shuffle and AQE splits
     * skewed sources. md5 is the engine-portable digest the h60
-    * convention already relies on. */
+    * convention already relies on. NULL text hashes to a sentinel
+    * (md5(NULL) is NULL, and a NULL digest would misclassify a
+    * present-on-both-sides doc as `added` — r13 advice); the
+    * sentinel is U+0001 (DuckDB `chr(1)`), unreachable from the
+    * printable corpus, so NULL and empty-string documents stay
+    * distinguishable. */
+  private[pipeline] val NullTextSentinel = "\u0001"
+
   def q204SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     val olds = docs.filter(col("doc_id") % 10 =!= 9)
-      .select(col("doc_id"), col("source"), md5(col("text")).as("h")).as("o")
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(NullTextSentinel))).as("h")).as("o")
     val news = docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), col("source"),
-        md5(when(col("doc_id") % 7 === 3, upper(col("text")))
-          .otherwise(col("text"))).as("h")).as("n")
+        md5(coalesce(when(col("doc_id") % 7 === 3, upper(col("text")))
+          .otherwise(col("text")), lit(NullTextSentinel))).as("h")).as("n")
     olds.join(news, Seq("doc_id"), "full_outer")
       .groupBy(coalesce(col("o.source"), col("n.source")).as("source"))
       .agg(
@@ -591,10 +599,11 @@ object Curation {
   }
 
   val q204Sql: String =
-    """WITH olds AS (SELECT doc_id, source, md5(text) AS h
+    """WITH olds AS (SELECT doc_id, source, md5(coalesce(text, chr(1))) AS h
       |  FROM documents WHERE doc_id % 10 <> 9),
       |news AS (SELECT doc_id, source,
-      |    md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS h
+      |    md5(coalesce(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END,
+      |                 chr(1))) AS h
       |  FROM documents WHERE doc_id % 10 <> 0)
       |SELECT coalesce(o.source, n.source) AS source,
       |  CAST(sum(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
@@ -628,7 +637,8 @@ object Curation {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val olds = docs.filter(col("doc_id") % 10 =!= 9)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(NullTextSentinel))).as("h"))
       .localCheckpoint(true)
     val news = docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"),
@@ -636,17 +646,25 @@ object Curation {
           .otherwise(col("text")).as("text"))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("verdict", StringType)))
-    // seen-ids accumulate across triggers (the q197/q199 state shape)
-    var seen = spark.createDataFrame(
+    // seen-ids accumulate across triggers in a DURABLE parquet log
+    // (r13 verdict #1): batchId-named entries are idempotent under
+    // checkpoint replay, and the end-of-stream `removed` derivation
+    // survives a driver restart instead of silently dropping the
+    // pre-restart triggers' ids
+    val seen = graft.streaming.DurableIndex.temp(spark, "q205", "doc_id")
+    // repartition(1): a zero-partition empty frame would write no
+    // part file, leaving the base unreadable (no schema to infer)
+    seen.seed(spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      StructType(Seq(StructField("doc_id", LongType)))).localCheckpoint(true)
+      StructType(Seq(StructField("doc_id", LongType)))).repartition(1))
     val streamed = graft.streaming.FileDrip.driveAndCollect(Seq(
         news.filter(col("doc_id") % 2 === 0),
         news.filter(col("doc_id") % 2 === 1)),
         schema, Seq("doc_id")) { (stream, emit) =>
       graft.streaming.Streams.toForeachBatch(stream,
-          "q205_streaming_diff") { (batch, _) =>
-        val bh = batch.select(col("doc_id"), md5(col("text")).as("nh"))
+          "q205_streaming_diff") { (batch, batchId) =>
+        val bh = batch.select(col("doc_id"),
+            md5(coalesce(col("text"), lit(NullTextSentinel))).as("nh"))
           .localCheckpoint(true)
         val verdicts = bh.join(olds.withColumnRenamed("h", "oh"),
             Seq("doc_id"), "left_outer")
@@ -655,26 +673,26 @@ object Curation {
               .when(col("oh") =!= col("nh"), "changed")
               .otherwise("unchanged").as("verdict"))
         verdicts.collect().foreach(emit)
-        val prev = seen
-        seen = prev.unionByName(bh.select(col("doc_id"))).localCheckpoint(true)
-        prev.unpersist(blocking = false)
+        val ids = bh.select(col("doc_id"))
+        seen.append(batchId, ids, ids)
         bh.unpersist(blocking = false)
       }
     }
-    val removed = olds.join(seen, Seq("doc_id"), "left_anti")
+    val removed = olds.join(seen.current(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("removed").as("verdict"))
     val out = streamed.unionByName(
-        graft.engine.Localize(removed)(seen.unpersist(blocking = false)))
+        graft.engine.Localize(removed)(seen.delete()))
       .orderBy(col("doc_id"))
     olds.unpersist(blocking = false)
     out
   }
 
   val q205Sql: String =
-    """WITH olds AS (SELECT doc_id, md5(text) AS h
+    """WITH olds AS (SELECT doc_id, md5(coalesce(text, chr(1))) AS h
       |  FROM documents WHERE doc_id % 10 <> 9),
       |news AS (SELECT doc_id,
-      |    md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS h
+      |    md5(coalesce(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END,
+      |                 chr(1))) AS h
       |  FROM documents WHERE doc_id % 10 <> 0)
       |SELECT doc_id,
       |  CASE WHEN o.h IS NULL THEN 'added'
@@ -684,9 +702,86 @@ object Curation {
       |FROM olds o FULL OUTER JOIN news n USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q208
+  /** CDC with EXPLICIT TOMBSTONES — q205's per-trigger-complete twin
+    * (r13 stretch #8). q205 must wait for end-of-stream to derive
+    * `removed` (absence is unobservable per trigger); here deletions
+    * arrive as tombstone EVENTS in the feed (`op = 'd'`, the
+    * Debezium/CDC wire shape), so EVERY verdict — including removed —
+    * emits on arrival. The classifier is STATELESS per trigger:
+    * verdict = f(old digest index, one event), one broadcast-ready
+    * join of the batch against the stored digests, no seen-set, no
+    * end-of-stream pass — which makes batch-boundary independence
+    * STRUCTURAL (CurationSpec re-drives the identical feed at 1/2/3
+    * -batch splits and pins equal verdicts). The graded feed carries
+    * the new snapshot as upserts plus one tombstone per snapshot
+    * deletion, so the oracle is exactly q205's from-scratch diff.
+    * A tombstone for an id absent from the index still emits
+    * `removed` (idempotent delete — the production rule a replayed
+    * CDC log needs). */
+  private[pipeline] def cdcClassify(batch: DataFrame, olds: DataFrame)
+      : DataFrame =
+    batch
+      .withColumn("nh", when(col("op") === "u",
+        md5(coalesce(col("text"), lit(NullTextSentinel)))))
+      .join(olds.withColumnRenamed("h", "oh"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("op") === "d", "removed")
+          .when(col("oh").isNull, "added")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged").as("verdict"))
+
+  /** The tombstone CDC feed: the q204/q205 new snapshot as upserts,
+    * plus a delete event per old-snapshot doc absent from it. */
+  private[pipeline] def cdcEvents(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val upserts = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), lit("u").as("op"),
+        when(col("doc_id") % 7 === 3, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    // deletions: in olds (% 10 <> 9) but not in news (% 10 <> 0)
+    val tombstones = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("d").as("op"),
+        lit(null).cast("string").as("text"))
+    upserts.unionByName(tombstones)
+  }
+
+  private[graft] def q208WithSplits(spark: SparkSession, dir: String,
+      splits: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val olds = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(NullTextSentinel))).as("h"))
+      .localCheckpoint(true)
+    val events = cdcEvents(spark, dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("verdict", StringType)))
+    val out = graft.streaming.FileDrip.driveAndCollect(
+        (0 until splits).map(s => events.filter(col("doc_id") % splits === s)),
+        schema, Seq("doc_id")) { (stream, emit) =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q208_cdc_tombstones") { (batch, _) =>
+        cdcClassify(batch, olds).collect().foreach(emit)
+      }
+    }
+    olds.unpersist(blocking = false)
+    out
+  }
+
+  def q208CdcTombstones(spark: SparkSession, dir: String): DataFrame =
+    q208WithSplits(spark, dir, 2)
+
+  /** Every verdict class including `removed` is classified on
+    * arrival, so the from-scratch snapshot diff is the oracle
+    * verbatim (the tombstone feed IS the snapshot delta). */
+  val q208Sql: String = q205Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_snapshot_diff" -> (q204SnapshotDiff _),
     "q205_streaming_diff" -> (q205StreamingSnapshotDiff _),
+    "q208_cdc_tombstones" -> (q208CdcTombstones _),
     "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
@@ -705,6 +800,7 @@ object Curation {
     // streamed ≡ batch: the per-trigger classification must equal the
     // from-scratch per-doc diff
     "q205_streaming_diff" -> q205Sql,
+    "q208_cdc_tombstones" -> q208Sql,
     "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,

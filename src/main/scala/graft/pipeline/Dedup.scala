@@ -298,21 +298,33 @@ object Dedup {
   def q31SimHashPairs(spark: SparkSession, dir: String): DataFrame =
     q31SimHashPairs(spark, dir, MaxBucket)
 
-  def q31SimHashPairs(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
-    val sig = q30SimHash(spark, dir)
-    val bands = sig.select(col("doc_id"), col("simhash"),
+  def q31SimHashPairs(spark: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    bandedHammingPairs(q30SimHash(spark, dir), "simhash", maxBucket)
+
+  /** The 6×8-bit band join + Hamming verify every 48-bit signature
+    * family shares (q31 text SimHash, q207 media dHash — one
+    * implementation, so a banding change can never desynchronize the
+    * near-dup surfaces): explode 6 byte-bands, cap hot buckets
+    * ([[capBuckets]], the MaxBucket governor), bucket-local pair
+    * expansion, verify `bit_count(xor) <= HammingMax`. By pigeonhole
+    * d ≤ 5 over 6 bands forces ≥ 1 equal band, so the banded join
+    * finds EXACTLY the pairs a quadratic scan would — with shuffle
+    * volume O(docs × 6 bytes). */
+  private[pipeline] def bandedHammingPairs(sig: DataFrame, hashCol: String,
+      maxBucket: Int): DataFrame = {
+    val bands = sig.select(col("doc_id"), col(hashCol).as("sig"),
         explode(sequence(lit(0), lit(5))).as("band"))
-      .withColumn("key", expr("shiftright(simhash, 8 * band) & 255"))
+      .withColumn("key", expr("shiftright(sig, 8 * band) & 255"))
     // bucket-local pair expansion, same shape as q29's candidates;
     // same MaxBucket cap before the membership ever collects
     val pairs = capBuckets(bands, maxBucket).groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        col("x.sig").as("ha"), col("y.sig").as("hb"))
       .distinct()
     pairs
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))

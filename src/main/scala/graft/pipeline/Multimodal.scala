@@ -91,9 +91,160 @@ object Multimodal {
       |      [text[i:i] for i in range(1, length(text) + 1, 16)], '')), 1, 15))::BIGINT AS frame_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q207
+  /** PERCEPTUAL near-duplicate detection for media columns (r13
+    * verdict #7) — binary dedup was exact-digest only, but re-encoded
+    * or lightly-edited media needs a perceptual signature: a dHash
+    * (difference hash, the standard image near-dup fingerprint:
+    * downscale, then hash the SIGN of adjacent-sample differences)
+    * computed over the stub decode, then banded and verified EXACTLY
+    * like q31's text SimHash — the SAME [[Dedup.bandedHammingPairs]]
+    * join (6×8-bit bands, MaxBucket cap, pigeonhole-exact at
+    * Hamming ≤ 5).
+    *
+    * The "downscale" is block AVERAGING into [[DHashBits]]+1 equal
+    * blocks (`block(i) = i·49/n`) — the resize step of a real dHash,
+    * which is what buys re-encode robustness (point sampling was
+    * measured 6+ bits brittle on single-byte edits); bit b is set iff
+    * mean(block b) < mean(block b+1), compared CROSS-MULTIPLIED
+    * (`s_b·c_{b+1} < s_{b+1}·c_b`) so both engines stay in exact
+    * integer arithmetic. Like q40, the decode is the deterministic
+    * stub — swap it for a real image decoder and neither the
+    * signature shape nor the banding plan changes.
+    *
+    * Fixture: the synthetic corpus has no true perceptual near-dups
+    * (measured min Hamming 6 at sf0.001 — its "near-dups" are token
+    * rewrites, not re-encodes), so like q69's PII injection the
+    * graded surface ingests the catalog PLUS deterministic re-encoded
+    * variants of a doc subset: a global BRIGHTNESS shift (+2 on every
+    * sample — dHash-invariant by construction, the property the
+    * fingerprint exists for, Hamming exactly 0) and a sparse NOISE
+    * pattern (+1 on every 11th sample — a small perturbation the
+    * Hamming verify must absorb or reject per pair). The oracle
+    * performs the identical injection. Scale: signatures are one
+    * narrow mapPartitions batch per row-group; the pair join is the
+    * q31 banded shuffle, never all-pairs. DedupSpec pins
+    * banded ≡ brute-force quadratic over the same signatures. */
+  val DHashBits = 48
+  val VariantBright = 1000000L
+  val VariantNoise = 2000000L
+
+  private[graft] def dHash48(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val nb = DHashBits + 1
+    val sums = new Array[Long](nb)
+    val cnts = new Array[Long](nb)
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * nb) / n).toInt
+      sums(b) += payload(i) & 0xff
+      cnts(b) += 1
+      i += 1
+    }
+    // short payloads (< 49 bytes) leave gaps: compare consecutive
+    // PRESENT blocks, bit index = the left block (same as SQL's lead
+    // over existing rows)
+    var h = 0L
+    var prev = -1
+    var b = 0
+    while (b < nb) {
+      if (cnts(b) > 0) {
+        if (prev >= 0 && prev < DHashBits &&
+            sums(prev) * cnts(b) < sums(b) * cnts(prev)) h |= 1L << prev
+        prev = b
+      }
+      b += 1
+    }
+    h
+  }
+
+  /** dHash signatures of the media catalog + injected re-encode
+    * variants — the perceptual analogue of q30's SimHash relation. */
+  private[graft] def dHashSignatures(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    mediaCatalog(spark, dir).as[MediaRecord]
+      .mapPartitions(_.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer(
+          (m.doc_id, dHash48(m.payload)))
+        if (m.doc_id % 5 == 0) {
+          // brightness re-encode: +2 on every sample (ASCII ≤ 126, so
+          // no clamp is ever hit; dHash48 reads unsigned)
+          val bright = m.payload.map(x => ((x & 0xff) + 2).toByte)
+          out += ((m.doc_id + VariantBright, dHash48(bright)))
+        }
+        if (m.doc_id % 7 == 3) {
+          // sparse noise: +1 on every 11th sample
+          val noisy = m.payload.clone()
+          var i = 0
+          while (i < noisy.length) {
+            noisy(i) = ((noisy(i) & 0xff) + 1).toByte; i += 11
+          }
+          out += ((m.doc_id + VariantNoise, dHash48(noisy)))
+        }
+        out.iterator
+      })
+      .toDF("doc_id", "dhash")
+  }
+
+  def q207MediaNearDup(spark: SparkSession, dir: String): DataFrame =
+    // checkpoint: the banding forks the signature lineage (bucket
+    // census + anti join), and without a materialization point each
+    // fork would RE-DECODE the whole media corpus (census showed 2
+    // file scans) — decode once, band the 16-byte signatures (the
+    // corpusTfd posture; at 100 TB this relation is what you persist)
+    Dedup.bandedHammingPairs(
+      dHashSignatures(spark, dir).localCheckpoint(true), "dhash",
+      Dedup.MaxBucket)
+
+  /** Oracle: the stub arithmetic + variant injection reconstructed
+    * from the text column (ASCII ⇒ payload byte == code point, the
+    * q40 precedent), then q31's banding SQL verbatim over the dhash
+    * signature. */
+  val q207Sql: String = {
+    val nb = DHashBits + 1
+    s"""WITH ch0 AS (SELECT doc_id, i,
+       |    unicode(substr(text, CAST(i AS INT) + 1, 1)) AS p,
+       |    length(text) AS n
+       |  FROM documents CROSS JOIN (SELECT unnest(range(
+       |    (SELECT max(length(text)) FROM documents))) AS i)
+       |  WHERE i < length(text)),
+       |ch AS (
+       |  SELECT doc_id, i, p, n FROM ch0
+       |  UNION ALL SELECT doc_id + $VariantBright, i, p + 2, n
+       |    FROM ch0 WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + $VariantNoise, i,
+       |      p + CASE WHEN i % 11 = 0 THEN 1 ELSE 0 END, n
+       |    FROM ch0 WHERE doc_id % 7 = 3),
+       |blk AS (SELECT doc_id, (i * $nb) // n AS b, sum(p) AS s, count(*) AS c
+       |  FROM ch GROUP BY doc_id, (i * $nb) // n),
+       |bits AS (SELECT doc_id, b,
+       |    CASE WHEN s * lead(c) OVER w < lead(s) OVER w * c
+       |         THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END AS bit
+       |  FROM blk WINDOW w AS (PARTITION BY doc_id ORDER BY b)),
+       |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+       |  FROM bits WHERE b < $DHashBits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, dhash, band, (dhash >> (8*band)) & 255 AS key
+       |          FROM sig CROSS JOIN (SELECT unnest(range(6)) AS band)),
+       |okb AS (SELECT band, key FROM bands GROUP BY band, key
+       |        HAVING count(*) <= ${Dedup.MaxBucket}),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                 x.dhash AS ha, y.dhash AS hb
+       |          FROM bands x
+       |          JOIN okb ON x.band = okb.band AND x.key = okb.key
+       |          JOIN bands y
+       |            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+       |FROM pairs WHERE bit_count(xor(ha, hb)) <= ${Dedup.HammingMax}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_media_features" -> (q40MediaFeatures _))
+    "q40_media_features" -> (q40MediaFeatures _),
+    "q207_media_near_dup" -> (q207MediaNearDup _))
 
   def oracles: Map[String, String] = Map(
-    "q40_media_features" -> q40Sql)
+    "q40_media_features" -> q40Sql,
+    "q207_media_near_dup" -> q207Sql)
 }

@@ -1194,11 +1194,13 @@ object Scoring {
     * missing half of the retrieval family: q187/q194 score against a
     * built index, this row keeps the index CURRENT as documents
     * arrive. The stored state is the compressed (doc, term, tf)
-    * relation (exactly what bm25Scores materializes); each FileDrip
-    * trigger tokenizes ONLY its batch and upserts it — anti-join out
-    * any re-ingested doc_ids, union the batch postings, re-checkpoint
-    * (bounded lineage: per-trigger state is one materialized
-    * relation, the foreachBatch state-update pattern). The graded
+    * relation (exactly what bm25Scores materializes), held in a
+    * DURABLE [[graft.streaming.DurableIndex]] parquet log (r14): each
+    * FileDrip trigger tokenizes ONLY its batch and appends one
+    * batchId-named log entry — idempotent under checkpoint replay,
+    * recoverable after a driver restart (DurableIndexSpec's
+    * kill-and-resume drill), with the replace-by-key anti-join
+    * replayed at read time instead of per trigger. The graded
     * output is the per-term (df, total_tf) summary of the FINAL
     * index, and the oracle builds the same index FROM SCRATCH over
     * the full corpus — so the gate proves maintained ≡ rebuilt, the
@@ -1265,16 +1267,21 @@ object Scoring {
   val DenseCand = 20
   val HardK = 5
 
-  def q202HardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.Functions.register(spark)
+  /** The FULL-overlap positives relation (qid, doc_id) both miners
+    * share — q202's exact form and q206's ANN-routed form anti-join
+    * the SAME rows, so "positive" can never drift between the two
+    * surfaces (the property the q190/q195 eval family already pins
+    * for relevance). Only a doc matching ALL the query's terms
+    * disqualifies; the posting relation is filtered to query terms
+    * BEFORE its shuffle. */
+  private[graft] def fullOverlapPositives(spark: SparkSession,
+      dir: String): DataFrame = {
     val tfd = corpusTfd(spark, dir)
     val union = EvalQuerySets.flatMap(_._2).distinct
     val qterms = queryTermsDf(spark, EvalQuerySets)
-    // only a FULL-overlap positive (every query term present)
-    // disqualifies a doc from being a negative. Explicit-schema
-    // createDataFrame, NOT spark.implicits.toDF: the TypeTag product
-    // encoder breaks under the driver's plain-java launch — the same
-    // hazard queryTermsDf documents (r13 review)
+    // Explicit-schema createDataFrame, NOT spark.implicits.toDF: the
+    // TypeTag product encoder breaks under the driver's plain-java
+    // launch — the same hazard queryTermsDf documents (r13 review)
     val qsizes = {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -1283,13 +1290,20 @@ object Scoring {
         StructType(Seq(StructField("qid", IntegerType),
           StructField("nterms", IntegerType))))
     }
-    val rel = tfd.filter(col("t").isin(union: _*))
+    tfd.filter(col("t").isin(union: _*))
       .join(broadcast(qterms), Seq("t"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("nmatch"))
       .join(broadcast(qsizes), Seq("qid"))
       .filter(col("nmatch") === col("nterms"))
       .select(col("qid"), col("doc_id"))
+  }
+
+  def q202HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Functions.register(spark)
+    // only a FULL-overlap positive (every query term present)
+    // disqualifies a doc from being a negative
+    val rel = fullOverlapPositives(spark, dir)
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val qids = EvalQuerySets.map(_._1.toLong)
     val qvecs = emb.filter(col("vec_id").isin(qids: _*))
@@ -1313,8 +1327,9 @@ object Scoring {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val q202Sql: String = {
-    val qidList = EvalQuerySets.map(_._1).mkString(", ")
+  /** The rel (full-overlap positives) CTE chain both miner oracles
+    * share — the SQL twin of [[fullOverlapPositives]]. */
+  private def relSqlCtes: String = {
     val sizeVals = EvalQuerySets
       .map { case (q, ts) => s"($q, ${ts.distinct.size})" }.mkString(", ")
     s"""$bm25MultiSqlCtes,
@@ -1322,7 +1337,12 @@ object Scoring {
        |rel AS (SELECT m.qid, q.doc_id FROM qtf q JOIN mq m USING (t)
        |  JOIN qsz ON qsz.qid = m.qid
        |  GROUP BY m.qid, q.doc_id, qsz.nterms
-       |  HAVING count(*) = qsz.nterms),
+       |  HAVING count(*) = qsz.nterms)""".stripMargin
+  }
+
+  val q202Sql: String = {
+    val qidList = EvalQuerySets.map(_._1).mkString(", ")
+    s"""$relSqlCtes,
        |ev AS (SELECT vec_id AS doc_id, embedding,
        |  sqrt(list_sum(list_transform(embedding,
        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -1349,34 +1369,108 @@ object Scoring {
        |WHERE rank <= $HardK ORDER BY qid, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q206
+  /** ANN-ROUTED hard-negative mining — the production form of q202
+    * (r13 verdict #6): the DPR recipe mines negatives THROUGH the ANN
+    * index, because at catalog scale the exact broadcast scan q202
+    * grades is the oracle, not the deployment. The dense candidate
+    * pass routes through the q61/q200 IVF machinery
+    * ([[graft.pipeline.Similarity.routedCandidates]]): same frozen
+    * centroids, same argmax/probe tie-breaks, candidate volume
+    * NProbe/NCells of the catalog per query instead of all of it.
+    * Positives come from the SHARED [[fullOverlapPositives]]
+    * relation, so "positive" is bit-identical between the exact and
+    * routed miners — the only thing routing can change is which
+    * negatives are reachable, which is exactly what ScoringSpec's
+    * recall-floor pin measures against q202. One window spec ranks
+    * both the candidate cut and the final negatives (the q202
+    * anti-drift rule). Oracle: q202's SQL with the dense CTEs
+    * replaced by the q61-convention assigned/probe routing. */
+  def q206HardNegativesRouted(spark: SparkSession, dir: String): DataFrame = {
+    val rel = fullOverlapPositives(spark, dir)
+    val qids = EvalQuerySets.map(_._1.toLong)
+    val cand = graft.pipeline.Similarity
+      .routedCandidates(spark, dir, qids, DenseCand)
+      .select(col("qid").cast("int").as("qid"),
+        col("vec_id").as("doc_id"), col("cosine"))
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    cand.join(rel, Seq("qid", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= HardK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q206Sql: String = {
+    val qidList = EvalQuerySets.map(_._1).mkString(", ")
+    val NCells = graft.pipeline.Similarity.NCells
+    val NProbe = graft.pipeline.Similarity.NProbe
+    s"""$relSqlCtes,
+       |ev AS (SELECT vec_id AS doc_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT doc_id AS cell, embedding AS ce, nrm AS cn
+       |  FROM ev WHERE doc_id < $NCells),
+       |cellscore AS (
+       |  SELECT e.doc_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY
+       |      list_sum(list_transform(range(${graft.pipeline.Similarity.Dim}),
+       |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.ce[k+1] AS DOUBLE)))
+       |        / (e.nrm * c.cn) DESC, c.cell) AS rk
+       |  FROM ev e CROSS JOIN cents c),
+       |assigned AS (SELECT doc_id, cell FROM cellscore WHERE rk = 1),
+       |qprobe AS (SELECT CAST(doc_id AS INT) AS qid, cell FROM cellscore
+       |  WHERE doc_id IN ($qidList) AND rk <= $NProbe),
+       |scored AS (
+       |  SELECT p.qid, e.doc_id,
+       |    round(list_sum(list_transform(range(${graft.pipeline.Similarity.Dim}),
+       |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(q.embedding[k+1] AS DOUBLE)))
+       |      / (e.nrm * q.nrm), 4) AS cosine
+       |  FROM ev e
+       |  JOIN assigned a ON a.doc_id = e.doc_id
+       |  JOIN qprobe p ON p.cell = a.cell
+       |  JOIN ev q ON q.doc_id = p.qid
+       |  WHERE e.doc_id <> p.qid),
+       |cand AS (SELECT qid, doc_id, cosine FROM (
+       |    SELECT qid, doc_id, cosine,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS drank
+       |    FROM scored) WHERE drank <= $DenseCand),
+       |negs AS (SELECT c.* FROM cand c LEFT JOIN rel r
+       |    ON r.qid = c.qid AND r.doc_id = c.doc_id
+       |  WHERE r.doc_id IS NULL)
+       |SELECT qid, rank, doc_id, cosine FROM (
+       |  SELECT qid, doc_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank
+       |  FROM negs)
+       |WHERE rank <= $HardK ORDER BY qid, rank""".stripMargin
+  }
+
   def q197StreamingIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // the stored index: corpus postings, materialized once
-    var index = tfdOf(docs.filter(col("doc_id") % 10 < 8)).localCheckpoint(true)
+    // the stored index lives in a DURABLE parquet log, not a driver
+    // var (r13 verdict #1): each trigger appends one batchId-named
+    // entry — idempotent under checkpoint replay, and a driver
+    // restart resumes from the log instead of rebuilding
+    // (DurableIndexSpec's kill-and-resume drill proves it)
+    val state = graft.streaming.DurableIndex.temp(spark, "q197", "doc_id")
+    state.seed(tfdOf(docs.filter(col("doc_id") % 10 < 8)))
     val ingest = docs.filter(col("doc_id") % 10 >= 8)
     graft.streaming.FileDrip.drive(Seq(
       ingest.filter(col("doc_id") % 10 === 8),
       ingest.filter(col("doc_id") % 10 === 9))) { stream =>
       graft.streaming.Streams.toForeachBatch(stream,
-          "q197_index_maintenance") { (batch, _) =>
-        val batchTfd = tfdOf(batch).localCheckpoint(true)
-        val batchIds = batch.select(col("doc_id")).distinct()
-          .localCheckpoint(true)
-        val prev = index
-        index = upsertPostings(prev, batchIds, batchTfd).localCheckpoint(true)
-        // the superseded state AND this trigger's inputs have no
-        // readers once the merge is materialized — release their
-        // blocks before the next trigger (leaked per-trigger blocks
-        // compound across a bench loop)
-        prev.unpersist(blocking = false)
-        batchTfd.unpersist(blocking = false)
-        batchIds.unpersist(blocking = false)
+          "q197_index_maintenance") { (batch, batchId) =>
+        // per-trigger cost is ONE O(batch) write — the replace-by-key
+        // anti-join moved to read-time replay inside the log
+        state.append(batchId, batch.select(col("doc_id")), tfdOf(batch))
       }
     }
-    val out = index.groupBy(col("t"))
+    val out = state.current().groupBy(col("t"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
       .orderBy(col("t"))
-    graft.engine.Localize(out)(index.unpersist(blocking = false))
+    graft.engine.Localize(out)(state.delete())
   }
 
   val q197Sql: String =
@@ -1397,6 +1491,7 @@ object Scoring {
     "q195_multiquery_eval" -> (q195MultiqueryEval _),
     "q197_index_maintenance" -> (q197StreamingIndexMaintenance _),
     "q202_hard_negatives" -> (q202HardNegatives _),
+    "q206_hard_negatives_routed" -> (q206HardNegativesRouted _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
     "q84_importance_weight" -> (q84ImportanceWeight _),
     "q85_dup_ngram_frac" -> (q85DupNgramFraction _),
@@ -1419,6 +1514,7 @@ object Scoring {
     // the from-scratch build
     "q197_index_maintenance" -> q197Sql,
     "q202_hard_negatives" -> q202Sql,
+    "q206_hard_negatives_routed" -> q206Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,

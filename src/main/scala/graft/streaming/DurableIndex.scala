@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable maintained-index state — the production posture for the
+  * incremental indexers (q197 lexical postings, q199 IVF cell
+  * assignments, q205 CDC seen-set): each trigger lands the batch's
+  * RAW keys and derived rows as ONE parquet log entry named by the
+  * Structured Streaming batchId, written with overwrite so a
+  * checkpoint-replayed trigger is IDEMPOTENT. A driver restart
+  * loses nothing: the stream resumes from its checkpoint and the
+  * index from this log (DurableIndexSpec's kill-and-resume drill
+  * proves maintained ≡ rebuilt across a real stop/restart). This
+  * replaces the round-13 driver-side `var` of localCheckpointed
+  * DataFrames, whose state died with the driver.
+  *
+  * Semantics are exactly [[graft.pipeline.Scoring.upsertByKey]]'s
+  * replace-by-key fold, replayed at read time latest-writer-wins: a
+  * row from entry i survives iff no LATER entry's key-set contains
+  * its key. Masking keys are the raw batch keys, never the derived
+  * rows, so a re-ingested unit whose new derivation is EMPTY (a
+  * zero-token document) still retires its stale rows — the r12
+  * lesson, kept. [[current]] is a single join keyed on `key`
+  * (rows tagged with their entry seq vs the max seq that rewrote
+  * each key), not an n-squared anti-join chain; read cost grows with
+  * log length until [[compact]] folds everything back into one base
+  * entry at a quiesce point, like any log-structured store.
+  *
+  * Entry layout: `path/bNNNNN/keys` then `path/bNNNNN/rows` — the
+  * `rows/_SUCCESS` marker commits the entry, so a crash between the
+  * two writes leaves an uncommitted entry that the replayed trigger
+  * (same batchId → same entry dir) simply overwrites. `rows` may be
+  * hive-partitioned ([[partitionCols]]) so serving reads prune at
+  * the directory level — the q199 IVF index partitions by `cell`
+  * and a probe touches NProbe/NCells of the files, not all of them.
+  *
+  * Reference analogue: Flink's checkpointed operator state
+  * (`flink-runtime` state backends, exercised by
+  * `flink-tests/.../checkpointing/`); the parquet log stands in for
+  * the state backend so the index survives what a checkpoint alone
+  * cannot — loss of the process that held it. */
+final class DurableIndex(spark: SparkSession, val path: String, key: String,
+    partitionCols: Seq[String] = Nil) {
+
+  private def entryDir(seq: Long) = f"$path/b$seq%05d"
+  private def rowsDir(seq: Long) = s"${entryDir(seq)}/rows"
+  private def keysDir(seq: Long) = s"${entryDir(seq)}/keys"
+
+  private def writeRows(seq: Long, rows: DataFrame): Unit = {
+    val w = rows.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(rowsDir(seq))
+  }
+
+  /** Seed the log with the pre-indexed base as entry 0. Nothing
+    * precedes the base, so it carries no masking key-set. */
+  def seed(base: DataFrame): Unit = writeRows(0L, base)
+
+  /** One trigger's upsert: keys first, rows second (commit marker).
+    * seq = batchId + 1 — a checkpoint resume replays an incomplete
+    * trigger WITH ITS ORIGINAL batchId, landing on the same entry. */
+  def append(batchId: Long, batchKeys: DataFrame, batchRows: DataFrame): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val seq = batchId + 1
+    batchKeys.select(col(key)).distinct()
+      .write.mode("overwrite").parquet(keysDir(seq))
+    writeRows(seq, batchRows)
+  }
+
+  private def committed(marker: Long => String): Seq[Long] = {
+    val base = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(base)
+      try s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.matches("b\\d+") && java.nio.file.Files.exists(
+            java.nio.file.Paths.get(marker(n.drop(1).toLong), "_SUCCESS")))
+          Some(n.drop(1).toLong)
+        else None
+      }.toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Committed entry seqs, ascending (0 = base, b+1 = trigger b). */
+  def committedSeqs(): Seq[Long] = committed(rowsDir)
+
+  /** The maintained index as of the last committed entry: every row
+    * tagged with its entry seq, every masking key with the max seq
+    * that rewrote it, one left join — a row survives iff it is at
+    * least as new as the newest rewrite of its key. */
+  def current(): DataFrame = {
+    val seqs = committedSeqs()
+    require(seqs.nonEmpty, s"no committed state under $path")
+    val rows = seqs.map(s => spark.read.parquet(rowsDir(s))
+        .withColumn("__seq", lit(s)))
+      .reduce(_ unionByName _)
+    val keySeqs = committed(keysDir)
+    if (keySeqs.isEmpty) rows.drop("__seq")
+    else {
+      val rewrites = keySeqs.map(s => spark.read.parquet(keysDir(s))
+          .withColumn("__kseq", lit(s)))
+        .reduce(_ unionByName _)
+        .groupBy(col(key)).agg(max(col("__kseq")).as("__kseq"))
+      rows.join(broadcast(rewrites), Seq(key), "left_outer")
+        .filter(col("__kseq").isNull || col("__seq") >= col("__kseq"))
+        .drop("__seq", "__kseq")
+    }
+  }
+
+  /** Fold the whole log into a single base entry. Quiesce-point only
+    * (end of stream, between runs — no in-flight trigger): stage the
+    * folded index with a distributed write, drop every log entry,
+    * promote the staging dir by rename — the two-phase write+rename
+    * shape a Hadoop-FS deployment uses; local java.nio here. */
+  def compact(): Unit = {
+    val staged = s"$path/.compacting"
+    val w = current().write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staged)
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.list(base)
+    val entries = try s.iterator().asScala
+      .filter(_.getFileName.toString.matches("b\\d+")).toSeq
+    finally s.close()
+    entries.foreach(DurableIndex.deleteRecursively)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(entryDir(0L)))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+      java.nio.file.Paths.get(rowsDir(0L)))
+  }
+
+  /** Drop the whole log (a graded run's temp state). */
+  def delete(): Unit =
+    DurableIndex.deleteRecursively(java.nio.file.Paths.get(path))
+}
+
+object DurableIndex {
+  /** A fresh log under a temp dir — what a graded single-run query
+    * uses; a deployment passes a durable table path instead. */
+  def temp(spark: SparkSession, tag: String, key: String,
+      partitionCols: Seq[String] = Nil): DurableIndex =
+    new DurableIndex(spark,
+      java.nio.file.Files.createTempDirectory(s"graft_$tag").toString,
+      key, partitionCols)
+
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+}

@@ -350,6 +350,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q208 tombstone CDC verdicts are batch-boundary independent and match q205") {
+    // the classifier is stateless per trigger (verdict = f(old index,
+    // one event)), so re-driving the IDENTICAL feed at different
+    // micro-batch splits must yield identical verdicts — the
+    // structural claim, pinned by running it
+    def run(splits: Int): Seq[(Long, String)] =
+      Curation.q208WithSplits(spark, sf, splits).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val two = run(2)
+    assert(two.nonEmpty)
+    assert(run(1) == two, "1-batch vs 2-batch split diverged")
+    assert(run(3) == two, "3-batch vs 2-batch split diverged")
+    // and tombstones reproduce q205's end-of-stream semantics exactly
+    val viaAntiJoin = Curation.q205StreamingSnapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(two == viaAntiJoin)
+    // every verdict class arrives per trigger, including removed
+    Seq("added", "removed", "changed", "unchanged").foreach { v =>
+      assert(two.exists(_._2 == v), s"fixture never produces '$v'")
+    }
+  }
+
   test("q205 streaming diff equals the per-doc batch diff (driver recompute)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

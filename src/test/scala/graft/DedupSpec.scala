@@ -441,4 +441,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(want.exists(_._3 == 0), "fixture sanity: some batch doc must match a corpus passage")
     } finally index.unpersist()
   }
+
+  test("q207 banded media near-dup equals the brute-force quadratic on the same signatures") {
+    // the band-recall pin: pigeonhole says d <= 5 over 6 bands always
+    // shares a band, so the banded join must find EXACTLY what an
+    // all-pairs Hamming scan finds — same contract q31 has for text,
+    // here for the media dHash (including the injected re-encodes)
+    import graft.pipeline.Multimodal
+    val sig = Multimodal.dHashSignatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sig
+      (b, hb) <- sig
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= Dedup.HammingMax
+    } yield (a, b, d)).toSet
+    val banded = Multimodal.q207MediaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").intValue)).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} vs brute ${brute.size}; " +
+        s"missed: ${(brute -- banded).take(3)} extra: ${(banded -- brute).take(3)}")
+    // fixture sanity: both re-encode classes actually graded —
+    // brightness shifts are dHash-INVARIANT (exactly Hamming 0),
+    // noise perturbations must also surface, 0 < d <= 5 or d == 0
+    // a must be an ORIGINAL doc: a bright-vs-noise pair of the same
+    // doc also differs by exactly VariantBright
+    val bright = brute.filter { case (a, b, _) =>
+      a < Multimodal.VariantBright && b == a + Multimodal.VariantBright }
+    assert(bright.nonEmpty && bright.forall(_._3 == 0),
+      s"brightness re-encode must hash identically: ${bright.take(3)}")
+    assert(brute.exists { case (a, b, _) =>
+      b == a + Multimodal.VariantNoise })
+    assert(brute.exists(_._3 > 0), "some pair must verify at nonzero Hamming")
+  }
 }

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Scoring
+import graft.streaming.DurableIndex
+
+/** The durable maintained-index log (r13 verdict #1): replay
+  * semantics vs the upsertByKey fold, batchId idempotency under
+  * checkpoint replay, compaction, the kill-and-resume drill (a REAL
+  * stop + restart-from-checkpoint of a file-source stream, proving
+  * maintained ≡ rebuilt across a driver restart), and the
+  * cell-partitioned serving read's directory-level pruning
+  * (r13 missing #2). */
+class DurableIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  private def postings(df: DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("log replay equals the upsertByKey fold, zero-derivation replacement included") {
+    val state = DurableIndex.temp(spark, "dix_fold", "doc_id")
+    try {
+      val base = docsDf((1L, "a b"), (2L, "b"), (3L, "c c"), (4L, "d"))
+      state.seed(Scoring.tfdOf(base))
+      // trigger 0 re-ingests doc 2 (new text) AND doc 3 with an EMPTY
+      // derivation — its stale postings must retire because masking
+      // keys are the raw batch ids, not the derived rows
+      val b0 = docsDf((2L, "x y"), (3L, ""))
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      // trigger 1 re-ingests doc 2 again (latest wins) and adds doc 5
+      val b1 = docsDf((2L, "z"), (5L, "e"))
+      state.append(1L, b1.select(col("doc_id")), Scoring.tfdOf(b1))
+      val folded = Scoring.upsertByKey(
+        Scoring.upsertByKey(Scoring.tfdOf(base),
+          b0.select(col("doc_id")), Scoring.tfdOf(b0), "doc_id"),
+        b1.select(col("doc_id")), Scoring.tfdOf(b1), "doc_id")
+      assert(postings(state.current()) == postings(folded))
+      // doc 3 really is gone, doc 2 really is the trigger-1 version
+      val cur = postings(state.current())
+      assert(!cur.exists(_._1 == 3L), s"stale doc-3 postings alive: $cur")
+      assert(cur.filter(_._1 == 2L) == Set((2L, "z", 1L)))
+    } finally state.delete()
+  }
+
+  test("a replayed trigger (same batchId) is idempotent") {
+    val state = DurableIndex.temp(spark, "dix_idem", "doc_id")
+    try {
+      state.seed(Scoring.tfdOf(docsDf((1L, "a"), (2L, "b"))))
+      val b0 = docsDf((2L, "c"), (3L, "d"))
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      val before = postings(state.current())
+      val seqsBefore = state.committedSeqs()
+      // the checkpoint-replay case: the SAME batch lands again with
+      // its ORIGINAL batchId (a restart re-runs an in-flight trigger)
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      assert(state.committedSeqs() == seqsBefore)
+      assert(postings(state.current()) == before)
+    } finally state.delete()
+  }
+
+  test("compact folds the log to one base entry with identical content") {
+    val state = DurableIndex.temp(spark, "dix_comp", "doc_id")
+    try {
+      state.seed(Scoring.tfdOf(docsDf((1L, "a a"), (2L, "b"))))
+      val b0 = docsDf((2L, "c"), (3L, ""))
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      val b1 = docsDf((4L, "d e"))
+      state.append(1L, b1.select(col("doc_id")), Scoring.tfdOf(b1))
+      val before = postings(state.current())
+      state.compact()
+      assert(state.committedSeqs() == Seq(0L))
+      assert(postings(state.current()) == before)
+      // the log keeps working after compaction
+      val b2 = docsDf((1L, "f"))
+      state.append(2L, b2.select(col("doc_id")), Scoring.tfdOf(b2))
+      assert(postings(state.current())
+        == before.filterNot(_._1 == 1L) + ((1L, "f", 1L)))
+    } finally state.delete()
+  }
+
+  test("kill-and-resume drill: restart from checkpoint, maintained equals rebuilt") {
+    // the r13 verdict-#1 drill, on the q197 shape with REAL machinery:
+    // a file-source stream with an explicit checkpoint, stopped after
+    // trigger 1 (the "driver crash"), restarted FROM THE CHECKPOINT
+    // with a brand-new query, fed trigger 2 — and the maintained
+    // index must equal the from-scratch rebuild end-to-end. The old
+    // driver-var state died with the process by construction; the
+    // durable log is what makes this drill passable at all.
+    import java.nio.file.Files
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val watch = Files.createTempDirectory("graft_dix_watch")
+    val ckpt = Files.createTempDirectory("graft_dix_ckpt")
+    val state = DurableIndex.temp(spark, "dix_drill", "doc_id")
+    val seenBatchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    try {
+      state.seed(Scoring.tfdOf(docs.filter(col("doc_id") % 10 < 8)))
+      val schema = docs.schema
+      def start() = spark.readStream.schema(schema)
+        .parquet(watch.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          seenBatchIds.add(id)
+          state.append(id, b.select(col("doc_id")), Scoring.tfdOf(b))
+        }
+        .start()
+      docs.filter(col("doc_id") % 10 === 8)
+        .coalesce(1).write.mode("append").parquet(watch.toString)
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()  // the crash point
+      assert(seenBatchIds.size == 1 && seenBatchIds.peek() == 0L)
+      // restart: a NEW query from the SAME checkpoint; only the new
+      // file may arrive as a trigger — batch 0 must NOT replay (it
+      // committed), and its state must already be in the log
+      docs.filter(col("doc_id") % 10 === 9)
+        .coalesce(1).write.mode("append").parquet(watch.toString)
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      import scala.jdk.CollectionConverters._
+      assert(seenBatchIds.iterator().asScala.toSeq == Seq(0L, 1L),
+        "restart must resume at batch 1, not replay batch 0")
+      assert(state.committedSeqs() == Seq(0L, 1L, 2L))
+      // maintained ≡ rebuilt THROUGH the restart
+      assert(postings(state.current()) == postings(Scoring.tfdOf(docs)))
+    } finally {
+      spark.streams.active.foreach(q => try q.stop() catch {
+        case scala.util.control.NonFatal(_) => () })
+      state.delete()
+      Seq(watch, ckpt).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(d)
+        try s.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
+  }
+
+  test("cell-partitioned serving read prunes whole cell directories") {
+    // r13 missing #2: the point of PERSISTING an IVF index is that a
+    // probe reads NProbe/NCells of the files. The durable log's rows
+    // are hive-partitioned by cell; a probed read must select fewer
+    // FILES at plan time (partition pruning), not filter rows after
+    // reading everything.
+    val state = DurableIndex.temp(spark, "dix_cells", "vec_id",
+      partitionCols = Seq("cell"))
+    try {
+      val vecs = spark.range(256).select(
+        col("id").as("vec_id"), (col("id") % 16).cast("int").as("cell"),
+        (col("id") * 2).as("payload"))
+      state.seed(vecs.filter(col("vec_id") < 200))
+      val b0 = vecs.filter(col("vec_id") >= 200)
+      state.append(0L, b0.select(col("vec_id")), b0)
+      def scanFiles(df: DataFrame): Long =
+        df.queryExecution.sparkPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.partitionSchema.nonEmpty =>
+            s.selectedPartitions.totalNumberOfFiles
+        }.sum
+      val full = state.current()
+      val probed = state.current().filter(col("cell").isin(1, 2, 3))
+      val allFiles = scanFiles(full)
+      val probedFiles = scanFiles(probed)
+      assert(allFiles > 0 && probedFiles > 0)
+      assert(probedFiles * 4 <= allFiles,
+        s"probing 3/16 cells must prune files: read $probedFiles of $allFiles")
+      // and the pruned read still answers exactly (select by name:
+      // the hive layout moves the partition column to the end)
+      val got = probed.select(col("vec_id"), col("payload")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = vecs.filter(col("cell").isin(1, 2, 3))
+        .select(col("vec_id"), col("payload")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally state.delete()
+  }
+}

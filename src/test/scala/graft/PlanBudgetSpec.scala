@@ -264,7 +264,22 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // sides + the per-source agg + output sort; ZERO broadcasts (at
     // graded SF AQE could broadcast a side, but the audited no-AQE
     // plan is the honest cluster shape where both snapshots are big)
-    "q204_snapshot_diff" -> PlanCounts(2, 0, 4, 0))
+    "q204_snapshot_diff" -> PlanCounts(2, 0, 4, 0),
+    // ONE embeddings scan serves the routed candidate pass (centroids
+    // + query block ride a sparkContext broadcast inside the kernel,
+    // invisible to the census); the documents tokenize hides inside
+    // corpusTfd's eager checkpoint like the whole BM25 family.
+    // Shuffles: candidate rank window + rel agg + anti join + negs
+    // window + output sort; broadcasts: qterms + qsizes. One scan
+    // FEWER than exact q202 — routing replaced its broadcast
+    // query-vector leg.
+    "q206_hard_negatives_routed" -> PlanCounts(1, 0, 5, 2),
+    // media decode runs ONCE into the signature checkpoint (zero
+    // file scans in the audited plan — the banding forks would
+    // otherwise re-decode the corpus per fork); shuffles: bucket
+    // membership agg + pair distinct (2 exchanges) + output sort;
+    // the broadcast is the hot-bucket cap's anti side
+    "q207_media_near_dup" -> PlanCounts(0, 0, 4, 1))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>

@@ -498,6 +498,44 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q206 routed negatives: shared positives excluded, scores exact, recall floor vs q202") {
+    import org.apache.spark.sql.functions.col
+    val routedRows = Scoring.q206HardNegativesRouted(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(routedRows.nonEmpty, "routed mining must not be empty")
+    // ranks contiguous from 1 per query
+    routedRows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"qid $q ranks")
+    }
+    // the SHARED positives relation really is excluded
+    val pos = Scoring.fullOverlapPositives(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(routedRows.forall { case (q, _, d, _) => !pos((q, d)) })
+    // every routed cosine equals the EXACT full-scan cosine for that
+    // pair (routing changes which candidates are reachable, never
+    // their scores) — recomputed driver-side at the routed 4dp grain
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def norm(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    def cos4(a: Array[Double], b: Array[Double]) = BigDecimal(
+      a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    routedRows.foreach { case (q, _, d, c) =>
+      assert(cos4(vecs(d), vecs(q.toLong)) == c, s"($q,$d): routed $c")
+    }
+    // recall floor vs the exact miner: probing NProbe/NCells of the
+    // catalog must still recover at least half the exact negatives —
+    // the same envelope the q61 ANN family documents
+    val exact = Scoring.q202HardNegatives(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toSet
+    val routed = routedRows.map { case (q, _, d, _) => (q, d) }.toSet
+    val hits = routed.intersect(exact).size
+    assert(hits * 2 >= exact.size,
+      s"routed recall collapsed: $hits of ${exact.size} exact negatives")
+  }
+
   test("q182 bigram vocabulary growth matches a driver-side recomputation") {
     val first = scala.collection.mutable.Map.empty[Long, Long]
     docs.foreach { case (id, text, _, _) =>
