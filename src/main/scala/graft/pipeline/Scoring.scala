@@ -1480,6 +1480,56 @@ object Scoring {
       |SELECT t, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
       |FROM tfd GROUP BY t ORDER BY t""".stripMargin
 
+  // --------------------------------------------------------------- q209
+  /** MID-STREAM LOG COMPACTION, graded end-to-end — the operational
+    * move every log-structured store performs and the one
+    * DurableIndexSpec could only pin locally: q197's maintainer with
+    * a `compact()` folded in BETWEEN triggers (the drip harness
+    * quiesces after every drain, exactly the cadence a deployment's
+    * size-threshold compaction fires at). The log goes
+    * seed → trigger 1 append → COMPACT (folds both entries into one
+    * base; the trigger-2 entry then lands on a compacted log) →
+    * trigger 2 append → read. The graded output and oracle are
+    * q197's — maintained-compacted-maintained ≡ rebuilt from scratch
+    * — so compaction correctness rides the same gate as the
+    * maintenance itself instead of only a spec. Scale: compact cost
+    * is one read-replay + one clustered write of the CURRENT index
+    * (not the log history), amortized across however many triggers
+    * the threshold spans; everything between compactions stays
+    * O(batch). */
+  def q209CompactedMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val state = graft.streaming.DurableIndex.temp(spark, "q209", "doc_id")
+    state.seed(tfdOf(docs.filter(col("doc_id") % 10 < 8)))
+    val ingest = docs.filter(col("doc_id") % 10 >= 8)
+    val batches = Seq(
+      ingest.filter(col("doc_id") % 10 === 8),
+      ingest.filter(col("doc_id") % 10 === 9))
+    graft.streaming.FileDrip.drive(batches.take(1)) { stream =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q209_compacted_maintenance") { (batch, batchId) =>
+        state.append(batchId, batch.select(col("doc_id")), tfdOf(batch))
+      }
+    }
+    // the quiesce point: trigger 1 drained, stream stopped
+    state.compact()
+    graft.streaming.FileDrip.drive(batches.drop(1)) { stream =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q209_compacted_maintenance_2") { (batch, batchId) =>
+        // post-compaction batchIds restart at 0 in the fresh stream;
+        // offset past the base entry like any resumed deployment
+        // would (entry seq only needs monotonicity, not density)
+        state.append(batchId + 1, batch.select(col("doc_id")), tfdOf(batch))
+      }
+    }
+    val out = state.current().groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("t"))
+    graft.engine.Localize(out)(state.delete())
+  }
+
+  val q209Sql: String = q197Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_source_drift" -> (q181SourceDrift _),
     "q185_streaming_drift" -> (q185StreamingDrift _),
@@ -1490,6 +1540,7 @@ object Scoring {
     "q194_bm25_multiquery" -> (q194Bm25Multi _),
     "q195_multiquery_eval" -> (q195MultiqueryEval _),
     "q197_index_maintenance" -> (q197StreamingIndexMaintenance _),
+    "q209_compacted_maintenance" -> (q209CompactedMaintenance _),
     "q202_hard_negatives" -> (q202HardNegatives _),
     "q206_hard_negatives_routed" -> (q206HardNegativesRouted _),
     "q182_vocab_growth" -> (q182VocabGrowth _),
@@ -1515,6 +1566,7 @@ object Scoring {
     "q197_index_maintenance" -> q197Sql,
     "q202_hard_negatives" -> q202Sql,
     "q206_hard_negatives_routed" -> q206Sql,
+    "q209_compacted_maintenance" -> q209Sql,
     "q182_vocab_growth" -> q182Sql,
     "q84_importance_weight" -> q84Sql,
     "q85_dup_ngram_frac" -> q85Sql,
