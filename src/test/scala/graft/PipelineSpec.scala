@@ -163,6 +163,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect, s"got ${got.take(3)}... expect ${expect.take(3)}...")
   }
 
+  test("q210 persisted-index serving equals the fused q200 batch row for row") {
+    // the serving path (cell-pruned reads of the durable index) and
+    // the build path (assignment fused into the scan) must answer the
+    // batch IDENTICALLY — same rows, ranks, bit-exact cosines
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val served = Similarity.q210MultiQueryServed(spark, sf).collect().map(key).toSeq
+    val fused = Similarity.q200MultiQueryIvf(spark, sf).collect().map(key).toSeq
+    assert(served.nonEmpty && served == fused,
+      s"served(${served.size}) != fused(${fused.size})")
+  }
+
   test("q200 multi-query IVF batch: full per-query top-k, recall floor vs brute force") {
     val got = Similarity.q200MultiQueryIvf(spark, sf).collect()
     // every query in the batch answers with a full contiguous top-k
