@@ -181,6 +181,10 @@ object Bench {
       prior.getOrElse(name, medianPrior) * inflation
     def predicted(name: String): Double = predictedOne(name) * runs
     var skipped = List.empty[String]
+    // rows whose -1 came from the SPIKE CAP specifically (deadline <
+    // remaining): candidates for the end-of-walk retry — a crash or a
+    // remaining-budget expiry is not
+    val spikeKilled = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = ordered.flatMap { name =>
       val fn = byName(name)
       val isRef = refQueryShorts.contains(shortKey(name))
@@ -226,6 +230,7 @@ object Bench {
                   System.err.println(f"[bench] $name spiked past its " +
                     f"$deadline%.1f s cap (${SpikeK}%.0f x predicted); " +
                     "marked -1, walk continues")
+                  spikeKilled += name
                   -1.0
                 } else {
                   System.err.println(
@@ -258,6 +263,29 @@ object Bench {
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
     }
+    // r14 verdict #1: two consecutive rounds shipped -1 rows that
+    // post-hoc isolated reruns exonerated as roaming load spikes
+    // (r13 q205; r14 q62/q125/q191 on a loadavg-7.9 window). The
+    // artifact is the grade — absorb ONE spike in-window: each
+    // spike-cap-killed row gets one retry after the walk, against the
+    // REMAINING budget only (the cap already fired once for it; a
+    // genuine budget exhaustion still records -1, pinned in BenchSpec).
+    val afterRetry = retryPass(results, spikeKilled.contains,
+      () => deadlineBlown || spark.sparkContext.isStopped,
+      () => budgetSec - elapsed(),
+      name => {
+        System.err.println(f"[bench] retrying spike-killed $name " +
+          f"(${budgetSec - elapsed()}%.1f s budget left)")
+        val t = runWithWatchdog(spark, s"$name (retry)", byName(name),
+            sfDir, math.max(5.0, budgetSec - elapsed())) match {
+          case WatchdogOutcome.Done(sec) => sec
+          case WatchdogOutcome.TimedOut(leftover) =>
+            settleZombie(leftover, s"$name (retry)"); -1.0
+        }
+        graft.engine.SessionCache.sweepBetweenQueries(spark)
+        System.err.println(f"[bench] retry of $name -> $t%.3f s")
+        t
+      })
     if (skipped.nonEmpty) System.err.println(
       s"[bench] budget ${budgetSec}s exhausted; skipped ${skipped.size}: " +
         skipped.reverse.map(shortKey).mkString(","))
@@ -265,8 +293,8 @@ object Bench {
     // so the JSON must stay well under ~2000 chars even as the query set
     // grows: short keys (the qNN id prefix) + centisecond precision.
     // Full names + full precision go to stderr for local inspection.
-    results.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
-    println(jsonLine(results, sfDir, loadTag(load0, loadAvg()), skipped.size, runs))
+    afterRetry.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
+    println(jsonLine(afterRetry, sfDir, loadTag(load0, loadAvg()), skipped.size, runs))
     // The stdout line folds the fastest queries into an "others"
     // bucket to fit the harness's tail capture — a regression INSIDE
     // the bucket would be invisible across rounds. Persist the full
@@ -279,9 +307,37 @@ object Bench {
     // are dropped from priors — poisoning every later round's
     // admission (observed in r12: a SIGTERM'd run wrote 25 bogus -1s)
     if (only.isEmpty && !spark.sparkContext.isStopped)
-      writeFull(results, sfDir, skipped.size, runs)
+      writeFull(afterRetry, sfDir, skipped.size, runs)
     spark.stop()
   }
+
+  /** Floor below which an end-of-walk retry can't learn anything. */
+  val RetryFloorSec = 5.0
+
+  /** A -1 row earns its single end-of-walk retry iff its kill came
+    * from the SPIKE CAP (only that query was condemned — a crash or
+    * budget expiry carries real information), the walk's own deadline
+    * never blew, and enough budget remains to measure. Pure;
+    * BenchSpec pins every branch. */
+  def retryEligible(wasSpikeKilled: Boolean, deadlineBlown: Boolean,
+      remainingSec: Double): Boolean =
+    wasSpikeKilled && !deadlineBlown && remainingSec >= RetryFloorSec
+
+  /** End-of-walk retry pass (r14 verdict #1): re-measure each
+    * spike-cap-killed row once, in walk order, while budget remains.
+    * `runOnce` is the watchdogged runner (seconds, or -1 on a second
+    * failure — the row then stays an honest -1). Factored from main
+    * so BenchSpec can drive it with a fake runner. */
+  def retryPass(results: Seq[(String, Double)],
+      wasSpikeKilled: String => Boolean, deadlineBlown: () => Boolean,
+      remainingSec: () => Double, runOnce: String => Double)
+      : Seq[(String, Double)] =
+    results.map { case (name, t) =>
+      if (t >= 0 ||
+          !retryEligible(wasSpikeKilled(name), deadlineBlown(), remainingSec()))
+        name -> t
+      else name -> runOnce(name)
+    }
 
   /** Spike-cap multiplier: a query's per-run watchdog deadline is at
     * most SpikeK × its predicted cost (and at least 5 s, and never

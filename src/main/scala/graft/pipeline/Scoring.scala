@@ -1513,13 +1513,16 @@ object Scoring {
     }
     // the quiesce point: trigger 1 drained, stream stopped
     state.compact()
+    // the fresh stream's batchIds restart at 0; offset past whatever
+    // the log actually holds (r14 advice: derived from the committed
+    // seqs, never a hardcoded +1 — a multi-micro-batch first drive
+    // would otherwise collide seqs and overwrite-replace an entry)
+    val resumeAt = state.committedSeqs().max + 1
     graft.streaming.FileDrip.drive(batches.drop(1)) { stream =>
       graft.streaming.Streams.toForeachBatch(stream,
           "q209_compacted_maintenance_2") { (batch, batchId) =>
-        // post-compaction batchIds restart at 0 in the fresh stream;
-        // offset past the base entry like any resumed deployment
-        // would (entry seq only needs monotonicity, not density)
-        state.append(batchId + 1, batch.select(col("doc_id")), tfdOf(batch))
+        state.append(resumeAt + batchId,
+          batch.select(col("doc_id")), tfdOf(batch))
       }
     }
     val out = state.current().groupBy(col("t"))

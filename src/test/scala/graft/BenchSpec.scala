@@ -268,6 +268,42 @@ class BenchSpec extends AnyFunSuite {
       "no own prior -> full remaining budget, never the median cap")
   }
 
+  test("end-of-walk retry: spike-kills remeasured once, everything else stands (r14 #1)") {
+    val rows = Seq("q01_a" -> -1.0, "q02_b" -> 2.0, "q03_c" -> -1.0,
+      "q04_d" -> -1.0)
+    val spike = Set("q01_a", "q04_d")
+    var ran = List.empty[String]
+    val out = Bench.retryPass(rows, spike, () => false, () => 100.0,
+      n => { ran ::= n; if (n == "q04_d") -1.0 else 3.25 })
+    // the spike-killed row is remeasured (the r14 q62/q125/q191
+    // scenario); the plain crash row (q03) is untouched — its -1
+    // carries real information; a retry that fails AGAIN stays -1
+    assert(out == Seq("q01_a" -> 3.25, "q02_b" -> 2.0, "q03_c" -> -1.0,
+      "q04_d" -> -1.0))
+    assert(ran.reverse == List("q01_a", "q04_d"))
+    // genuine budget exhaustion: nothing reruns, the -1 stands
+    var ran2 = 0
+    val out2 = Bench.retryPass(rows, spike, () => false, () => 1.0,
+      _ => { ran2 += 1; 9.9 })
+    assert(out2 == rows && ran2 == 0)
+    // a blown walk deadline (or dying SparkContext) blocks all retries
+    val out3 = Bench.retryPass(rows, spike, () => true, () => 100.0,
+      _ => fail("must not run"))
+    assert(out3 == rows)
+    // the budget is re-read PER retry: the first retry may eat what
+    // the second needed
+    var budget = 20.0
+    val out4 = Bench.retryPass(rows, spike, () => false, () => budget,
+      n => { budget -= 18.0; 4.0 })
+    assert(out4 == Seq("q01_a" -> 4.0, "q02_b" -> 2.0, "q03_c" -> -1.0,
+      "q04_d" -> -1.0))
+    // eligibility floor pinned
+    assert(Bench.retryEligible(true, false, Bench.RetryFloorSec))
+    assert(!Bench.retryEligible(true, false, 4.9))
+    assert(!Bench.retryEligible(false, false, 100.0))
+    assert(!Bench.retryEligible(true, true, 100.0))
+  }
+
   test("every reference benchmark maps to a registered query") {
     val shorts = SparkEntry.queries.keys.map(Bench.shortKey).toSet
     Bench.RefBenchmarks.foreach { case (name, q) =>

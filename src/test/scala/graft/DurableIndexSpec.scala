@@ -69,7 +69,7 @@ class DurableIndexSpec extends AnyFunSuite with SparkSpec {
     } finally state.delete()
   }
 
-  test("compact folds the log to one base entry with identical content") {
+  test("compact folds the log to one base generation with identical content") {
     val state = DurableIndex.temp(spark, "dix_comp", "doc_id")
     try {
       state.seed(Scoring.tfdOf(docsDf((1L, "a a"), (2L, "b"))))
@@ -79,13 +79,76 @@ class DurableIndexSpec extends AnyFunSuite with SparkSpec {
       state.append(1L, b1.select(col("doc_id")), Scoring.tfdOf(b1))
       val before = postings(state.current())
       state.compact()
-      assert(state.committedSeqs() == Seq(0L))
+      // the fold is reported as ONE live entry at the seq it covers
+      // through (2 = trigger 1's entry), so max + 1 is a safe resume
+      // seq for the next feed — the q209 offset contract (r14 advice)
+      assert(state.committedSeqs() == Seq(2L))
       assert(postings(state.current()) == before)
-      // the log keeps working after compaction
+      // the log keeps working after compaction: seqs continue past
+      // the base's coverage
       val b2 = docsDf((1L, "f"))
-      state.append(2L, b2.select(col("doc_id")), Scoring.tfdOf(b2))
+      state.append(state.committedSeqs().max + 1,
+        b2.select(col("doc_id")), Scoring.tfdOf(b2))
       assert(postings(state.current())
         == before.filterNot(_._1 == 1L) + ((1L, "f", 1L)))
+      // a second compact folds base + entry into the next generation
+      state.compact()
+      assert(state.committedSeqs().size == 1)
+      assert(postings(state.current())
+        == before.filterNot(_._1 == 1L) + ((1L, "f", 1L)))
+    } finally state.delete()
+  }
+
+  test("keys without committed rows never retire anything (rows/_SUCCESS is the commit point)") {
+    // r14 advice #1: append writes keys BEFORE rows; a crash between
+    // the two must not leave a key-set that masks older rows whose
+    // replacements were never written. Simulate the torn entry by
+    // writing ONLY a keys dir for a later seq.
+    val state = DurableIndex.temp(spark, "dix_torn", "doc_id")
+    try {
+      state.seed(Scoring.tfdOf(docsDf((1L, "a"), (2L, "b"))))
+      val b0 = docsDf((2L, "c"))
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      val before = postings(state.current())
+      // the torn trigger-1 entry: keys for doc 1 committed, rows never
+      docsDf((1L, "zz")).select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"${state.path}/b00002/keys")
+      assert(postings(state.current()) == before,
+        "a torn entry's keys silently dropped index rows")
+      // the replayed trigger then lands normally on the same entry
+      val b1 = docsDf((1L, "zz"))
+      state.append(1L, b1.select(col("doc_id")), Scoring.tfdOf(b1))
+      assert(postings(state.current())
+        == before.filterNot(_._1 == 1L) + ((1L, "zz", 1L)))
+    } finally state.delete()
+  }
+
+  test("auto-compaction: a long drip folds itself and stays equal to rebuilt") {
+    // r14 missing #2: nothing TRIGGERED compaction. With the
+    // threshold at 3, ten appends must keep the live log bounded by
+    // the threshold (LSM cadence inside append) and the replayed
+    // content must stay identical to the from-scratch fold.
+    val state = DurableIndex.temp(spark, "dix_auto", "doc_id",
+      autoCompactEntries = 3)
+    try {
+      state.seed(Scoring.tfdOf(docsDf((0L, "s"))))
+      (0 until 10).foreach { i =>
+        // every third batch REWRITES doc i-1 so masking keys must
+        // survive each fold boundary too
+        val b = if (i % 3 == 2) docsDf((i.toLong, s"w$i"), (i - 1L, s"r$i"))
+          else docsDf((i.toLong, s"w$i"))
+        state.append(i.toLong, b.select(col("doc_id")), Scoring.tfdOf(b))
+        assert(state.committedSeqs().size <= 3,
+          s"live log unbounded after append $i: ${state.committedSeqs()}")
+      }
+      val all = (0 until 10).foldLeft(Scoring.tfdOf(docsDf((0L, "s")))) {
+        case (acc, i) =>
+          val b = if (i % 3 == 2) docsDf((i.toLong, s"w$i"), (i - 1L, s"r$i"))
+            else docsDf((i.toLong, s"w$i"))
+          Scoring.upsertByKey(acc, b.select(col("doc_id")),
+            Scoring.tfdOf(b), "doc_id")
+      }
+      assert(postings(state.current()) == postings(all))
     } finally state.delete()
   }
 
