@@ -298,6 +298,41 @@ object Dedup {
   def q31SimHashPairs(spark: SparkSession, dir: String): DataFrame =
     q31SimHashPairs(spark, dir, MaxBucket)
 
+  /** STAR form of the 48-bit Hamming band join — the q203
+    * listing-free move applied to the signature families, adapted to
+    * what Hamming banding can actually support. A bucket-hub star
+    * (q203's exact shape) is UNSOUND here: band keys are only 8 bits,
+    * so buckets are mostly hash collisions, the bucket-min hub
+    * rarely verifies against anyone, and whole clusters vanish
+    * gate-green (caught by DedupSpec's union-find pin when this
+    * operator was built — both engines computed the same wrong star).
+    * The sound linearization is EXACT-SIGNATURE COLLAPSE: all docs
+    * with an identical signature hang off one rep (min doc id) via
+    * Hamming-0 star edges — linear in duplication mass, which is
+    * where re-encode farms put their n² — and the banded
+    * [[bandedHammingPairs]] listing then runs over DISTINCT
+    * signatures only. Components are EXACTLY the all-pairs graph's:
+    * every rep edge is a real verified pair (reps share their
+    * group's bands), and any verified pair (a,b) routes
+    * a–rep(a)–rep(b)–b, so paths stretch ≤ 3× — [[SigStarSteps]]
+    * sizes the unroll for it. */
+  private[pipeline] def sigCollapsePairs(sig: DataFrame, hashCol: String,
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one shuffle keys the collapse: window-min per signature value,
+    // no join back through the signature lineage
+    val w = Window.partitionBy(col(hashCol))
+    val withRep = sig.withColumn("rep", min(col("doc_id")).over(w))
+    val exactEdges = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col(hashCol))
+    exactEdges.unionByName(
+      bandedHammingPairs(reps, hashCol, maxBucket)
+        .select(col("doc_a"), col("doc_b")))
+  }
+
+
   def q31SimHashPairs(spark: SparkSession, dir: String, maxBucket: Int): DataFrame =
     bandedHammingPairs(q30SimHash(spark, dir), "simhash", maxBucket)
 
@@ -487,7 +522,7 @@ object Dedup {
     * relation → (doc_id, rep_id, keep). Shared by q62 (all-pairs
     * graph) and q203 (star graph) so the resolution semantics cannot
     * drift between them. */
-  private def resolveClusters(pairs: DataFrame, steps: Int): DataFrame = {
+  private[pipeline] def resolveClusters(pairs: DataFrame, steps: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val init = edges.select(col("src").as("node")).distinct()
@@ -556,6 +591,16 @@ object Dedup {
     * the extra steps cost little. */
   val StarSteps = 2 * ClusterSteps
 
+  /** q211's superstep count: 3 × [[ClusterSteps]]. The signature
+    * collapse routes every original verified edge (a, b) through up
+    * to two rep hops (a–rep(a)–rep(b)–b), so component diameter can
+    * TRIPLE vs the all-pairs graph a fixed unroll was sized for —
+    * the same failure q203's 2× guards against, one hop worse.
+    * (Declared AFTER [[ClusterSteps]] on purpose: object vals
+    * initialize in declaration order, and a forward reference here
+    * silently reads 0.) */
+  val SigStarSteps = 3 * ClusterSteps
+
   /** The verified star-edge relation (uncapped spanning candidates →
     * exact Jaccard ≥ 0.8) — the q203 pair graph, exposed to DedupSpec
     * so the star ⊆ q29-verified-pairs claim is PINNED, not asserted
@@ -578,7 +623,7 @@ object Dedup {
   /** `e → l0 → … → lN` min-label CTE chain over a preceding `pairs`
     * CTE, plus the final projection — the SQL twin of
     * [[resolveClusters]], shared by q62 and q203. */
-  private def clusterResolveSql(steps: Int): String = {
+  private[pipeline] def clusterResolveSql(steps: Int): String = {
     // AS MATERIALIZED on e/l0/l$i: each step references its
     // predecessor TWICE (the neighbor-min join and the carry), so
     // DuckDB's default CTE inlining re-derives the whole upstream

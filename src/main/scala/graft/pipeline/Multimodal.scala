@@ -129,8 +129,17 @@ object Multimodal {
   val VariantBright = 1000000L
   val VariantNoise = 2000000L
 
-  private[graft] def dHash48(payload: Array[Byte]): Long = {
-    val n = payload.length
+  private[graft] def dHash48(payload: Array[Byte]): Long =
+    dHash48(payload.map(_ & 0xff))
+
+  /** Core dHash over UNWRAPPED Int samples — variant injection adds
+    * in this space (not modular byte space), exactly like the
+    * oracle's `p + 2`, so the signature matches the SQL twin for ANY
+    * sample value, not just the wrap-free ASCII the fixtures happen
+    * to hold (r14 advice: the `(x & 0xff) + 2).toByte` form silently
+    * wrapped at >= 254 while the oracle did not). */
+  private[graft] def dHash48(samples: Array[Int]): Long = {
+    val n = samples.length
     if (n == 0) return 0L
     val nb = DHashBits + 1
     val sums = new Array[Long](nb)
@@ -138,7 +147,7 @@ object Multimodal {
     var i = 0
     while (i < n) {
       val b = ((i.toLong * nb) / n).toInt
-      sums(b) += payload(i) & 0xff
+      sums(b) += samples(i)
       cnts(b) += 1
       i += 1
     }
@@ -165,22 +174,26 @@ object Multimodal {
       : DataFrame = {
     import spark.implicits._
     mediaCatalog(spark, dir).as[MediaRecord]
+      // a zero-length payload has no samples and therefore no
+      // signature on EITHER engine (the oracle's ch0 CTE has no rows
+      // for it) — emitting a 0-hash row here would pair empty docs at
+      // Hamming 0 with no oracle twin (r14 advice)
+      .filter(_.payload.nonEmpty)
       .mapPartitions(_.flatMap { m =>
+        val samples = m.payload.map(_ & 0xff)
         val out = scala.collection.mutable.ArrayBuffer(
-          (m.doc_id, dHash48(m.payload)))
+          (m.doc_id, dHash48(samples)))
         if (m.doc_id % 5 == 0) {
-          // brightness re-encode: +2 on every sample (ASCII ≤ 126, so
-          // no clamp is ever hit; dHash48 reads unsigned)
-          val bright = m.payload.map(x => ((x & 0xff) + 2).toByte)
-          out += ((m.doc_id + VariantBright, dHash48(bright)))
+          // brightness re-encode: +2 on every sample, UNWRAPPED Int
+          // arithmetic like the oracle's p + 2 (dHash-invariant by
+          // construction — the property the fingerprint exists for)
+          out += ((m.doc_id + VariantBright, dHash48(samples.map(_ + 2))))
         }
         if (m.doc_id % 7 == 3) {
           // sparse noise: +1 on every 11th sample
-          val noisy = m.payload.clone()
+          val noisy = samples.clone()
           var i = 0
-          while (i < noisy.length) {
-            noisy(i) = ((noisy(i) & 0xff) + 1).toByte; i += 11
-          }
+          while (i < noisy.length) { noisy(i) += 1; i += 11 }
           out += ((m.doc_id + VariantNoise, dHash48(noisy)))
         }
         out.iterator
@@ -198,13 +211,16 @@ object Multimodal {
       dHashSignatures(spark, dir).localCheckpoint(true), "dhash",
       Dedup.MaxBucket)
 
-  /** Oracle: the stub arithmetic + variant injection reconstructed
-    * from the text column (ASCII ⇒ payload byte == code point, the
-    * q40 precedent), then q31's banding SQL verbatim over the dhash
-    * signature. */
-  val q207Sql: String = {
+  /** `ch0 → … → sig → bands`: the dHash signature relation
+    * (including injected re-encode variants) and its 6×8-bit band
+    * explosion as DuckDB CTEs — the stub arithmetic + variant
+    * injection reconstructed from the text column (ASCII ⇒ payload
+    * byte == code point, the q40 precedent). Shared by q207's pair
+    * listing and q211's star-cluster resolution so the two oracles
+    * cannot drift. */
+  private def dhashBandCtes: String = {
     val nb = DHashBits + 1
-    s"""WITH ch0 AS (SELECT doc_id, i,
+    s"""ch0 AS (SELECT doc_id, i,
        |    unicode(substr(text, CAST(i AS INT) + 1, 1)) AS p,
        |    length(text) AS n
        |  FROM documents CROSS JOIN (SELECT unnest(range(
@@ -226,7 +242,13 @@ object Multimodal {
        |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
        |  FROM bits WHERE b < $DHashBits GROUP BY doc_id),
        |bands AS (SELECT doc_id, dhash, band, (dhash >> (8*band)) & 255 AS key
-       |          FROM sig CROSS JOIN (SELECT unnest(range(6)) AS band)),
+       |          FROM sig CROSS JOIN (SELECT unnest(range(6)) AS band))""".stripMargin
+  }
+
+  /** Oracle: the shared signature/band CTEs, then q31's banding SQL
+    * verbatim over the dhash signature. */
+  val q207Sql: String =
+    s"""WITH $dhashBandCtes,
        |okb AS (SELECT band, key FROM bands GROUP BY band, key
        |        HAVING count(*) <= ${Dedup.MaxBucket}),
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -238,13 +260,68 @@ object Multimodal {
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
        |FROM pairs WHERE bit_count(xor(ha, hb)) <= ${Dedup.HammingMax}
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  // --------------------------------------------------------------- q211
+  /** Media near-dup CLUSTER resolution (r14 verdict #5) — q207 emits
+    * verified PAIRS; the decision step (one canonical doc per
+    * perceptual-duplicate cluster, everything else a casualty) is
+    * [[Dedup.resolveClusters]], exactly the machinery the text
+    * near-dup family graduates through (q62 all-pairs, q203 star).
+    * The pair graph is [[Dedup.sigCollapsePairs]]: identical dHashes
+    * collapse onto one rep via Hamming-0 star edges (linear in
+    * duplication mass — a re-encode farm's 100 identical copies cost
+    * 99 edges, not C(100,2)), and the banded listing runs over
+    * DISTINCT signatures only, which preserves all-pairs components
+    * EXACTLY (see sigCollapsePairs for why a q203-style bucket-hub
+    * star does NOT survive 8-bit band keys). Signatures are
+    * checkpointed once (the q207 posture) so the collapse and
+    * banding forks never re-decode the corpus; the min-label unroll
+    * is [[Dedup.SigStarSteps]] (rep hops triple worst-case diameter).
+    * DedupSpec pins component equality against a driver-side
+    * union-find over the graded q207 pairs. */
+  def q211MediaClusterStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(
+      Dedup.sigCollapsePairs(
+        dHashSignatures(spark, dir).localCheckpoint(true), "dhash",
+        Dedup.MaxBucket)
+        .localCheckpoint(true),
+      Dedup.SigStarSteps)
+
+  /** Oracle: shared signature CTEs → exact-signature collapse edges
+    * plus the q207 banded listing over DISTINCT signatures → the
+    * SAME min-label CTE chain q62/q203 use
+    * ([[Dedup.clusterResolveSql]]). */
+  val q211Sql: String =
+    s"""WITH $dhashBandCtes,
+       |rep AS (SELECT dhash, min(doc_id) AS rep_id FROM sig GROUP BY dhash),
+       |exact_e AS (SELECT r.rep_id AS doc_a, s.doc_id AS doc_b
+       |            FROM sig s JOIN rep r ON s.dhash = r.dhash
+       |            WHERE s.doc_id <> r.rep_id),
+       |rbands AS (SELECT rep_id AS doc_id, dhash, band,
+       |                  (dhash >> (8*band)) & 255 AS key
+       |           FROM rep CROSS JOIN (SELECT unnest(range(6)) AS band)),
+       |okb AS (SELECT band, key FROM rbands GROUP BY band, key
+       |        HAVING count(*) <= ${Dedup.MaxBucket}),
+       |rpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                  x.dhash AS ha, y.dhash AS hb
+       |           FROM rbands x
+       |           JOIN okb ON x.band = okb.band AND x.key = okb.key
+       |           JOIN rbands y
+       |             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM exact_e
+       |  UNION ALL
+       |  SELECT doc_a, doc_b FROM rpairs
+       |  WHERE bit_count(xor(ha, hb)) <= ${Dedup.HammingMax}),
+       |${Dedup.clusterResolveSql(Dedup.SigStarSteps)}""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_features" -> (q40MediaFeatures _),
-    "q207_media_near_dup" -> (q207MediaNearDup _))
+    "q207_media_near_dup" -> (q207MediaNearDup _),
+    "q211_media_cluster_star" -> (q211MediaClusterStar _))
 
   def oracles: Map[String, String] = Map(
     "q40_media_features" -> q40Sql,
-    "q207_media_near_dup" -> q207Sql)
+    "q207_media_near_dup" -> q207Sql,
+    "q211_media_cluster_star" -> q211Sql)
 }

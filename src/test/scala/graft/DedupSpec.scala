@@ -476,4 +476,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       b == a + Multimodal.VariantNoise })
     assert(brute.exists(_._3 > 0), "some pair must verify at nonzero Hamming")
   }
+
+  test("q211 star cluster resolution equals union-find over the graded q207 pairs") {
+    // r14 verdict #5's pin: the star-edge resolution (linear output,
+    // uncapped buckets) must produce the SAME components, canonical
+    // reps and casualties as a driver-side union-find over the graded
+    // all-pairs q207 graph — media dedup's scale path may not change
+    // the decision. (Same caveat as q203: a non-transitive bucket
+    // could split a component; this asserts the fixture regime, where
+    // re-encodes verify symmetrically, really does coincide.)
+    import graft.pipeline.Multimodal
+    val pairs = Multimodal.q207MediaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // smaller root wins every union, so each final root IS its
+    // component's min — exactly the min-label canonical rep
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => (n, find(n), if (n == find(n)) 1 else 0)).toSet
+    val got = Multimodal.q211MediaClusterStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"star resolution diverged from union-find: " +
+        s"missing ${(want -- got).take(3)} extra ${(got -- want).take(3)}")
+    // fixture sanity: resolution is non-trivial — some cluster holds
+    // 3+ members (an original plus BOTH its injected variants), so
+    // transitivity through the hub is actually exercised
+    val sizes = want.groupBy(_._2).map(_._2.size)
+    assert(sizes.exists(_ >= 3), s"largest cluster ${sizes.max}")
+  }
 }
