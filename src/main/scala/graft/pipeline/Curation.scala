@@ -778,10 +778,156 @@ object Curation {
     * verbatim (the tombstone feed IS the snapshot delta). */
   val q208Sql: String = q205Sql
 
+  // --------------------------------------------------------------- q212
+  /** SCD2 (type-2 slowly-changing-dimension) HISTORY maintained from
+    * the CDC feed (r14 verdict #6) — the canonical downstream
+    * consumer of the q204/q205/q208 classifiers: a dimension table
+    * with one row per document VERSION (`h`, `valid_from`,
+    * `valid_to`, `is_current`), where each arriving event closes the
+    * document's open row at its timestamp and each upsert opens a
+    * new one; a tombstone closes without opening (the delete keeps
+    * no current row). The feed is deterministic and TIMESTAMPED
+    * ([[scd2Events]]): the old snapshot lands at ts 10, re-crawls
+    * and late adds at ts 20, tombstones at ts 30 — so documents
+    * carry 1-3 versions and the delete-after-recrawl path is
+    * exercised.
+    *
+    * Maintenance runs per trigger on the [[graft.streaming
+    * .DurableIndex]] log, keyed by doc_id with replace-by-key
+    * masking doing the UPDATE: each trigger rewrites ONLY the
+    * touched documents' histories (close the open row at the batch's
+    * first event ts, fold intra-batch event runs with one
+    * lead-window, re-emit the untouched closed rows) and appends
+    * them as one idempotent entry. The prior-history lookup is the
+    * per-trigger cost, and it is DIRECTORY-PRUNED: rows are
+    * hive-partitioned by key bucket (`kb = doc_id % `[[ScdKeyBuckets]])
+    * and the lookup filters to the batch's buckets before the
+    * masking join — the q199 serving-read posture applied to a
+    * dimension table, so at 100 TB a trigger reads the touched
+    * buckets, not the dimension. (The bucket list is a bounded
+    * ≤ ScdKeyBuckets driver-side collect.) Batches arrive in event-
+    * time order (a CDC log's arrival contract); CurationSpec
+    * re-drives the identical feed at 1/2/3 time-contiguous splits
+    * and pins identical history — per-doc results depend only on the
+    * doc's own event sequence, so boundary placement cannot matter.
+    *
+    * Oracle: the from-scratch window form over the full feed — each
+    * upsert's `valid_to` is the `lead(ts)` of the doc's next event,
+    * `is_current` = no later event. */
+  val ScdKeyBuckets = 16
+
+  private[graft] def scd2Events(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def h(t: org.apache.spark.sql.Column) =
+      md5(coalesce(t, lit(NullTextSentinel)))
+    val olds = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), lit(10L).as("ts"), lit("u").as("op"),
+        h(col("text")).as("h"))
+    val recrawls = docs.filter(col("doc_id") % 7 === 3 &&
+        col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), lit(20L).as("ts"), lit("u").as("op"),
+        h(upper(col("text"))).as("h"))
+    val adds = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), lit(20L).as("ts"), lit("u").as("op"),
+        h(when(col("doc_id") % 7 === 3, upper(col("text")))
+          .otherwise(col("text"))).as("h"))
+    val tombstones = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(30L).as("ts"), lit("d").as("op"),
+        lit(null).cast("string").as("h"))
+    olds.unionByName(recrawls).unionByName(adds).unionByName(tombstones)
+  }
+
+  private[graft] def q212WithSplits(spark: SparkSession, dir: String,
+      splits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val events = scd2Events(spark, dir)
+    val phases = Seq(10L, 20L, 30L)
+    // time-contiguous batches: phase i goes to batch i*splits/3
+    val batches = phases.groupBy(p => phases.indexOf(p) * splits / 3)
+      .toSeq.sortBy(_._1)
+      .map { case (_, ps) => events.filter(col("ts").isin(ps: _*)) }
+    val state = graft.streaming.DurableIndex.temp(spark, "q212", "doc_id",
+      partitionCols = Seq("kb"))
+    val histSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("h", StringType), StructField("valid_from", LongType),
+      StructField("valid_to", LongType),
+      StructField("kb", IntegerType)))
+    val outCols = Seq("doc_id", "h", "valid_from", "valid_to", "kb").map(col)
+    graft.streaming.FileDrip.drive(batches) { stream =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q212_scd2_history") { (batch, batchId) =>
+        val ev = batch.withColumn("kb",
+          pmod(col("doc_id"), lit(ScdKeyBuckets)).cast("int"))
+        val ids = ev.select(col("doc_id")).distinct()
+        val prior = if (!state.hasState)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            histSchema)
+        else {
+          // bounded driver-side collect: <= ScdKeyBuckets values,
+          // the directory-pruning predicate for the dimension read
+          val kbs = ev.select(col("kb")).distinct().collect()
+            .map(_.getInt(0)).toSeq
+          state.current().filter(col("kb").isin(kbs: _*))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        }
+        val firstTs = ev.groupBy(col("doc_id")).agg(min(col("ts")).as("__t0"))
+        val openClosed = prior.filter(col("valid_to").isNull)
+          .drop("valid_to")
+          .join(broadcast(firstTs), Seq("doc_id"))
+          .withColumn("valid_to", col("__t0")).drop("__t0")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("ts"))
+        val intra = ev.withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .filter(col("op") === "u")
+          .withColumn("valid_from", col("ts"))
+        val newRows = prior.filter(col("valid_to").isNotNull)
+          .select(outCols: _*)
+          .unionByName(openClosed.select(outCols: _*))
+          .unionByName(intra.select(outCols: _*))
+        state.append(batchId, ids, newRows)
+      }
+    }
+    val out = state.current()
+      .select(col("doc_id"), col("h"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy(col("doc_id"), col("valid_from"))
+    graft.engine.Localize(out)(state.delete())
+  }
+
+  def q212Scd2History(spark: SparkSession, dir: String): DataFrame =
+    q212WithSplits(spark, dir, 2)
+
+  val q212Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id, 10::BIGINT AS ts, 'u' AS op,
+      |         md5(coalesce(text, chr(1))) AS h
+      |  FROM documents WHERE doc_id % 10 <> 9
+      |  UNION ALL
+      |  SELECT doc_id, 20, 'u', md5(coalesce(upper(text), chr(1)))
+      |  FROM documents WHERE doc_id % 7 = 3 AND doc_id % 10 <> 9
+      |  UNION ALL
+      |  SELECT doc_id, 20, 'u',
+      |         md5(coalesce(CASE WHEN doc_id % 7 = 3 THEN upper(text)
+      |                           ELSE text END, chr(1)))
+      |  FROM documents WHERE doc_id % 10 = 9
+      |  UNION ALL
+      |  SELECT doc_id, 30, 'd', NULL
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |v AS (SELECT doc_id, op, h, ts AS valid_from,
+      |        lead(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS valid_to
+      |      FROM ev)
+      |SELECT doc_id, h, valid_from, valid_to,
+      |  CAST(valid_to IS NULL AS INT) AS is_current
+      |FROM v WHERE op = 'u'
+      |ORDER BY doc_id, valid_from""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_snapshot_diff" -> (q204SnapshotDiff _),
     "q205_streaming_diff" -> (q205StreamingSnapshotDiff _),
     "q208_cdc_tombstones" -> (q208CdcTombstones _),
+    "q212_scd2_history" -> (q212Scd2History _),
     "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
@@ -801,6 +947,7 @@ object Curation {
     // from-scratch per-doc diff
     "q205_streaming_diff" -> q205Sql,
     "q208_cdc_tombstones" -> q208Sql,
+    "q212_scd2_history" -> q212Sql,
     "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,

@@ -168,35 +168,118 @@ object Multimodal {
     h
   }
 
+  /** DECODER SEAM (r14 stretch #8): a media decoder turns an opaque
+    * payload into the luma sample stream the perceptual signature
+    * hashes — `Array[Byte] => Array[Int]` (unwrapped ints, samples in
+    * 0..maxval). Everything downstream of the samples (dHash,
+    * banding, verification, cluster resolution) is decoder-agnostic
+    * BY CONSTRUCTION: the decoder is a parameter of
+    * [[dHashSignatures]], not a fork of the pipeline. DedupSpec
+    * proves it by round-trip — PGM-encoding a payload and decoding
+    * with [[PpmDecoder]] yields the same samples, signatures and
+    * pairs as [[StubDecoder]] on the raw bytes. */
+  type MediaDecoder = Array[Byte] => Array[Int]
+
+  /** The graded stub: raw payload bytes read unsigned — what the
+    * sandbox's codec-free catalog supports. */
+  val StubDecoder: MediaDecoder = p => p.map(_ & 0xff)
+
+  /** A REAL decoder, pure JVM, no new deps: binary PGM (`P5`,
+    * grayscale) and PPM (`P6`, RGB) with maxval ≤ 255 — the netpbm
+    * wire format: ASCII header `magic width height maxval` with
+    * whitespace separators and `#`-to-EOL comments, then one raw
+    * byte per sample. P6 triplets fold to integer luma
+    * `(299·R + 587·G + 114·B) / 1000` (BT.601 weights in
+    * engine-portable integer arithmetic). Non-netpbm or truncated
+    * payloads decode to EMPTY (no signature row — the zero-length
+    * contract), never to garbage samples. */
+  val PpmDecoder: MediaDecoder = payload => {
+    val n = payload.length
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < n) {
+        if (isWs(payload(pos))) pos += 1
+        else if (payload(pos) == '#')
+          while (pos < n && payload(pos) != '\n') pos += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (pos < n && !isWs(payload(pos)) && payload(pos) != '#') pos += 1
+      new String(payload, start, pos - start, "US-ASCII")
+    }
+    def num(): Int = token().toIntOption.getOrElse(-1)
+    val magic = token()
+    if (magic != "P5" && magic != "P6") Array.empty[Int]
+    else {
+      val (w, h, maxval) = (num(), num(), num())
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) Array.empty[Int]
+      else {
+        pos += 1 // exactly ONE whitespace byte terminates the header
+        val px = w * h
+        val need = if (magic == "P5") px else 3 * px
+        if (pos + need > n) Array.empty[Int]
+        else if (magic == "P5")
+          Array.tabulate(px)(i => payload(pos + i) & 0xff)
+        else Array.tabulate(px) { i =>
+          val o = pos + 3 * i
+          (299 * (payload(o) & 0xff) + 587 * (payload(o + 1) & 0xff) +
+            114 * (payload(o + 2) & 0xff)) / 1000
+        }
+      }
+    }
+  }
+
   /** dHash signatures of the media catalog + injected re-encode
-    * variants — the perceptual analogue of q30's SimHash relation. */
-  private[graft] def dHashSignatures(spark: SparkSession, dir: String)
-      : DataFrame = {
+    * variants — the perceptual analogue of q30's SimHash relation.
+    * `decoder` defaults to the graded stub; swapping in a real
+    * decoder changes ONLY the sample stream. */
+  private[graft] def dHashSignatures(spark: SparkSession, dir: String,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
-    mediaCatalog(spark, dir).as[MediaRecord]
-      // a zero-length payload has no samples and therefore no
-      // signature on EITHER engine (the oracle's ch0 CTE has no rows
-      // for it) — emitting a 0-hash row here would pair empty docs at
-      // Hamming 0 with no oracle twin (r14 advice)
-      .filter(_.payload.nonEmpty)
+    dHashSignaturesOf(mediaCatalog(spark, dir).as[MediaRecord], decoder)
+  }
+
+  /** Signature computation over ANY media catalog — the seam's
+    * working end. One narrow mapPartitions: decode → block-mean
+    * dHash → variant injection; the pipeline from here on never sees
+    * the decoder again. */
+  private[graft] def dHashSignaturesOf(
+      catalog: org.apache.spark.sql.Dataset[MediaRecord],
+      decoder: MediaDecoder): DataFrame = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
       .mapPartitions(_.flatMap { m =>
-        val samples = m.payload.map(_ & 0xff)
-        val out = scala.collection.mutable.ArrayBuffer(
-          (m.doc_id, dHash48(samples)))
-        if (m.doc_id % 5 == 0) {
-          // brightness re-encode: +2 on every sample, UNWRAPPED Int
-          // arithmetic like the oracle's p + 2 (dHash-invariant by
-          // construction — the property the fingerprint exists for)
-          out += ((m.doc_id + VariantBright, dHash48(samples.map(_ + 2))))
+        val samples = decoder(m.payload)
+        // an empty sample stream (zero-length payload, or a payload
+        // this decoder does not read) gets NO signature on EITHER
+        // engine (the oracle's ch0 CTE has no rows for it) — a
+        // 0-hash row would pair empty docs at Hamming 0 with no
+        // oracle twin (r14 advice)
+        if (samples.isEmpty) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer(
+            (m.doc_id, dHash48(samples)))
+          if (m.doc_id % 5 == 0) {
+            // brightness re-encode: +2 on every sample, UNWRAPPED Int
+            // arithmetic like the oracle's p + 2 (dHash-invariant by
+            // construction — the property the fingerprint exists for)
+            out += ((m.doc_id + VariantBright, dHash48(samples.map(_ + 2))))
+          }
+          if (m.doc_id % 7 == 3) {
+            // sparse noise: +1 on every 11th sample
+            val noisy = samples.clone()
+            var i = 0
+            while (i < noisy.length) { noisy(i) += 1; i += 11 }
+            out += ((m.doc_id + VariantNoise, dHash48(noisy)))
+          }
+          out.iterator
         }
-        if (m.doc_id % 7 == 3) {
-          // sparse noise: +1 on every 11th sample
-          val noisy = samples.clone()
-          var i = 0
-          while (i < noisy.length) { noisy(i) += 1; i += 11 }
-          out += ((m.doc_id + VariantNoise, dHash48(noisy)))
-        }
-        out.iterator
       })
       .toDF("doc_id", "dhash")
   }

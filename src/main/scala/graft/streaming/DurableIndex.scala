@@ -140,6 +140,16 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
       compact()
   }
 
+  /** True once anything is committed — lets a maintainer skip its
+    * prior-state lookup on the very first trigger instead of seeding
+    * a sentinel-empty base, which a hive-partitioned layout cannot
+    * represent (an empty partitioned write emits no data files, so
+    * the dir has no readable schema). */
+  def hasState: Boolean = {
+    val s = snapshot()
+    s.base.nonEmpty || s.entrySeqs.nonEmpty
+  }
+
   /** Committed LIVE entry seqs, ascending — a base fold is reported
     * as one entry at the seq it covers through, so `max + 1` is
     * always a safe next seq for a resumed feed (q209's posture). */

@@ -372,6 +372,47 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q212 SCD2 history is batch-boundary independent and matches a driver recompute") {
+    // per-doc history depends only on the doc's own time-ordered
+    // event sequence, so time-contiguous splits cannot change it —
+    // 1 split also exercises the all-intra-batch fold (all three
+    // phases in ONE trigger), 3 splits the all-cross-trigger closes
+    def run(splits: Int): Seq[(Long, String, Long, Option[Long], Int)] =
+      Curation.q212WithSplits(spark, sf, splits).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4))).toSeq
+    val two = run(2)
+    assert(two.nonEmpty)
+    assert(run(1) == two, "1-batch vs 2-batch split diverged")
+    assert(run(3) == two, "3-batch vs 2-batch split diverged")
+    // driver recompute of the window form over the same feed
+    import graft.pipeline.Curation
+    val ev = Curation.scd2Events(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3))))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (id, es) =>
+      val sorted = es.sortBy(_._2)
+      sorted.zipWithIndex.collect {
+        case ((_, ts, "u", Some(h)), i) =>
+          val to = sorted.lift(i + 1).map(_._2)
+          (id, h, ts, to, if (to.isEmpty) 1 else 0)
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(two == want)
+    // fixture sanity: every history shape exercised — multi-version
+    // docs, closed-by-tombstone docs (no current row), late adds,
+    // and a delete AFTER a re-crawl (3-event, 2-row, fully-closed
+    // history — a tombstone closes without opening, so rows/doc
+    // max out at the upsert count)
+    val byDoc = two.groupBy(_._1)
+    assert(byDoc.values.exists(_.size >= 2), "no multi-version history")
+    assert(byDoc.values.exists(h => h.forall(_._5 == 0)),
+      "no fully-closed (deleted) doc")
+    assert(byDoc.values.exists(h => h.size >= 2 && h.forall(_._5 == 0)),
+      "no delete-after-recrawl history")
+    assert(two.exists(v => v._3 == 20L && v._5 == 1), "no late add current")
+  }
+
   test("q205 streaming diff equals the per-doc batch diff (driver recompute)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

@@ -477,6 +477,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.exists(_._3 > 0), "some pair must verify at nonzero Hamming")
   }
 
+  test("decoder seam: real PGM/PPM decode shares signatures and pairs with the stub") {
+    import graft.pipeline.Multimodal
+    import Multimodal.MediaRecord
+    // --- the decoder itself, against hand-built netpbm payloads ---
+    def pgm(samples: Array[Int], w: Int): Array[Byte] =
+      s"P5 # a comment\n$w ${samples.length / w} 255\n".getBytes("US-ASCII") ++
+        samples.map(_.toByte)
+    val gray = Array(0, 7, 128, 255, 64, 200) // >127 exercises unsigned
+    assert(Multimodal.PpmDecoder(pgm(gray, 3)).toSeq == gray.toSeq)
+    // P6: RGB folds to integer BT.601 luma
+    val rgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30)
+    val p6 = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ rgb.map(_.toByte)
+    assert(Multimodal.PpmDecoder(p6).toSeq ==
+      Seq(299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000,
+        (299 * 10 + 587 * 20 + 114 * 30) / 1000))
+    // garbage, truncation, >8-bit maxval: EMPTY, never garbage samples
+    assert(Multimodal.PpmDecoder("not an image".getBytes).isEmpty)
+    assert(Multimodal.PpmDecoder(pgm(gray, 3).dropRight(1)).isEmpty)
+    assert(Multimodal.PpmDecoder("P5 2 2 65535\n....".getBytes).isEmpty)
+    // --- the seam: re-encode the graded catalog's payloads as PGM,
+    // decode with the REAL decoder, and the whole signature relation
+    // (variants included) must equal the stub path byte-for-byte —
+    // every stage downstream of the samples is shared code, so the
+    // banding plan cannot fork on the decoder ---
+    import spark.implicits._
+    val stubCat = Multimodal.mediaCatalog(spark, sf).as[MediaRecord]
+    val pgmCat = stubCat.map(m => m.copy(payload =
+      if (m.payload.isEmpty) m.payload else pgm(m.payload.map(_ & 0xff), 1)))
+    val viaStub = Multimodal.dHashSignaturesOf(stubCat, Multimodal.StubDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPpm = Multimodal.dHashSignaturesOf(pgmCat, Multimodal.PpmDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStub.nonEmpty && viaPpm == viaStub,
+      s"decoder changed the signature relation: ${(viaStub -- viaPpm).take(3)}")
+  }
+
   test("q211 star cluster resolution equals union-find over the graded q207 pairs") {
     // r14 verdict #5's pin: the star-edge resolution (linear output,
     // uncapped buckets) must produce the SAME components, canonical

@@ -279,7 +279,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // otherwise re-decode the corpus per fork); shuffles: bucket
     // membership agg + pair distinct (2 exchanges) + output sort;
     // the broadcast is the hot-bucket cap's anti side
-    "q207_media_near_dup" -> PlanCounts(0, 0, 4, 1))
+    "q207_media_near_dup" -> PlanCounts(0, 0, 4, 1),
+    // signatures AND the collapsed pair graph are each checkpointed
+    // once (zero file scans — decode runs once, the q207 posture);
+    // the visible plan is the final min-label superstep segment
+    // (label agg + output sort past the loop's checkpointEvery=2
+    // cut) with its broadcast of the small label frontier
+    "q211_media_cluster_star" -> PlanCounts(0, 0, 2, 1),
+    // the maintained SCD2 table is served via Localize (the durable
+    // log is deleted after the graded read), so the census sees the
+    // local relation only — the per-trigger maintenance plans run
+    // inside foreachBatch, outside this census's reach (same as the
+    // q209 maintainer family)
+    "q212_scd2_history" -> PlanCounts(0, 0, 0, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
