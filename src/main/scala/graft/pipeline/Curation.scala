@@ -899,8 +899,11 @@ object Curation {
   def q212Scd2History(spark: SparkSession, dir: String): DataFrame =
     q212WithSplits(spark, dir, 2)
 
-  val q212Sql: String =
-    """WITH ev AS (
+  /** `ev → v → hist`: the timestamped CDC feed and its from-scratch
+    * SCD2 window form as DuckDB CTEs — shared by q212's history
+    * oracle and q213's point-in-time join oracle. */
+  private val scd2HistCtes: String =
+    """ev AS (
       |  SELECT doc_id, 10::BIGINT AS ts, 'u' AS op,
       |         md5(coalesce(text, chr(1))) AS h
       |  FROM documents WHERE doc_id % 10 <> 9
@@ -917,17 +920,67 @@ object Curation {
       |  FROM documents WHERE doc_id % 10 = 0),
       |v AS (SELECT doc_id, op, h, ts AS valid_from,
       |        lead(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS valid_to
-      |      FROM ev)
-      |SELECT doc_id, h, valid_from, valid_to,
-      |  CAST(valid_to IS NULL AS INT) AS is_current
-      |FROM v WHERE op = 'u'
-      |ORDER BY doc_id, valid_from""".stripMargin
+      |      FROM ev),
+      |hist AS (SELECT doc_id, h, valid_from, valid_to
+      |         FROM v WHERE op = 'u')""".stripMargin
+
+  val q212Sql: String =
+    s"""WITH $scd2HistCtes
+       |SELECT doc_id, h, valid_from, valid_to,
+       |  CAST(valid_to IS NULL AS INT) AS is_current
+       |FROM hist
+       |ORDER BY doc_id, valid_from""".stripMargin
+
+  // --------------------------------------------------------------- q213
+  /** POINT-IN-TIME dimension join — the canonical consumer of the
+    * q212 SCD2 table: each fact row (doc_id, ts) joins the ONE
+    * version row valid at its timestamp
+    * (`valid_from <= ts < coalesce(valid_to, ∞)`). The probe grid
+    * hits ts 15/25/35 — between the feed's phases — so each probe
+    * resolves version 1, version 2, or (post-tombstone) NOTHING.
+    *
+    * Plan shape is the 100 TB one: routed through
+    * [[graft.operators.AsOfJoin]] backward (ONE shuffle: union +
+    * per-key ordered window), not an interval theta-join — an SCD2
+    * document's versions are disjoint contiguous intervals, so
+    * "latest valid_from ≤ ts, then check valid_to" IS the interval
+    * match, and the as-of machinery already does latest-≤ in one
+    * pass. Absent versions (probe before insert, probe after
+    * delete) drop out exactly like the oracle's inner interval
+    * join. */
+  def q213PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ts"))
+    val hist = scd2Events(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("op") === "u")
+      .select(col("doc_id"), col("h"), col("ts"), col("valid_to"))
+    val probes = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("ts", explode(array(lit(15L), lit(25L), lit(35L))))
+    graft.operators.AsOfJoin.asOf(probes, hist, "doc_id", "ts",
+        Seq("h", "valid_to"), "backward")
+      .filter(col("asof_h").isNotNull &&
+        (col("asof_valid_to").isNull || col("ts") < col("asof_valid_to")))
+      .select(col("doc_id"), col("ts"), col("asof_h").as("h"))
+      .orderBy(col("doc_id"), col("ts"))
+  }
+
+  val q213Sql: String =
+    s"""WITH $scd2HistCtes,
+       |probes AS (SELECT doc_id, p.ts FROM documents
+       |           CROSS JOIN (SELECT unnest([15::BIGINT, 25, 35]) AS ts) p)
+       |SELECT pr.doc_id, pr.ts, h.h
+       |FROM probes pr JOIN hist h ON pr.doc_id = h.doc_id
+       |  AND h.valid_from <= pr.ts
+       |  AND (h.valid_to IS NULL OR pr.ts < h.valid_to)
+       |ORDER BY pr.doc_id, pr.ts""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_snapshot_diff" -> (q204SnapshotDiff _),
     "q205_streaming_diff" -> (q205StreamingSnapshotDiff _),
     "q208_cdc_tombstones" -> (q208CdcTombstones _),
     "q212_scd2_history" -> (q212Scd2History _),
+    "q213_pointintime_join" -> (q213PointInTime _),
     "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
@@ -948,6 +1001,7 @@ object Curation {
     "q205_streaming_diff" -> q205Sql,
     "q208_cdc_tombstones" -> q208Sql,
     "q212_scd2_history" -> q212Sql,
+    "q213_pointintime_join" -> q213Sql,
     "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,

@@ -398,13 +398,64 @@ object Multimodal {
        |  WHERE bit_count(xor(ha, hb)) <= ${Dedup.HammingMax}),
        |${Dedup.clusterResolveSql(Dedup.SigStarSteps)}""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  /** STREAMING media signature-index maintenance — q199's
+    * incremental-indexer pattern applied to the perceptual dedup
+    * surface: the media catalog arrives in micro-batches, each
+    * trigger decodes and signs ONLY its batch (one narrow
+    * mapPartitions — the corpus is never re-decoded) and appends one
+    * idempotent entry to the durable log; the graded output runs the
+    * q207 banded near-dup join over the FINAL maintained index, and
+    * the oracle is q207's from-scratch SQL — maintained ≡ rebuilt
+    * proven THROUGH the serving surface, the invariant every
+    * incremental indexer here carries (q197/q199/q205/q212
+    * precedent).
+    *
+    * Masking keys are the batch's raw ids PLUS their two potential
+    * variant ids: a re-ingested doc must retire its old variants too,
+    * even when the new derivation is empty (the r12 zero-derivation
+    * lesson, extended to derived-id rows). At 100 TB this is the
+    * shape a perceptual-dedup deployment runs: signature extraction
+    * rides ingest, and the pair join prices in distinct new
+    * signatures per window, not corpus rescans. */
+  def q214StreamingMediaIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val catalog = mediaCatalog(spark, dir)
+    val state = graft.streaming.DurableIndex.temp(spark, "q214", "doc_id")
+    def sigsOf(df: DataFrame): DataFrame =
+      dHashSignaturesOf(df.as[MediaRecord], StubDecoder)
+    state.seed(sigsOf(catalog.filter(col("doc_id") % 10 < 8)))
+    val ingest = catalog.filter(col("doc_id") % 10 >= 8)
+    graft.streaming.FileDrip.drive(Seq(
+        ingest.filter(col("doc_id") % 10 === 8),
+        ingest.filter(col("doc_id") % 10 === 9))) { stream =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q214_streaming_media_index") { (batch, batchId) =>
+        val raw = batch.select(col("doc_id"))
+        val keys = raw
+          .unionByName(raw.select((col("doc_id") + VariantBright).as("doc_id")))
+          .unionByName(raw.select((col("doc_id") + VariantNoise).as("doc_id")))
+        state.append(batchId, keys, sigsOf(batch))
+      }
+    }
+    val out = Dedup.bandedHammingPairs(
+      state.current().localCheckpoint(true), "dhash", Dedup.MaxBucket)
+    graft.engine.Localize(out)(state.delete())
+  }
+
+  /** Maintained ≡ rebuilt through the near-dup surface: the oracle is
+    * the from-scratch q207 diff verbatim. */
+  val q214Sql: String = q207Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_features" -> (q40MediaFeatures _),
     "q207_media_near_dup" -> (q207MediaNearDup _),
-    "q211_media_cluster_star" -> (q211MediaClusterStar _))
+    "q211_media_cluster_star" -> (q211MediaClusterStar _),
+    "q214_streaming_media_index" -> (q214StreamingMediaIndex _))
 
   def oracles: Map[String, String] = Map(
     "q40_media_features" -> q40Sql,
     "q207_media_near_dup" -> q207Sql,
-    "q211_media_cluster_star" -> q211Sql)
+    "q211_media_cluster_star" -> q211Sql,
+    "q214_streaming_media_index" -> q214Sql)
 }

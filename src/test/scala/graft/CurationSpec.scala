@@ -413,6 +413,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(two.exists(v => v._3 == 20L && v._5 == 1), "no late add current")
   }
 
+  test("q213 point-in-time join equals interval lookup against the MAINTAINED q212 history") {
+    // the consumer tied to the producer: resolving each probe against
+    // the streaming-maintained SCD2 table (not the batch window form
+    // the oracle uses) must give the same answer — maintained history
+    // serves point-in-time reads exactly like the rebuilt one
+    import graft.pipeline.Curation
+    val hist = Curation.q212WithSplits(spark, sf, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val byDoc = hist.groupBy(_._1)
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = (for {
+      id <- docIds
+      ts <- Seq(15L, 25L, 35L)
+      (_, h, from, to) <- byDoc.getOrElse(id, Array.empty)
+      if from <= ts && to.forall(ts < _)
+    } yield (id, ts, h)).sortBy(t => (t._1, t._2)).toSeq
+    val got = Curation.q213PointInTime(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want)
+    // fixture sanity: some probe resolves NOTHING (post-tombstone)
+    // and some doc resolves different versions at 15 vs 25
+    val resolved = got.map(t => (t._1, t._2)).toSet
+    assert(docIds.exists(id => !resolved((id, 35L))),
+      "no post-delete absent probe")
+    val v = got.groupBy(_._1).values
+    assert(v.exists(rs => rs.size >= 2 && rs.map(_._3).distinct.size >= 2),
+      "no probe pair straddling a version change")
+  }
+
   test("q205 streaming diff equals the per-doc batch diff (driver recompute)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

@@ -513,6 +513,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"decoder changed the signature relation: ${(viaStub -- viaPpm).take(3)}")
   }
 
+  test("q214 maintained media index serves the exact graded q207 pairs") {
+    // the q210 precedent: the streamed-and-maintained signature index
+    // must answer the near-dup surface exactly like the from-scratch
+    // build (the oracle already proves it vs SQL; this pins row-level
+    // equality with the GRADED q207 relation inside one session)
+    import graft.pipeline.Multimodal
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").intValue)).toSet
+    val maintained = rows(Multimodal.q214StreamingMediaIndex(spark, sf))
+    val rebuilt = rows(Multimodal.q207MediaNearDup(spark, sf))
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      s"missing ${(rebuilt -- maintained).take(3)} " +
+        s"extra ${(maintained -- rebuilt).take(3)}")
+  }
+
   test("q211 star cluster resolution equals union-find over the graded q207 pairs") {
     // r14 verdict #5's pin: the star-edge resolution (linear output,
     // uncapped buckets) must produce the SAME components, canonical

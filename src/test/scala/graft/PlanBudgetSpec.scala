@@ -291,7 +291,15 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // local relation only — the per-trigger maintenance plans run
     // inside foreachBatch, outside this census's reach (same as the
     // q209 maintainer family)
-    "q212_scd2_history" -> PlanCounts(0, 0, 0, 0))
+    "q212_scd2_history" -> PlanCounts(0, 0, 0, 0),
+    // 4 scans derive the fixture feed's four event classes + 1 probe
+    // scan (a deployment reads ONE event log); shuffles: history
+    // lead-window + the single as-of union-window + output sort — the
+    // point: a point-in-time join costs ONE join shuffle, not an
+    // interval theta-join explosion
+    "q213_pointintime_join" -> PlanCounts(5, 0, 3, 0),
+    // Localize serves the maintained index read (q212 posture)
+    "q214_streaming_media_index" -> PlanCounts(0, 0, 0, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>
