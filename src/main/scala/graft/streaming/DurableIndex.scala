@@ -201,8 +201,9 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
   }
 
   private def broadcastLimitBytes: Long = {
-    val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (v.startsWith("-")) 0L // -1 = broadcast disabled; never hint
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
     catch { case scala.util.control.NonFatal(_) => 10L << 20 }
   }
 

@@ -211,6 +211,34 @@ class DurableIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the masking-key broadcast hint yields to AQE past the autoBroadcast threshold") {
+    // r14 missing #2: between compactions the rewrites relation grows
+    // with ingested-key cardinality; the hint must not pin an
+    // unbounded broadcast. Same log, two sessions: default threshold
+    // -> broadcast join; threshold 1 byte -> no broadcast on the
+    // masking join (AQE/planner decides freely).
+    val state = DurableIndex.temp(spark, "dix_bcast", "doc_id")
+    try {
+      state.seed(Scoring.tfdOf(docsDf((1L, "a"), (2L, "b"))))
+      val b0 = docsDf((2L, "c"))
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      def usesBroadcast(s: org.apache.spark.sql.SparkSession): Boolean = {
+        val st = new DurableIndex(s, state.path, "doc_id")
+        st.current().queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin")
+      }
+      assert(usesBroadcast(spark), "small key-set must broadcast")
+      val tiny = spark.newSession()
+      tiny.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      assert(!usesBroadcast(tiny),
+        "the hint must yield when the threshold says the keys are too big")
+      // threshold -1 (broadcast disabled) also suppresses the hint
+      val off = spark.newSession()
+      off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!usesBroadcast(off))
+    } finally state.delete()
+  }
+
   test("cell-partitioned serving read prunes whole cell directories") {
     // r13 missing #2: the point of PERSISTING an IVF index is that a
     // probe reads NProbe/NCells of the files. The durable log's rows
