@@ -185,6 +185,12 @@ object Bench {
     // remaining): candidates for the end-of-walk retry — a crash or a
     // remaining-budget expiry is not
     val spikeKilled = scala.collection.mutable.LinkedHashSet.empty[String]
+    // rows where ANY run ended in a genuine crash (exception inside
+    // the query, not a watchdog kill): a crash carries real
+    // information and VETOES the end-of-walk retry even when another
+    // run of the same query was spike-capped — otherwise a successful
+    // retry would overwrite the crash's -1 (r15 advice)
+    val crashed = scala.collection.mutable.HashSet.empty[String]
     val results = ordered.flatMap { name =>
       val fn = byName(name)
       val isRef = refQueryShorts.contains(shortKey(name))
@@ -221,7 +227,9 @@ object Bench {
             val remaining = math.max(5.0, budgetSec - elapsed())
             val deadline = deadlineFor(remaining, prior.get(name), inflation)
             runWithWatchdog(spark, name, fn, sfDir, deadline) match {
-              case WatchdogOutcome.Done(t) => t
+              case WatchdogOutcome.Done(t) =>
+                if (t < 0) crashed += name
+                t
               case WatchdogOutcome.TimedOut(leftover) =>
                 settleZombie(leftover, name)
                 if (deadline < remaining) {
@@ -270,7 +278,8 @@ object Bench {
     // spike-cap-killed row gets one retry after the walk, against the
     // REMAINING budget only (the cap already fired once for it; a
     // genuine budget exhaustion still records -1, pinned in BenchSpec).
-    val afterRetry = retryPass(results, spikeKilled.contains,
+    val afterRetry = retryPass(results,
+      n => spikeKilled.contains(n) && !crashed.contains(n),
       () => deadlineBlown || spark.sparkContext.isStopped,
       () => budgetSec - elapsed(),
       name => {
@@ -294,7 +303,8 @@ object Bench {
     // grows: short keys (the qNN id prefix) + centisecond precision.
     // Full names + full precision go to stderr for local inspection.
     afterRetry.foreach { case (k, v) => System.err.println(s"[bench] $k $v") }
-    println(jsonLine(afterRetry, sfDir, loadTag(load0, loadAvg()), skipped.size, runs))
+    println(jsonLine(afterRetry, sfDir, loadTag(load0, loadAvg()),
+      skipped.size, runs, skipped.reverse.map(shortKey)))
     // The stdout line folds the fastest queries into an "others"
     // bucket to fit the harness's tail capture — a regression INSIDE
     // the bucket would be invisible across rounds. Persist the full
@@ -744,13 +754,27 @@ object Bench {
     * the line itself gets truncated and nothing parses. */
   val LineBudget = 1880
 
+  /** How many budget-skipped shortKeys ride the stdout JSON before
+    * the list truncates to a count: the r15 judge could not tell
+    * WHICH 2 rows were skipped because the names lived only on a
+    * stderr line the harness's tail capture lost — the artifact must
+    * answer that itself. 40 names ≈ 280 chars, inside [[LineBudget]]
+    * headroom for realistic skip counts; a pathological
+    * budget-exhaustion run (skips in the hundreds) degrades to the
+    * first 40 plus the honest total count. */
+  val SkipListCap = 40
+
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      loadavg: String = "", skipped: Int = 0, runs: Int = 1): String = {
+      loadavg: String = "", skipped: Int = 0, runs: Int = 1,
+      skippedq: Seq[String] = Nil): String = {
     val loadField = (if (loadavg.isEmpty) "" else "," + loadavg) +
       // deadline guard fired: the total covers only the measured
       // prefix — flag it so a cross-round compare can't mistake a
       // truncated run for a speedup
       (if (skipped == 0) "" else s""","skipped":$skipped""") +
+      (if (skippedq.isEmpty) "" else
+        skippedq.take(SkipListCap)
+          .map("\"" + _ + "\"").mkString(""","skippedq":[""", ",", "]")) +
       // non-default runs setting: min-of-N is not comparable to
       // single-run numbers (cold run hidden), so the artifact says so
       (if (runs == 1) "" else s""","runs":$runs""")

@@ -838,17 +838,16 @@ object Curation {
     olds.unionByName(recrawls).unionByName(adds).unionByName(tombstones)
   }
 
-  private[graft] def q212WithSplits(spark: SparkSession, dir: String,
-      splits: Int): DataFrame = {
+  /** Drive the q212 SCD2 maintenance over `batches` and return the
+    * owning durable log — factored so q217 can SERVE point-in-time
+    * probes from the maintained table (the q210 precedent: producer
+    * and consumer ride the gate as a pair). Caller deletes. */
+  private[graft] def maintainScd2(spark: SparkSession,
+      batches: Seq[DataFrame], tag: String)
+      : graft.streaming.DurableIndex = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
-    val events = scd2Events(spark, dir)
-    val phases = Seq(10L, 20L, 30L)
-    // time-contiguous batches: phase i goes to batch i*splits/3
-    val batches = phases.groupBy(p => phases.indexOf(p) * splits / 3)
-      .toSeq.sortBy(_._1)
-      .map { case (_, ps) => events.filter(col("ts").isin(ps: _*)) }
-    val state = graft.streaming.DurableIndex.temp(spark, "q212", "doc_id",
+    val state = graft.streaming.DurableIndex.temp(spark, tag, "doc_id",
       partitionCols = Seq("kb"))
     val histSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("h", StringType), StructField("valid_from", LongType),
@@ -889,6 +888,24 @@ object Curation {
         state.append(batchId, ids, newRows)
       }
     }
+    state
+  }
+
+  /** The feed's three phases split into `splits` time-contiguous
+    * batches — q212's arrival contract. */
+  private[graft] def scd2Batches(spark: SparkSession, dir: String,
+      splits: Int): Seq[DataFrame] = {
+    val events = scd2Events(spark, dir)
+    val phases = Seq(10L, 20L, 30L)
+    // time-contiguous batches: phase i goes to batch i*splits/3
+    phases.groupBy(p => phases.indexOf(p) * splits / 3)
+      .toSeq.sortBy(_._1)
+      .map { case (_, ps) => events.filter(col("ts").isin(ps: _*)) }
+  }
+
+  private[graft] def q212WithSplits(spark: SparkSession, dir: String,
+      splits: Int): DataFrame = {
+    val state = maintainScd2(spark, scd2Batches(spark, dir, splits), "q212")
     val out = state.current()
       .select(col("doc_id"), col("h"), col("valid_from"), col("valid_to"),
         col("valid_to").isNull.cast("int").as("is_current"))
@@ -975,12 +992,124 @@ object Curation {
        |  AND (h.valid_to IS NULL OR pr.ts < h.valid_to)
        |ORDER BY pr.doc_id, pr.ts""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  /** OUT-OF-ORDER-tolerant SCD2 maintenance (r15 verdict #2) — q212's
+    * arrival contract is event-time order, which a real CDC feed
+    * breaks the moment a partition is replayed or backfilled: a late
+    * event hitting q212's close-the-open-row logic would silently
+    * corrupt valid_to chains. Chosen posture: CORRECT MERGE, not
+    * reject-to-audit (the q107 LateAudit alternative) — a dimension
+    * whose history stays wrong because a backfill was dropped is
+    * worse than one that repairs itself, and the merge costs nothing
+    * extra per trigger. The durable log stores each touched
+    * document's FULL accumulated EVENT set instead of derived history
+    * rows: per trigger, prior events for the batch's docs are read
+    * DIRECTORY-PRUNED (key-bucket partitions + broadcast semi-join,
+    * q212's read posture), unioned with the batch, DEDUPLICATED (so
+    * an at-least-once feed cannot double-insert either), and
+    * re-appended as one idempotent replace-by-key entry. History (the
+    * lead window) is derived at serve time from the complete per-doc
+    * event set — the state after ANY arrival permutation is the same
+    * event SET, so a late event slots into its correct interval
+    * position structurally, not by special-casing. The graded feed
+    * delivers the ts-20 phase AFTER the ts-30 tombstones — every
+    * recrawl arrives older than an already-closed version — and the
+    * oracle is q212's from-scratch window form (history is a function
+    * of the event set alone). CurationSpec re-drives shuffled arrival
+    * orders and a redelivered batch and pins identical history. */
+  private[graft] def q216WithArrival(spark: SparkSession, dir: String,
+      arrival: Seq[Seq[Long]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val events = scd2Events(spark, dir)
+    val batches = arrival.map(ps => events.filter(col("ts").isin(ps: _*)))
+    val state = graft.streaming.DurableIndex.temp(spark, "q216", "doc_id",
+      partitionCols = Seq("kb"))
+    val evSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("op", StringType),
+      StructField("h", StringType), StructField("kb", IntegerType)))
+    val evCols = Seq("doc_id", "ts", "op", "h", "kb").map(col)
+    graft.streaming.FileDrip.drive(batches) { stream =>
+      graft.streaming.Streams.toForeachBatch(stream,
+          "q216_scd2_outoforder") { (batch, batchId) =>
+        val ev = batch.withColumn("kb",
+          pmod(col("doc_id"), lit(ScdKeyBuckets)).cast("int"))
+        val ids = ev.select(col("doc_id")).distinct()
+        val prior = if (!state.hasState)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            evSchema)
+        else {
+          // bounded driver-side collect: <= ScdKeyBuckets values,
+          // the directory-pruning predicate for the event-log read
+          val kbs = ev.select(col("kb")).distinct().collect()
+            .map(_.getInt(0)).toSeq
+          state.current().filter(col("kb").isin(kbs: _*))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        }
+        val merged = prior.select(evCols: _*)
+          .unionByName(ev.select(evCols: _*))
+          .distinct()
+        state.append(batchId, ids, merged)
+      }
+    }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ts"))
+    val out = state.current()
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("op") === "u")
+      .select(col("doc_id"), col("h"), col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy(col("doc_id"), col("valid_from"))
+    graft.engine.Localize(out)(state.delete())
+  }
+
+  /** Graded arrival: the middle phase (recrawls + late adds, ts 20)
+    * arrives LAST — after the tombstones have closed histories. */
+  def q216Scd2OutOfOrder(spark: SparkSession, dir: String): DataFrame =
+    q216WithArrival(spark, dir, Seq(Seq(10L, 30L), Seq(20L)))
+
+  /** Arrival order cannot matter, so the in-order q212 oracle is the
+    * oracle here too. */
+  val q216Sql: String = q212Sql
+
+  // --------------------------------------------------------------- q217
+  /** Point-in-time serving from the MAINTAINED dimension (r15 verdict
+    * #6) — q213 grades the as-of plan against a from-scratch history
+    * recompute; here the SAME probes resolve against the q212-
+    * maintained durable-log table, so the producer (per-trigger
+    * history rewrite) and consumer (one-shuffle as-of join) ride the
+    * gate END-TO-END as a pair — the q210 persisted-index precedent.
+    * The serving read is the maintained table's pruned parquet scan;
+    * the join is ONE union+window shuffle (never an interval
+    * theta-join — SCD2 intervals are disjoint-contiguous, q213's
+    * argument). Oracle: q213's from-scratch SQL verbatim. */
+  def q217PointInTimeMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val state = maintainScd2(spark, scd2Batches(spark, dir, 2), "q217")
+    val hist = state.current()
+      .select(col("doc_id"), col("h"), col("valid_from").as("ts"),
+        col("valid_to"))
+    val probes = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("ts", explode(array(lit(15L), lit(25L), lit(35L))))
+    val out = graft.operators.AsOfJoin.asOf(probes, hist, "doc_id", "ts",
+        Seq("h", "valid_to"), "backward")
+      .filter(col("asof_h").isNotNull &&
+        (col("asof_valid_to").isNull || col("ts") < col("asof_valid_to")))
+      .select(col("doc_id"), col("ts"), col("asof_h").as("h"))
+      .orderBy(col("doc_id"), col("ts"))
+    graft.engine.Localize(out)(state.delete())
+  }
+
+  val q217Sql: String = q213Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_snapshot_diff" -> (q204SnapshotDiff _),
     "q205_streaming_diff" -> (q205StreamingSnapshotDiff _),
     "q208_cdc_tombstones" -> (q208CdcTombstones _),
     "q212_scd2_history" -> (q212Scd2History _),
     "q213_pointintime_join" -> (q213PointInTime _),
+    "q216_scd2_outoforder" -> (q216Scd2OutOfOrder _),
+    "q217_pointintime_maintained" -> (q217PointInTimeMaintained _),
     "q198_zorder_layout" -> (q198ZorderLayout _),
     "q123_priority_sample" -> (q123PrioritySample _),
     "q118_doc_chunks" -> (q118DocChunks _),
@@ -1002,6 +1131,8 @@ object Curation {
     "q208_cdc_tombstones" -> q208Sql,
     "q212_scd2_history" -> q212Sql,
     "q213_pointintime_join" -> q213Sql,
+    "q216_scd2_outoforder" -> q216Sql,
+    "q217_pointintime_maintained" -> q217Sql,
     "q198_zorder_layout" -> q198Sql,
     "q123_priority_sample" -> q123Sql,
     "q118_doc_chunks" -> q118Sql,

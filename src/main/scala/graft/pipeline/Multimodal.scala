@@ -220,15 +220,23 @@ object Multimodal {
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) Array.empty[Int]
       else {
         pos += 1 // exactly ONE whitespace byte terminates the header
-        val px = w * h
-        val need = if (magic == "P5") px else 3 * px
-        if (pos + need > n) Array.empty[Int]
-        else if (magic == "P5")
+        // Long arithmetic: a crafted header (P5 46341 46341 255)
+        // overflows Int px to NEGATIVE, sneaking past the truncation
+        // check into Array.tabulate — the 'truncated/non-netpbm
+        // decodes to EMPTY, never garbage' contract must hold for
+        // adversarial headers too (r15 advice)
+        val pxL = w.toLong * h
+        val needL = if (magic == "P5") pxL else 3L * pxL
+        if (needL > Int.MaxValue || pos + needL > n) Array.empty[Int]
+        else {
+        val px = pxL.toInt
+        if (magic == "P5")
           Array.tabulate(px)(i => payload(pos + i) & 0xff)
         else Array.tabulate(px) { i =>
           val o = pos + 3 * i
           (299 * (payload(o) & 0xff) + 587 * (payload(o + 1) & 0xff) +
             114 * (payload(o + 2) & 0xff)) / 1000
+        }
         }
       }
     }
@@ -344,6 +352,48 @@ object Multimodal {
        |FROM pairs WHERE bit_count(xor(ha, hb)) <= ${Dedup.HammingMax}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- q215
+  /** REAL-DECODER graded media near-dup (r15 verdict #1): every prior
+    * media row (q40/q207/q211/q214) grades with [[StubDecoder]] over
+    * raw-ASCII payloads — the seam was only SPEC-proven. Here the
+    * catalog's payloads ARE binary netpbm images ([[netpbmEncode]]:
+    * PGM `P5` for most docs, gray-triplet PPM `P6` for every third —
+    * R=G=B means the BT.601 integer luma reproduces each sample
+    * EXACTLY, (299+587+114)·p/1000 = p, so both netpbm paths are
+    * exercised in the graded plan) and [[PpmDecoder]] is the decode
+    * step of the graded pipeline: header parse, comment skip,
+    * unsigned payload read, luma fold — all on the grading path.
+    * Because decode(encode(samples)) ≡ samples (DedupSpec round-trip),
+    * the oracle is q207's from-scratch SQL verbatim; a decoder bug of
+    * one sample anywhere flips dHash bits and the hash mismatch
+    * surfaces. Plan shape is exactly q207's: encode+decode+sign ride
+    * ONE narrow mapPartitions, signatures checkpointed once, then the
+    * banded shuffle. */
+  private[graft] def netpbmEncode(samples: Array[Int], asP6: Boolean)
+      : Array[Byte] = {
+    val header =
+      if (asP6) s"P6\n# graft media fixture\n${samples.length} 1 255\n"
+      else s"P5 ${samples.length} 1 255\n"
+    val data = if (asP6) samples.flatMap(p => Array(p, p, p)).map(_.toByte)
+      else samples.map(_.toByte)
+    header.getBytes("US-ASCII") ++ data
+  }
+
+  def q215PpmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pgmCat = mediaCatalog(spark, dir).as[MediaRecord].map { m =>
+      val samples = m.payload.map(_ & 0xff)
+      m.copy(payload = netpbmEncode(samples, asP6 = m.doc_id % 3 == 0))
+    }
+    Dedup.bandedHammingPairs(
+      dHashSignaturesOf(pgmCat, PpmDecoder).localCheckpoint(true), "dhash",
+      Dedup.MaxBucket)
+  }
+
+  /** The decoder is exact on its own wire format, so the from-scratch
+    * q207 oracle carries over verbatim. */
+  val q215Sql: String = q207Sql
+
   // --------------------------------------------------------------- q211
   /** Media near-dup CLUSTER resolution (r14 verdict #5) — q207 emits
     * verified PAIRS; the decision step (one canonical doc per
@@ -451,11 +501,13 @@ object Multimodal {
     "q40_media_features" -> (q40MediaFeatures _),
     "q207_media_near_dup" -> (q207MediaNearDup _),
     "q211_media_cluster_star" -> (q211MediaClusterStar _),
-    "q214_streaming_media_index" -> (q214StreamingMediaIndex _))
+    "q214_streaming_media_index" -> (q214StreamingMediaIndex _),
+    "q215_ppm_decoder_neardup" -> (q215PpmNearDup _))
 
   def oracles: Map[String, String] = Map(
     "q40_media_features" -> q40Sql,
     "q207_media_near_dup" -> q207Sql,
     "q211_media_cluster_star" -> q211Sql,
-    "q214_streaming_media_index" -> q214Sql)
+    "q214_streaming_media_index" -> q214Sql,
+    "q215_ppm_decoder_neardup" -> q215Sql)
 }

@@ -88,6 +88,52 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
 
   private val EntryRe = "b(\\d+)".r
   private val BaseRe = "base_s(\\d+)_g(\\d+)".r
+  private val EpochRe = "epoch_(\\d+)".r
+
+  // ------------------------------------------------------- writer fence
+  /** Single-writer FENCE (r15 stretch): two writers against one log
+    * are out of contract, but silently so — a misconfigured second
+    * deployment would interleave entries and corrupt replace-by-key
+    * semantics without any error. Standard LSM epoch fencing instead:
+    * the first mutation CLAIMS the next writer epoch (a zero-byte
+    * `epoch_E` marker created with overwrite=false — atomic on file:
+    * and hdfs:, conditional-create on stores that support it), and
+    * every later mutation verifies this instance still holds the MAX
+    * epoch. A second writer's first mutation claims a higher epoch
+    * and succeeds (so a crash-restarted maintainer needs no manual
+    * lock cleanup — the restart IS the new writer), while the fenced
+    * stale writer's next mutation throws instead of corrupting the
+    * log. DurableIndexSpec pins both directions. */
+  private var myEpoch: Long = -1L
+
+  private def maxEpoch(): Long = {
+    val root = new Path(path)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).map(_.getPath.getName)
+      .collect { case EpochRe(e) => e.toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  private def fence(): Unit =
+    if (myEpoch < 0) {
+      var e = maxEpoch() + 1
+      var claimed = false
+      while (!claimed) {
+        try {
+          fs.mkdirs(new Path(path))
+          fs.create(new Path(path, f"epoch_$e%05d"), false).close()
+          claimed = true
+        } catch { case _: java.io.IOException => e += 1 } // lost the race
+      }
+      myEpoch = e
+    } else {
+      val max = maxEpoch()
+      if (max > myEpoch) throw new IllegalStateException(
+        s"writer fenced: this instance holds epoch $myEpoch but a newer " +
+          s"writer claimed epoch $max on $path — appends from a stale " +
+          "writer would corrupt replace-by-key semantics (single-writer " +
+          "contract); restart the maintainer to claim a fresh epoch")
+    }
 
   private def snapshot(): Snapshot = {
     val root = new Path(path)
@@ -117,11 +163,35 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir)
+    // an EMPTY partitioned batch writes _SUCCESS but zero data files
+    // (no partition dir ever materializes), leaving a "committed"
+    // entry spark.read.parquet cannot infer a schema from — a
+    // pure-tombstone CDC trigger that re-emits no rows hits this
+    // (r15 advice). Detect it by listing (no recompute of `rows`)
+    // and rewrite as an explicit-schema UNPARTITIONED empty marker:
+    // same columns, zero rows, readable footer.
+    if (partitionCols.nonEmpty && !hasDataFile(dir))
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          rows.schema)
+        .repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Any non-metadata file under `dir`, recursively — the "did the
+    * partitioned write emit data" probe. */
+  private def hasDataFile(dir: String): Boolean = {
+    val it = fs.listFiles(new Path(dir), true)
+    var found = false
+    while (!found && it.hasNext) {
+      val name = it.next().getPath.getName
+      found = !name.startsWith("_") && !name.startsWith(".")
+    }
+    found
   }
 
   /** Seed the log with the pre-indexed base as entry 0. Nothing
     * precedes the base, so it carries no masking key-set. */
-  def seed(base: DataFrame): Unit = writeRows(rowsDir(0L), base)
+  def seed(base: DataFrame): Unit = { fence(); writeRows(rowsDir(0L), base) }
 
   /** One trigger's upsert: keys first, rows second (commit marker).
     * seq = batchId + 1 — a checkpoint resume replays an incomplete
@@ -132,6 +202,7 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     * cost is bounded by the threshold instead of stream lifetime. */
   def append(batchId: Long, batchKeys: DataFrame, batchRows: DataFrame): Unit = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    fence()
     val seq = batchId + 1
     batchKeys.select(col(key)).distinct()
       .write.mode("overwrite").parquet(keysDir(seq))
@@ -219,18 +290,28 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     * two writers against one log are out of contract, as for any
     * single-writer LSM. */
   def compact(): Unit = {
+    fence()
     val s = snapshot()
     require(s.base.nonEmpty || s.entrySeqs.nonEmpty,
       s"no committed state under $path")
     val gen = s.base.map(_._2 + 1).getOrElse(1L)
     val target = baseDir(s.maxSeq, gen)
-    val w = currentFrom(s).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(target)
+    writeRows(target, currentFrom(s))
     // promote-then-retire (r14 advice #2): only now drop what the
-    // new base covers — the old base, every covered entry, and any
-    // leftovers an interrupted earlier compact left behind
-    s.base.foreach { case (_, _, dir) => fs.delete(new Path(dir), true) }
+    // new base covers — every covered entry, any entry leftovers an
+    // interrupted earlier compact left behind, and EVERY other base
+    // dir (not just the snapshot's newest: a compact that crashed
+    // between promoting G+1 and retiring G leaves TWO committed
+    // bases, and deleting only `s.base` would orphan G forever — a
+    // permanent disk leak, r15 advice; uncommitted base dirs from a
+    // crashed fold write are retired by the same sweep)
+    val targetName = new Path(target).getName
+    fs.listStatus(new Path(path)).map(_.getPath).foreach { p =>
+      p.getName match {
+        case BaseRe(_, _) if p.getName != targetName => fs.delete(p, true)
+        case _ => ()
+      }
+    }
     (s.entrySeqs ++ s.staleSeqs).foreach(q =>
       fs.delete(new Path(entryDir(q)), true))
   }

@@ -64,6 +64,18 @@ class BenchSpec extends AnyFunSuite {
     val part = Bench.jsonLine(Seq("q01_x" -> 1.0), "/x", skipped = 7)
     assert(part.contains(""""skipped":7"""), part)
     assert(!withCrash.contains("skipped"))
+    // the artifact must say WHICH rows were skipped (r15 verdict #4:
+    // the identities lived only on a truncated stderr line)
+    val named = Bench.jsonLine(Seq("q01_x" -> 1.0), "/x", skipped = 2,
+      skippedq = Seq("q62", "q191"))
+    assert(named.contains(""""skippedq":["q62","q191"]"""), named)
+    // a pathological skip list degrades to the cap, count stays honest
+    val many = Bench.jsonLine(Seq("q01_x" -> 1.0), "/x", skipped = 100,
+      skippedq = (1 to 100).map(i => s"q$i"))
+    assert(many.contains(""""skipped":100"""), many)
+    assert(many.count(_ == '[') == 1 &&
+      many.split("\"skippedq\":\\[")(1).takeWhile(_ != ']')
+        .count(_ == ',') == Bench.SkipListCap - 1, many)
   }
 
   test("budget walk order: refs, then the expensive head, then cheapest-first") {

@@ -444,6 +444,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "no probe pair straddling a version change")
   }
 
+  test("q216 out-of-order SCD2 is arrival-order independent and repairs late events") {
+    // the correct-merge posture (r15 verdict #2): the maintained
+    // state is the per-doc event SET, so ANY arrival permutation —
+    // including the graded one, where the ts-20 recrawl phase lands
+    // AFTER the ts-30 tombstones — and an at-least-once REDELIVERY of
+    // a whole batch must yield the exact in-order q212 history
+    import graft.pipeline.Curation
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4))).toSeq
+    val want = rows(Curation.q212WithSplits(spark, sf, 2))
+    val graded = rows(Curation.q216WithArrival(spark, sf,
+      Seq(Seq(10L, 30L), Seq(20L))))
+    assert(graded == want, "graded out-of-order arrival diverged from in-order")
+    // fully reversed arrival: newest phase first
+    assert(rows(Curation.q216WithArrival(spark, sf,
+      Seq(Seq(30L), Seq(20L), Seq(10L)))) == want, "reversed arrival diverged")
+    // at-least-once: the late batch delivered TWICE (distinct batchIds,
+    // not a checkpoint replay — the dedup in the merge must absorb it)
+    assert(rows(Curation.q216WithArrival(spark, sf,
+      Seq(Seq(10L, 30L), Seq(20L), Seq(20L)))) == want,
+      "redelivered batch changed the history")
+    // the late event really lands MID-CHAIN: some recrawled+tombstoned
+    // doc carries the (valid_from 20, valid_to 30) version that only
+    // exists if the late ts-20 event spliced between two already-
+    // delivered events
+    assert(graded.exists(v => v._3 == 20L && v._4.contains(30L)),
+      "no late event spliced between delivered versions")
+  }
+
+  test("q217 maintained-table point-in-time serving equals the from-scratch q213") {
+    // producer + consumer as ONE graded surface: the probes resolved
+    // against the q212-maintained durable log must equal the graded
+    // q213 (which the oracle pins to the from-scratch window form)
+    import graft.pipeline.Curation
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val maintained = rows(Curation.q217PointInTimeMaintained(spark, sf))
+    assert(maintained.nonEmpty &&
+      maintained == rows(Curation.q213PointInTime(spark, sf)))
+  }
+
   test("q205 streaming diff equals the per-doc batch diff (driver recompute)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

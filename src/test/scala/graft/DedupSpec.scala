@@ -496,6 +496,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.PpmDecoder("not an image".getBytes).isEmpty)
     assert(Multimodal.PpmDecoder(pgm(gray, 3).dropRight(1)).isEmpty)
     assert(Multimodal.PpmDecoder("P5 2 2 65535\n....".getBytes).isEmpty)
+    // adversarial header: w*h overflows Int to NEGATIVE (46341^2),
+    // which used to sneak past the truncation check into a
+    // NegativeArraySizeException (r15 advice) — must decode EMPTY
+    assert(Multimodal.PpmDecoder("P5 46341 46341 255\n..".getBytes).isEmpty)
+    assert(Multimodal.PpmDecoder("P6 46341 46341 255\n..".getBytes).isEmpty)
+    // and a wrap-to-small-positive product (2^16 x 2^16 = 0 in Int)
+    assert(Multimodal.PpmDecoder("P5 65536 65536 255\n..".getBytes).isEmpty)
     // --- the seam: re-encode the graded catalog's payloads as PGM,
     // decode with the REAL decoder, and the whole signature relation
     // (variants included) must equal the stub path byte-for-byte —
@@ -511,6 +518,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaStub.nonEmpty && viaPpm == viaStub,
       s"decoder changed the signature relation: ${(viaStub -- viaPpm).take(3)}")
+    // and the GRADED real-decoder row (q215: netpbm payloads, P5+P6
+    // paths, PpmDecoder in the pipeline) serves the exact q207 pairs
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").intValue)).toSet
+    val viaReal = pairs(Multimodal.q215PpmNearDup(spark, sf))
+    val viaStubPairs = pairs(Multimodal.q207MediaNearDup(spark, sf))
+    assert(viaReal.nonEmpty && viaReal == viaStubPairs)
   }
 
   test("q214 maintained media index serves the exact graded q207 pairs") {

@@ -211,6 +211,95 @@ class DurableIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compact retires EVERY superseded base, not just the newest (crashed-compact leak)") {
+    // r15 advice #1: a compact that crashed between promoting
+    // generation G+1 and retiring G leaves TWO committed bases; the
+    // next compact used to delete only the snapshot's newest base,
+    // orphaning G forever. Simulate the leftover, then compact.
+    val state = DurableIndex.temp(spark, "dix_leak", "doc_id")
+    try {
+      state.seed(Scoring.tfdOf(docsDf((1L, "a"), (2L, "b"))))
+      val b0 = docsDf((2L, "c"))
+      state.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      state.compact() // committed base #1
+      val before = postings(state.current())
+      // the "crash leftover": an OLDER committed base dir (readers
+      // ignore it — only max-(S,G) is served) plus an UNCOMMITTED
+      // partial fold write (no _SUCCESS)
+      docsDf((9L, "stale")).write.mode("overwrite")
+        .parquet(s"${state.path}/base_s00000_g000")
+      docsDf((9L, "partial")).write.mode("overwrite")
+        .parquet(s"${state.path}/base_s00009_g009")
+      new java.io.File(s"${state.path}/base_s00009_g009/_SUCCESS").delete()
+      assert(postings(state.current()) == before,
+        "leftover base dirs must not affect reads")
+      val b1 = docsDf((3L, "d"))
+      state.append(state.committedSeqs().max + 1,
+        b1.select(col("doc_id")), Scoring.tfdOf(b1))
+      state.compact()
+      val bases = new java.io.File(state.path).listFiles()
+        .map(_.getName).filter(_.startsWith("base_")).toSeq
+      assert(bases.size == 1, s"superseded bases not retired: $bases")
+      assert(postings(state.current())
+        == before + ((3L, "d", 1L)))
+    } finally state.delete()
+  }
+
+  test("an empty partitioned batch still commits a readable entry") {
+    // r15 advice #4: an empty PARTITIONED write emits _SUCCESS but no
+    // data files, so the entry counted as committed yet current()
+    // failed on schema inference. A pure-tombstone CDC trigger (keys
+    // without re-emitted rows) is the deployment shape that hits it.
+    val state = DurableIndex.temp(spark, "dix_empty", "doc_id",
+      partitionCols = Seq("kb"))
+    try {
+      val rows = spark.range(4).select(col("id").as("doc_id"),
+        (col("id") % 2).cast("int").as("kb"), col("id").as("payload"))
+      state.seed(rows)
+      // tombstone trigger: doc 1 retired, NOTHING re-emitted
+      state.append(0L, rows.filter(col("doc_id") === 1)
+        .select(col("doc_id")), rows.filter(lit(false)))
+      val cur = state.current().select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(cur == Set(0L, 2L, 3L),
+        s"tombstone-only entry lost or corrupted the index: $cur")
+      // and the log keeps compacting past the empty entry
+      state.compact()
+      assert(state.current().select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(0L, 2L, 3L))
+    } finally state.delete()
+  }
+
+  test("writer fence: a newer writer's claim makes the stale writer's append throw") {
+    // r15 stretch: two writers against one log are out of contract
+    // but used to fail SILENTLY (interleaved entries, corrupted
+    // replace-by-key). Epoch fencing: the SECOND writer wins (a
+    // crash-restart needs no lock cleanup) and the STALE writer's
+    // next mutation throws instead of corrupting.
+    val a = DurableIndex.temp(spark, "dix_fence", "doc_id")
+    try {
+      a.seed(Scoring.tfdOf(docsDf((1L, "x"))))
+      val b0 = docsDf((2L, "y"))
+      a.append(0L, b0.select(col("doc_id")), Scoring.tfdOf(b0))
+      // the second writer (a rescheduled duplicate maintainer, or the
+      // restart of a crashed one): first mutation claims a new epoch
+      val b = new DurableIndex(spark, a.path, "doc_id")
+      val b1 = docsDf((3L, "z"))
+      b.append(1L, b1.select(col("doc_id")), Scoring.tfdOf(b1))
+      // the stale original is fenced on its next mutation
+      val b2 = docsDf((4L, "w"))
+      val ex = intercept[IllegalStateException] {
+        a.append(2L, b2.select(col("doc_id")), Scoring.tfdOf(b2))
+      }
+      assert(ex.getMessage.contains("fenced"), ex.getMessage)
+      intercept[IllegalStateException] { a.compact() }
+      // the new writer keeps working, and the log holds exactly the
+      // surviving writer's view
+      b.append(2L, b2.select(col("doc_id")), Scoring.tfdOf(b2))
+      assert(postings(b.current()).map(_._1) == Set(1L, 2L, 3L, 4L))
+    } finally a.delete()
+  }
+
   test("the masking-key broadcast hint yields to AQE past the autoBroadcast threshold") {
     // r14 missing #2: between compactions the rewrites relation grows
     // with ingested-key cardinality; the hint must not pin an

@@ -299,7 +299,16 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // interval theta-join explosion
     "q213_pointintime_join" -> PlanCounts(5, 0, 3, 0),
     // Localize serves the maintained index read (q212 posture)
-    "q214_streaming_media_index" -> PlanCounts(0, 0, 0, 0))
+    "q214_streaming_media_index" -> PlanCounts(0, 0, 0, 0),
+    // the real-decoder graded row keeps q207's exact shuffle shape:
+    // encode+decode+sign in ONE checkpointed narrow pass (0 file
+    // scans here), then the banded pair join — the decoder cannot
+    // add a stage by construction
+    "q215_ppm_decoder_neardup" -> PlanCounts(0, 0, 4, 1),
+    // both SCD2 maintainers serve through Localize after the drip
+    // (the q212 posture): the graded plan is the localized result
+    "q216_scd2_outoforder" -> PlanCounts(0, 0, 0, 0),
+    "q217_pointintime_maintained" -> PlanCounts(0, 0, 0, 0))
 
   test("heavy-query plan census matches the audited budget") {
     val got = budgets.keys.toSeq.sorted.map { name =>

@@ -320,8 +320,9 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       "Partitioning.scala" -> 1, // salt sequence(0, salts-1)
       "Similarity.scala" -> 4,   // probe array + stored embeddings
       "Dedup.scala" -> 9,        // band/member arrays, split-on-space
-      "Curation.scala" -> 5,     // split / bigram transform / stride
-                                 // + q213's 3-literal probe-ts array
+      "Curation.scala" -> 6,     // split / bigram transform / stride
+                                 // + q213's AND q217's 3-literal
+                                 // probe-ts arrays
       "Scoring.scala" -> 1,      // split(text) token stream (q181 agg)
       "Iterative.scala" -> 1,    // stored embedding posexplode
       "Graph.scala" -> 2)        // 3-element triangle array
