@@ -207,8 +207,24 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     batchKeys.select(col(key)).distinct()
       .write.mode("overwrite").parquet(keysDir(seq))
     writeRows(rowsDir(seq), batchRows)
-    if (autoCompactEntries > 0 && snapshot().entrySeqs.size >= autoCompactEntries)
-      compact()
+    if (autoCompactEntries > 0) compactIfNeeded(autoCompactEntries)
+  }
+
+  /** Fold the log iff its live entry count has reached `threshold` —
+    * returns whether it folded. This is the BETWEEN-TRIGGERS escape
+    * for deployments that cannot absorb the inline fold stall inside
+    * a foreachBatch trigger (measured at sf1: ~3.7 s fold vs ~0.9 s
+    * ordinary append on a 1.2M-row index, growing with INDEX size
+    * while the threshold counts ENTRIES — SCALE.md r16): construct
+    * with `autoCompactEntries = 0` so append() never folds, and call
+    * this from the maintainer's own scheduler at quiesce points
+    * (same single-writer contract as append — the fence covers it). */
+  def compactIfNeeded(
+      threshold: Int = DurableIndex.DefaultAutoCompactEntries): Boolean = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val due = snapshot().entrySeqs.size >= threshold
+    if (due) compact()
+    due
   }
 
   /** True once anything is committed — lets a maintainer skip its

@@ -152,6 +152,35 @@ class DurableIndexSpec extends AnyFunSuite with SparkSpec {
     } finally state.delete()
   }
 
+  test("compactIfNeeded is the between-triggers escape: inline folds off, bounded by the caller") {
+    // r15 wrong #3: the inline fold stalls the trigger that crosses
+    // the threshold. The escape: autoCompactEntries = 0 (append NEVER
+    // folds) + compactIfNeeded called between triggers — the caller
+    // owns when the stall happens, the threshold still bounds replay.
+    val state = DurableIndex.temp(spark, "dix_escape", "doc_id",
+      autoCompactEntries = 0)
+    try {
+      state.seed(Scoring.tfdOf(docsDf((0L, "s"))))
+      var folds = 0
+      (0 until 7).foreach { i =>
+        val b = docsDf((i.toLong, s"w$i"))
+        state.append(i.toLong, b.select(col("doc_id")), Scoring.tfdOf(b))
+        // append itself never folded: live count grows monotonically
+        // until the caller chooses to fold
+        if (state.compactIfNeeded(threshold = 3)) folds += 1
+        assert(state.committedSeqs().size <= 3)
+      }
+      assert(folds >= 2, s"threshold 3 over 7 appends must fold: $folds")
+      val all = (0 until 7).foldLeft(Scoring.tfdOf(docsDf((0L, "s")))) {
+        case (acc, i) =>
+          val b = docsDf((i.toLong, s"w$i"))
+          Scoring.upsertByKey(acc, b.select(col("doc_id")),
+            Scoring.tfdOf(b), "doc_id")
+      }
+      assert(postings(state.current()) == postings(all))
+    } finally state.delete()
+  }
+
   test("kill-and-resume drill: restart from checkpoint, maintained equals rebuilt") {
     // the r13 verdict-#1 drill, on the q197 shape with REAL machinery:
     // a file-source stream with an explicit checkpoint, stopped after
