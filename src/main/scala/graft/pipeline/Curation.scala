@@ -838,6 +838,30 @@ object Curation {
     olds.unionByName(recrawls).unionByName(adds).unionByName(tombstones)
   }
 
+  /** The per-trigger DIRECTORY-PRUNED prior-state read shared by both
+    * SCD2 maintainers (q212 history rows, q216 event sets): an
+    * explicit-schema empty frame on the first trigger (a
+    * hive-partitioned layout cannot represent a seeded empty), else
+    * the durable log filtered to the batch's key buckets — a bounded
+    * ≤ [[ScdKeyBuckets]]-value driver-side collect is the pruning
+    * predicate — and semi-joined to the batch's doc ids. One
+    * implementation so the read posture cannot drift between the
+    * maintainers. */
+  private def prunedPrior(state: graft.streaming.DurableIndex,
+      ev: DataFrame, ids: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val spark = ev.sparkSession
+    if (!state.hasState)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else {
+      val kbs = ev.select(col("kb")).distinct().collect()
+        .map(_.getInt(0)).toSeq
+      state.current().filter(col("kb").isin(kbs: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    }
+  }
+
   /** Drive the q212 SCD2 maintenance over `batches` and return the
     * owning durable log — factored so q217 can SERVE point-in-time
     * probes from the maintained table (the q210 precedent: producer
@@ -860,18 +884,7 @@ object Curation {
         val ev = batch.withColumn("kb",
           pmod(col("doc_id"), lit(ScdKeyBuckets)).cast("int"))
         val ids = ev.select(col("doc_id")).distinct()
-        val prior = if (!state.hasState)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            histSchema)
-        else {
-          // bounded driver-side collect: <= ScdKeyBuckets values,
-          // the directory-pruning predicate for the dimension read
-          val kbs = ev.select(col("kb")).distinct().collect()
-            .map(_.getInt(0)).toSeq
-          state.current().filter(col("kb").isin(kbs: _*))
-            .join(broadcast(ids), Seq("doc_id"), "left_semi")
-        }
+        val prior = prunedPrior(state, ev, ids, histSchema)
         val firstTs = ev.groupBy(col("doc_id")).agg(min(col("ts")).as("__t0"))
         val openClosed = prior.filter(col("valid_to").isNull)
           .drop("valid_to")
@@ -1035,19 +1048,7 @@ object Curation {
         val ev = batch.withColumn("kb",
           pmod(col("doc_id"), lit(ScdKeyBuckets)).cast("int"))
         val ids = ev.select(col("doc_id")).distinct()
-        val prior = if (!state.hasState)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            evSchema)
-        else {
-          // bounded driver-side collect: <= ScdKeyBuckets values,
-          // the directory-pruning predicate for the event-log read
-          val kbs = ev.select(col("kb")).distinct().collect()
-            .map(_.getInt(0)).toSeq
-          state.current().filter(col("kb").isin(kbs: _*))
-            .join(broadcast(ids), Seq("doc_id"), "left_semi")
-        }
-        val merged = prior.select(evCols: _*)
+        val merged = prunedPrior(state, ev, ids, evSchema).select(evCols: _*)
           .unionByName(ev.select(evCols: _*))
           .distinct()
         state.append(batchId, ids, merged)

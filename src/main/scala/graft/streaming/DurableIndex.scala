@@ -103,7 +103,15 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     * and succeeds (so a crash-restarted maintainer needs no manual
     * lock cleanup — the restart IS the new writer), while the fenced
     * stale writer's next mutation throws instead of corrupting the
-    * log. DurableIndexSpec pins both directions. */
+    * log. DurableIndexSpec pins both directions.
+    *
+    * Scope caveat: the check runs at mutation START (check-then-act),
+    * so a takeover that lands while a stale writer's entry write is
+    * already in flight is not caught — closing that window needs the
+    * store's own conditional-commit primitives, which parquet commits
+    * don't expose. What the fence does catch is the common deployment
+    * failure: a zombie or duplicate maintainer whose NEXT trigger
+    * would otherwise silently interleave entries forever. */
   private var myEpoch: Long = -1L
 
   private def maxEpoch(): Long = {
@@ -119,11 +127,17 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
       var e = maxEpoch() + 1
       var claimed = false
       while (!claimed) {
+        val marker = new Path(path, f"epoch_$e%05d")
         try {
           fs.mkdirs(new Path(path))
-          fs.create(new Path(path, f"epoch_$e%05d"), false).close()
+          fs.create(marker, false).close()
           claimed = true
-        } catch { case _: java.io.IOException => e += 1 } // lost the race
+        } catch { case ex: java.io.IOException =>
+          // only a CONFIRMED collision is a lost race worth retrying;
+          // any other failure (denied credentials, full disk, store
+          // outage) must surface, not spin the trigger forever
+          if (fs.exists(marker)) e += 1 else throw ex
+        }
       }
       myEpoch = e
     } else {
@@ -157,36 +171,30 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     // otherwise every task fans out one file per partition dir it
     // touches (tasks × cells tiny files per entry, the classic
     // small-files trap; measured +0.6 s/entry on the q199 log)
-    val df = if (partitionCols.nonEmpty)
-      rows.repartition(partitionCols.map(col): _*)
-    else rows
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dir)
-    // an EMPTY partitioned batch writes _SUCCESS but zero data files
+    // an EMPTY partitioned write emits _SUCCESS but zero data files
     // (no partition dir ever materializes), leaving a "committed"
-    // entry spark.read.parquet cannot infer a schema from — a
-    // pure-tombstone CDC trigger that re-emits no rows hits this
-    // (r15 advice). Detect it by listing (no recompute of `rows`)
-    // and rewrite as an explicit-schema UNPARTITIONED empty marker:
-    // same columns, zero rows, readable footer.
-    if (partitionCols.nonEmpty && !hasDataFile(dir))
+    // dir spark.read.parquet cannot infer a schema from — a
+    // pure-tombstone CDC trigger that re-emits no rows hits this,
+    // and so does a compact() of an all-tombstoned index (r15
+    // advice). The emptiness check runs BEFORE the committed write
+    // (isEmpty = one limit-1 job), because a detect-and-rewrite
+    // AFTER the commit would leave a crash window where _SUCCESS
+    // exists but the dir is unreadable — fatal for a base dir, which
+    // has no checkpoint replay to heal it. Empty → an explicit-schema
+    // UNPARTITIONED marker: same columns, zero rows, readable footer.
+    if (partitionCols.nonEmpty && rows.isEmpty)
       spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           rows.schema)
         .repartition(1).write.mode("overwrite").parquet(dir)
-  }
-
-  /** Any non-metadata file under `dir`, recursively — the "did the
-    * partitioned write emit data" probe. */
-  private def hasDataFile(dir: String): Boolean = {
-    val it = fs.listFiles(new Path(dir), true)
-    var found = false
-    while (!found && it.hasNext) {
-      val name = it.next().getPath.getName
-      found = !name.startsWith("_") && !name.startsWith(".")
+    else {
+      val df = if (partitionCols.nonEmpty)
+        rows.repartition(partitionCols.map(col): _*)
+      else rows
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(dir)
     }
-    found
   }
 
   /** Seed the log with the pre-indexed base as entry 0. Nothing
@@ -222,8 +230,10 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
   def compactIfNeeded(
       threshold: Int = DurableIndex.DefaultAutoCompactEntries): Boolean = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val due = snapshot().entrySeqs.size >= threshold
-    if (due) compact()
+    fence()
+    val s = snapshot()
+    val due = s.entrySeqs.size >= threshold
+    if (due) compactFrom(s) // one listing pass: no re-snapshot in the fold
     due
   }
 
@@ -305,9 +315,9 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     * owning stream (auto-compaction's posture) or at a quiesce point;
     * two writers against one log are out of contract, as for any
     * single-writer LSM. */
-  def compact(): Unit = {
-    fence()
-    val s = snapshot()
+  def compact(): Unit = { fence(); compactFrom(snapshot()) }
+
+  private def compactFrom(s: Snapshot): Unit = {
     require(s.base.nonEmpty || s.entrySeqs.nonEmpty,
       s"no committed state under $path")
     val gen = s.base.map(_._2 + 1).getOrElse(1L)
@@ -322,9 +332,17 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     // permanent disk leak, r15 advice; uncommitted base dirs from a
     // crashed fold write are retired by the same sweep)
     val targetName = new Path(target).getName
-    fs.listStatus(new Path(path)).map(_.getPath).foreach { p =>
+    val names = fs.listStatus(new Path(path)).map(_.getPath)
+    val epochMax = names.map(_.getName)
+      .collect { case EpochRe(e) => e.toLong }.foldLeft(0L)(math.max)
+    names.foreach { p =>
       p.getName match {
         case BaseRe(_, _) if p.getName != targetName => fs.delete(p, true)
+        // epoch markers below the newest are dead writers' claims:
+        // retiring them keeps a restart-heavy deployment's listing
+        // cost flat (the fence only ever compares against the MAX,
+        // which survives)
+        case EpochRe(e) if e.toLong < epochMax => fs.delete(p, false)
         case _ => ()
       }
     }
