@@ -242,6 +242,68 @@ object Multimodal {
     }
   }
 
+  /** A REAL audio decoder, pure JVM, no new deps: RIFF/WAVE with
+    * uncompressed PCM (`audioFormat = 1`), 8- or 16-bit samples, any
+    * channel count — the canonical audio wire format. The chunk walk
+    * honors declared sizes (u32 read as Long — a crafted size cannot
+    * wrap Int, the PpmDecoder overflow lesson applied from day one)
+    * and odd-size padding; frames fold to ONE 0..255 sample each:
+    * 8-bit bytes are taken unsigned as-is, 16-bit little-endian
+    * signed values fold to their unsigned high byte
+    * (`(v + 32768) >> 8`), and multi-channel frames mix by integer
+    * mean. Missing/short chunks, non-PCM formats, or a data chunk
+    * that overruns the payload decode to EMPTY, never garbage —
+    * the same contract as [[PpmDecoder]]. */
+  val WavDecoder: MediaDecoder = payload => {
+    val n = payload.length
+    def u8(i: Int) = payload(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
+    if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") Array.empty[Int]
+    else {
+      var pos = 12
+      var fmt: Option[(Int, Int)] = None // (channels, bitsPerSample)
+      var data: Option[(Int, Int)] = None // (offset, length)
+      var bad = false
+      while (!bad && pos + 8 <= n && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(pos)
+        val size = u32(pos + 4)
+        val body = pos + 8
+        if (body + size > n) bad = true
+        else {
+          if (id == "fmt ") {
+            if (size < 16 || u16(body) != 1) bad = true // PCM only
+            else {
+              val ch = u16(body + 2)
+              val bits = u16(body + 14)
+              if (ch < 1 || (bits != 8 && bits != 16)) bad = true
+              else fmt = Some((ch, bits))
+            }
+          } else if (id == "data") data = Some((body, size.toInt))
+          pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      (if (bad) None else fmt.zip(data)) match {
+        case Some(((ch, bits), (off, len))) =>
+          val frameBytes = ch * (bits / 8)
+          if (len % frameBytes != 0) Array.empty[Int] // torn final frame
+          else Array.tabulate(len / frameBytes) { f =>
+            var sum = 0
+            var c = 0
+            while (c < ch) {
+              val o = off + f * frameBytes + c * (bits / 8)
+              sum += (if (bits == 8) u8(o)
+                else (((u16(o) << 16) >> 16) + 32768) >> 8) // LE signed fold
+              c += 1
+            }
+            sum / ch
+          }
+        case None => Array.empty[Int]
+      }
+    }
+  }
+
   /** dHash signatures of the media catalog + injected re-encode
     * variants — the perceptual analogue of q30's SimHash relation.
     * `decoder` defaults to the graded stub; swapping in a real
@@ -394,6 +456,51 @@ object Multimodal {
     * q207 oracle carries over verbatim. */
   val q215Sql: String = q207Sql
 
+  // --------------------------------------------------------------- q218
+  /** REAL AUDIO-DECODER graded near-dup — q215's exercise repeated on
+    * the second media modality: the catalog's payloads ARE RIFF/WAVE
+    * PCM audio ([[wavEncode]]: 8-bit mono for most docs, 8-bit
+    * STEREO with both channels carrying the sample for every third —
+    * the integer channel mean reproduces each sample EXACTLY, so the
+    * multi-channel mix path rides the graded plan) and
+    * [[WavDecoder]] is the decode step: RIFF chunk walk, fmt/data
+    * parse, frame fold — all on the grading path. Together with q215
+    * the seam claim is no longer "pluggable in principle": the SAME
+    * signature/banding pipeline grades behind an image wire format
+    * AND an audio wire format, with the decoder the only moving
+    * part. Oracle: q207's from-scratch SQL verbatim (decode ∘ encode
+    * ≡ stub, DedupSpec round-trip). */
+  private[graft] def wavEncode(samples: Array[Int], stereo: Boolean)
+      : Array[Byte] = {
+    val ch = if (stereo) 2 else 1
+    val dataLen = samples.length * ch
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(8000).putInt(8000 * ch)
+      .putShort(ch.toShort).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { p =>
+      bb.put(p.toByte); if (stereo) bb.put(p.toByte)
+    }
+    bb.array()
+  }
+
+  def q218WavNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wavCat = mediaCatalog(spark, dir).as[MediaRecord].map { m =>
+      val samples = m.payload.map(_ & 0xff)
+      m.copy(payload = wavEncode(samples, stereo = m.doc_id % 3 == 0))
+    }
+    Dedup.bandedHammingPairs(
+      dHashSignaturesOf(wavCat, WavDecoder).localCheckpoint(true), "dhash",
+      Dedup.MaxBucket)
+  }
+
+  val q218Sql: String = q207Sql
+
   // --------------------------------------------------------------- q211
   /** Media near-dup CLUSTER resolution (r14 verdict #5) — q207 emits
     * verified PAIRS; the decision step (one canonical doc per
@@ -502,12 +609,14 @@ object Multimodal {
     "q207_media_near_dup" -> (q207MediaNearDup _),
     "q211_media_cluster_star" -> (q211MediaClusterStar _),
     "q214_streaming_media_index" -> (q214StreamingMediaIndex _),
-    "q215_ppm_decoder_neardup" -> (q215PpmNearDup _))
+    "q215_ppm_decoder_neardup" -> (q215PpmNearDup _),
+    "q218_wav_decoder_neardup" -> (q218WavNearDup _))
 
   def oracles: Map[String, String] = Map(
     "q40_media_features" -> q40Sql,
     "q207_media_near_dup" -> q207Sql,
     "q211_media_cluster_star" -> q211Sql,
     "q214_streaming_media_index" -> q214Sql,
-    "q215_ppm_decoder_neardup" -> q215Sql)
+    "q215_ppm_decoder_neardup" -> q215Sql,
+    "q218_wav_decoder_neardup" -> q218Sql)
 }

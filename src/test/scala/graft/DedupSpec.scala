@@ -518,14 +518,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaStub.nonEmpty && viaPpm == viaStub,
       s"decoder changed the signature relation: ${(viaStub -- viaPpm).take(3)}")
-    // and the GRADED real-decoder row (q215: netpbm payloads, P5+P6
-    // paths, PpmDecoder in the pipeline) serves the exact q207 pairs
+    // --- the AUDIO decoder, against hand-built RIFF/WAVE payloads ---
+    // 8-bit mono: samples are the data bytes, unsigned
+    assert(Multimodal.WavDecoder(
+      Multimodal.wavEncode(gray, stereo = false)).toSeq == gray.toSeq)
+    // 8-bit stereo with L == R: the channel mean reproduces the sample
+    assert(Multimodal.WavDecoder(
+      Multimodal.wavEncode(gray, stereo = true)).toSeq == gray.toSeq)
+    // 16-bit mono: little-endian signed folds to the unsigned high
+    // byte ((v + 32768) >> 8): -32768 -> 0, 0 -> 128, 32767 -> 255
+    val pcm16 = Array[Int](-32768, 0, 32767)
+    val bb16 = java.nio.ByteBuffer.allocate(44 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb16.put("RIFF".getBytes).putInt(36 + 6).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(6)
+    pcm16.foreach(v => bb16.putShort(v.toShort))
+    assert(Multimodal.WavDecoder(bb16.array()).toSeq == Seq(0, 128, 255))
+    // garbage, truncation, torn frame, non-PCM: EMPTY, never garbage
+    assert(Multimodal.WavDecoder("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.WavDecoder(
+      Multimodal.wavEncode(gray, stereo = false).dropRight(1)).isEmpty)
+    val nonPcm = Multimodal.wavEncode(gray, stereo = false)
+    nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.WavDecoder(nonPcm).isEmpty)
+    // and the GRADED real-decoder rows (q215 netpbm / q218 WAV, both
+    // wire paths each) serve the exact q207 pairs
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1),
         r.getAs[Number]("hamming").intValue)).toSet
-    val viaReal = pairs(Multimodal.q215PpmNearDup(spark, sf))
     val viaStubPairs = pairs(Multimodal.q207MediaNearDup(spark, sf))
-    assert(viaReal.nonEmpty && viaReal == viaStubPairs)
+    assert(viaStubPairs.nonEmpty)
+    assert(pairs(Multimodal.q215PpmNearDup(spark, sf)) == viaStubPairs)
+    assert(pairs(Multimodal.q218WavNearDup(spark, sf)) == viaStubPairs)
   }
 
   test("q214 maintained media index serves the exact graded q207 pairs") {

@@ -305,6 +305,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkSpec {
     // scans here), then the banded pair join — the decoder cannot
     // add a stage by construction
     "q215_ppm_decoder_neardup" -> PlanCounts(0, 0, 4, 1),
+    "q218_wav_decoder_neardup" -> PlanCounts(0, 0, 4, 1),
     // both SCD2 maintainers serve through Localize after the drip
     // (the q212 posture): the graded plan is the localized result
     "q216_scd2_outoforder" -> PlanCounts(0, 0, 0, 0),
