@@ -43,8 +43,14 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // partition by src once: supersteps join on src and reuse this
     // distribution instead of reshuffling the edge relation each time
-    edges.join(deg, "src").repartition(col("src"))
+    val ed = edges.join(deg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager count (r17 optimization): the first superstep action fans
+    // out (step-1 and step-2 edge scans are independent map stages
+    // under AQE) and would race TWO concurrent builds of the edge
+    // relation before any cache block lands
+    ed.count()
+    ed
   }
 
   private val edgesSql: String =
@@ -915,7 +921,15 @@ object Graph {
     * [[PropertyGraph.nationTrade]] (q143) share ONE scan-bound
     * derivation instead of four (review finding: the fact join was
     * re-derived per query family). */
-  private val tradeAggCache = new graft.engine.SessionCache(buildTradeAgg)
+  // eager count on first build (r17 optimization): super-vertex and
+  // super-edge legs both scan this rollup whose LINEAGE is the 4-table
+  // fact join; a lazy persist computes that join once per leg (the
+  // edgeCache rationale)
+  private val tradeAggCache = new graft.engine.SessionCache((spark, dir) => {
+    val df = buildTradeAgg(spark, dir)
+    df.count()
+    df
+  })
 
   private[analytics] def tradeAgg(spark: SparkSession, dir: String): DataFrame =
     tradeAggCache.get(spark, dir)

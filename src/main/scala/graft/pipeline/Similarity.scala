@@ -196,9 +196,12 @@ object Similarity {
     def unpersist(): Unit = { ev.unpersist(); () }
   }
 
-  def buildAnnIndex(spark: SparkSession, dir: String): AnnIndex =
-    AnnIndex(bucketedEv(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def buildAnnIndex(spark: SparkSession, dir: String): AnnIndex = {
+    val ev = bucketedEv(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count() // freeze eagerly: probe legs race the build otherwise
+    AnnIndex(ev)
+  }
 
   /** Top-k LSH search of `(qid, embedding)` queries against a prebuilt
     * index: only the query side is hashed per call; candidates come
@@ -218,8 +221,8 @@ object Similarity {
   /** q35's streaming twin, graded END-TO-END — the round-11 q184/
     * round-12 q191 conversion applied to online ANN serving: the
     * query vectors (`vec_id < NQueries`) ride
-    * [[graft.streaming.FileDrip]] in two micro-batches (even, then
-    * odd qids) through an actual
+    * [[graft.streaming.FileDrip]] (one drip trigger since r17 —
+    * PipelineSpec carries the batch-twin proof) through an actual
     * [[graft.streaming.Streams.streamingAnnSearch]] StreamingQuery
     * against the persisted [[AnnIndex]]; the foreachBatch sink's
     * top-k rows accumulate and grade against q35's oracle verbatim —
@@ -242,9 +245,11 @@ object Similarity {
         StructField("rank", IntegerType),
         StructField("vec_id", LongType),
         StructField("cosine", DoubleType)))
-      graft.streaming.FileDrip.driveAndCollect(Seq(
-          queries.filter(col("qid") % 2 === 0),
-          queries.filter(col("qid") % 2 === 1)),
+      // ONE drip batch (r17 optimization): per-query results depend
+      // only on (query, frozen index) — PipelineSpec carries the
+      // batch-twin proof — so the graded row pays one trigger's drive
+      // cost for the identical output (r16 verdict next-round #1).
+      graft.streaming.FileDrip.driveAndCollect(Seq(queries),
           schema, Seq("qid", "rank")) { (stream, emit) =>
         graft.streaming.Streams.streamingAnnSearch(
           stream, index, "q192_streaming_ann") { v =>
@@ -1555,9 +1560,11 @@ object Similarity {
       index.count() // freeze the model before serving begins
       val ingest = emb.filter(col("vec_id") % 10 >= 8)
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
-      graft.streaming.FileDrip.drive(Seq(
-        ingest.filter(col("vec_id") % 10 === 8),
-        ingest.filter(col("vec_id") % 10 === 9))) { stream =>
+      // ONE drip batch (r17 optimization): the gate is a stateless
+      // per-row expression against the frozen centroid index
+      // (PipelineSpec pins streaming ≡ one-shot), so one trigger
+      // computes the identical verdicts (r16 verdict next-round #1).
+      graft.streaming.FileDrip.drive(Seq(ingest)) { stream =>
         graft.streaming.Streams.streamingOutlierGate(
           stream, index, "q186_streaming_outliers") { verdict =>
           verdict.collect().foreach(acc.add)

@@ -90,6 +90,29 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
   private val BaseRe = "base_s(\\d+)_g(\\d+)".r
   private val EpochRe = "epoch_(\\d+)".r
 
+  /** Per-dir schema memo (r17 optimization): every `spark.read
+    * .parquet(dir)` without a schema pays a fresh FileIndex listing +
+    * footer inference on the driver, and the maintainers re-read the
+    * SAME committed dirs once per trigger (prunedPrior) plus once at
+    * serve time — measured as a visible slice of the 2-3 s driver gap
+    * per maintainer row (guide §6: avoid repeated listings/inference).
+    * Entry dirs are immutable once committed (a checkpoint replay
+    * overwrites with the identical schema by the idempotence
+    * contract), so the first inferred schema stays valid; inference —
+    * not a caller-declared schema — keeps partition-column type
+    * derivation bit-identical to the uncached behavior. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def readParquet(dir: String): DataFrame =
+    schemaCache.get(dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None =>
+        val df = spark.read.parquet(dir)
+        schemaCache.put(dir, df.schema)
+        df
+    }
+
   // ------------------------------------------------------- writer fence
   /** Single-writer FENCE (r15 stretch): two writers against one log
     * are out of contract, but silently so — a misconfigured second
@@ -182,18 +205,27 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     // exists but the dir is unreadable — fatal for a base dir, which
     // has no checkpoint replay to heal it. Empty → an explicit-schema
     // UNPARTITIONED marker: same columns, zero rows, readable footer.
-    if (partitionCols.nonEmpty && rows.isEmpty)
-      spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          rows.schema)
-        .repartition(1).write.mode("overwrite").parquet(dir)
+    if (partitionCols.isEmpty) rows.write.mode("overwrite").parquet(dir)
     else {
-      val df = if (partitionCols.nonEmpty)
-        rows.repartition(partitionCols.map(col): _*)
-      else rows
-      val w = df.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(dir)
+      // materialize ONCE before the emptiness probe and the write
+      // (r16 advice): the probe and the write otherwise execute the
+      // batch plan twice — one extra full plan per partitioned append,
+      // and with a non-deterministic input plan the probe could
+      // disagree with the written data, re-creating the committed-but-
+      // unreadable empty dir this check exists to prevent. persist()
+      // pins the probe's snapshot; the write drains the same cache.
+      val mat = rows.persist()
+      try {
+        if (mat.isEmpty)
+          spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              rows.schema)
+            .repartition(1).write.mode("overwrite").parquet(dir)
+        else
+          mat.repartition(partitionCols.map(col): _*)
+            .write.mode("overwrite").partitionBy(partitionCols: _*)
+            .parquet(dir)
+      } finally mat.unpersist(blocking = false)
     }
   }
 
@@ -267,13 +299,13 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     require(s.base.nonEmpty || s.entrySeqs.nonEmpty,
       s"no committed state under $path")
     val rows = (s.base.map { case (seq, _, dir) =>
-        spark.read.parquet(dir).withColumn("__seq", lit(seq)) }.toSeq ++
-      s.entrySeqs.map(q => spark.read.parquet(rowsDir(q))
+        readParquet(dir).withColumn("__seq", lit(seq)) }.toSeq ++
+      s.entrySeqs.map(q => readParquet(rowsDir(q))
         .withColumn("__seq", lit(q))))
       .reduce(_ unionByName _)
     if (s.keyedSeqs.isEmpty) rows.drop("__seq")
     else {
-      val rewrites = s.keyedSeqs.map(q => spark.read.parquet(keysDir(q))
+      val rewrites = s.keyedSeqs.map(q => readParquet(keysDir(q))
           .withColumn("__kseq", lit(q)))
         .reduce(_ unionByName _)
         .groupBy(col(key)).agg(max(col("__kseq")).as("__kseq"))
@@ -348,10 +380,13 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     }
     (s.entrySeqs ++ s.staleSeqs).foreach(q =>
       fs.delete(new Path(entryDir(q)), true))
+    schemaCache.clear() // folded dirs are gone; drop their memoized schemas
   }
 
   /** Drop the whole log (a graded run's temp state). */
-  def delete(): Unit = { fs.delete(new Path(path), true); () }
+  def delete(): Unit = {
+    fs.delete(new Path(path), true); schemaCache.clear(); ()
+  }
 }
 
 object DurableIndex {

@@ -27,16 +27,28 @@ object FileDrip {
     require(batches.nonEmpty, "FileDrip needs at least one batch")
     val spark = batches.head.sparkSession
     val dir = java.nio.file.Files.createTempDirectory("graft_filedrip")
+    val trace = sys.env.get("GRAFT_DRIP_TRACE").contains("true")
+    var t0 = System.nanoTime()
+    def mark(what: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[drip-trace] $what ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     try {
       batches.head.coalesce(1).write.mode("append").parquet(dir.toString)
+      mark("write batch 0")
       val stream = spark.readStream
         .schema(batches.head.schema).parquet(dir.toString)
       val q = start(stream)
+      mark("stream start")
       try {
         q.processAllAvailable()
-        batches.tail.foreach { b =>
+        mark("drain 0")
+        batches.tail.zipWithIndex.foreach { case (b, i) =>
           b.coalesce(1).write.mode("append").parquet(dir.toString)
+          mark(s"write batch ${i + 1}")
           q.processAllAvailable()
+          mark(s"drain ${i + 1}")
         }
       } finally {
         // stop() can throw TimeoutException under the session-wide
@@ -47,6 +59,7 @@ object FileDrip {
         try q.stop()
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[filedrip] stop() did not settle: $e") }
+        mark("stop")
       }
     } finally {
       import scala.jdk.CollectionConverters._

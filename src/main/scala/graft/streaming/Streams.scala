@@ -831,6 +831,7 @@ object Streams {
     docs.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        tuneBatchShuffle(batch)
         sink(graft.pipeline.Dedup.dedupAgainst(index, batch))
       }
       .start()
@@ -851,6 +852,7 @@ object Streams {
     docs.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        tuneBatchShuffle(batch)
         sink(graft.pipeline.Dedup.winnowAgainst(index, batch))
       }
       .start()
@@ -870,6 +872,7 @@ object Streams {
     vecs.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        tuneBatchShuffle(batch)
         sink(graft.pipeline.Similarity.outliersAgainst(index, batch))
       }
       .start()
@@ -890,6 +893,7 @@ object Streams {
     docs.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        tuneBatchShuffle(batch)
         // a rowless trigger carries no verdict: unlike the per-row
         // gates (whose empty batch emits zero rows anyway), this
         // monitor emits ONE row per trigger, and a spurious no-data
@@ -913,6 +917,7 @@ object Streams {
     queries.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        tuneBatchShuffle(batch)
         sink(graft.pipeline.Similarity.annSearch(index, batch))
       }
       .start()
@@ -952,6 +957,7 @@ object Streams {
     gateAndRedact(docs, minProb).writeStream.queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        tuneBatchShuffle(batch)
         val verdicts = graft.pipeline.Dedup.dedupAgainst(index, batch.select("doc_id", "text"))
         sink(batch.join(verdicts, "doc_id"))
       }
@@ -964,11 +970,38 @@ object Streams {
     gated.join(graft.pipeline.Dedup.dedupAgainst(index, gated.select("doc_id", "text")), "doc_id")
   }
 
+  /** Re-enable AQE for foreachBatch bodies (r17 optimization; guide
+    * §2.2/§2.4). Spark plans every micro-batch on a CLONED session
+    * with `spark.sql.adaptive.enabled` force-disabled
+    * (ResolveWriteToStream), so BATCH plans derived from `batch`
+    * inside foreachBatch — joins, groupBys, log writes — inherit the
+    * session's full shuffle-partition count with NO runtime
+    * coalescing: a handful of rows per trigger pays
+    * default-partition-count reduce tasks on every shuffle. Flipping
+    * the flag back on the cloned session restores AQE for exactly
+    * those batch plans while leaving the stream's own incremental
+    * plan untouched — InsertAdaptiveSparkPlan skips plans with
+    * streaming sources regardless of the conf, which is also why the
+    * blanket disable is wider than it needs to be. (A fixed
+    * batch-size-derived partition count was tried first and
+    * regressed q191 10×: per-trigger plans JOIN the tiny batch
+    * against corpus-scale relations, and only runtime shuffle stats
+    * — AQE — can size both sides correctly.) */
+  private[graft] def tuneBatchShuffle(batch: DataFrame): Unit =
+    try {
+      val sess = batch.sparkSession
+      if (sess.conf.get("spark.sql.adaptive.enabled", "false") != "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "true")
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def toForeachBatch(df: DataFrame, name: String)(
       handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.queryName(name)
       .outputMode(OutputMode.Append())
-      .foreachBatch(handle)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        tuneBatchShuffle(batch)
+        handle(batch, id)
+      }
       .start()
 
   /** Streaming top-level demo: tumbling agg of the events file stream
