@@ -779,6 +779,15 @@ object Bench {
       // single-run numbers (cold run hidden), so the artifact says so
       (if (runs == 1) "" else s""","runs":$runs""")
     def entry(k: String, v: Double) = "\"" + shortKey(k) + "\":" + fmt(v)
+    // per-family wall rollup (r16 verdict #6): WHERE the walk's budget
+    // goes, carried in the artifact itself. Measured rows only; a
+    // crash (-1) counts in `n` but adds nothing to the total.
+    val fam = results.groupBy { case (k, _) => SparkEntry.familyOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        val t = rs.map(_._2).filter(_ >= 0).sum
+        s""""$f":{"n":${rs.size},"total":${f"$t%.1f"}}"""
+      }.mkString("{", ",", "}")
     def render(qs: Seq[(String, Double)], others: Seq[(String, Double)]): String = {
       val qmap = qs.map((entry _).tupled).mkString("{", ",", "}")
       val byShort = results.map { case (k, v) => shortKey(k) -> v }.toMap
@@ -793,7 +802,7 @@ object Bench {
         val t = others.map(_._2).filter(_ >= 0).sum
         s""","others":{"n":${others.size},"total":${f"$t%.2f"}}"""
       }
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed$loadField,"queries":$qmap$oth,"ref":$ref,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed$loadField,"queries":$qmap$oth,"fam":$fam,"ref":$ref,"sf":"$sfDir"}"""
     }
     val full = render(results.sortBy(_._1), Nil)
     if (full.length <= LineBudget) full

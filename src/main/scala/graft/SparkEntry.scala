@@ -28,6 +28,31 @@ object SparkEntry {
       Curation.queries ++ Scoring.queries ++ Partitioning.queries ++ WindowSpi.queries ++
       Patterns.queries
 
+  /** Family of each registry query (r16 verdict #6): the bench walk's
+    * stdout JSON carries a per-family wall-time rollup so a round can
+    * see WHERE its budget goes without reconstructing it from 218
+    * rows. Families follow the contributing module, except that every
+    * FileDrip-driven row (a real StreamingQuery drives the
+    * computation) rolls up as `streaming` regardless of which pipeline
+    * module hosts it — trigger-drive overhead is the quantity the
+    * rollup exists to expose. */
+  private val streamingRows: Set[String] = Set(
+    "q184", "q185", "q186", "q191", "q192", "q193", "q197", "q199",
+    "q205", "q208", "q209", "q212", "q214", "q216", "q217")
+
+  def familyOf(name: String): String = {
+    val short = name.takeWhile(_ != '_')
+    if (streamingRows.contains(short)) "streaming"
+    else if (Graph.queries.contains(name) || GraphGen.queries.contains(name) ||
+      PropertyGraph.queries.contains(name) || Iterative.queries.contains(name)) "graph"
+    else if (Dedup.queries.contains(name) || Similarity.queries.contains(name) ||
+      TextAnalysis.queries.contains(name) || Multimodal.queries.contains(name) ||
+      Curation.queries.contains(name) || Scoring.queries.contains(name)) "pipeline"
+    else if (Patterns.queries.contains(name)) "cep"
+    else if (Windows.queries.contains(name) || WindowSpi.queries.contains(name)) "windows"
+    else "relational"
+  }
+
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Typed.oracles ++ Windows.oracles ++ Iterative.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++

