@@ -34,6 +34,14 @@ object FileDrip {
       System.err.println(f"[drip-trace] $what ${(t1 - t0) / 1e9}%.3f s")
       t0 = t1
     }
+    // with trace on, also surface Spark's own per-trigger duration
+    // split (planning vs WAL commits vs addBatch) — the drain wall
+    // time above minus addBatch is the micro-batch machinery floor
+    def progress(q: StreamingQuery): Unit = if (trace)
+      Option(q.lastProgress).foreach { p =>
+        System.err.println(s"[drip-trace]   batch ${p.batchId} " +
+          s"durationMs=${p.durationMs}")
+      }
     try {
       batches.head.coalesce(1).write.mode("append").parquet(dir.toString)
       mark("write batch 0")
@@ -44,11 +52,13 @@ object FileDrip {
       try {
         q.processAllAvailable()
         mark("drain 0")
+        progress(q)
         batches.tail.zipWithIndex.foreach { case (b, i) =>
           b.coalesce(1).write.mode("append").parquet(dir.toString)
           mark(s"write batch ${i + 1}")
           q.processAllAvailable()
           mark(s"drain ${i + 1}")
+          progress(q)
         }
       } finally {
         // stop() can throw TimeoutException under the session-wide
