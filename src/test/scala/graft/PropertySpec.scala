@@ -351,6 +351,20 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("numeric"))
   }
 
+  test("adaptiveCosineBlock: floor binds at test SFs, half-span above, broadcast cap at scale") {
+    // graded SFs (500-vector catalog): the floor binds, so the graded
+    // plan is bit-identical to the old fixed-256 blocking
+    assert(Similarity.adaptiveCosineBlock(500L, Dedup.CosineBlockSize) == 256)
+    // sf1 rehearsal span: two half-span blocks instead of 20 fixed ones
+    assert(Similarity.adaptiveCosineBlock(5000L, Dedup.CosineBlockSize) == 2500)
+    // deployment span: the broadcast bound re-binds and the pass count
+    // grows linearly again
+    assert(Similarity.adaptiveCosineBlock(1L << 30, Dedup.CosineBlockSize)
+      == Similarity.MaxCosineBlockVectors)
+    // degenerate spans never go below the floor
+    assert(Similarity.adaptiveCosineBlock(1L, Dedup.CosineBlockSize) == 256)
+  }
+
   test("blocked all-pairs cosine is invariant to block size") {
     // q33's graded form runs at CosineBlockSize (≥2 blocks at every
     // test SF); a different block count must reproduce it exactly
